@@ -1,0 +1,49 @@
+"""Leveled logging with per-process identity.
+
+Mirrors the reference's Log/Logger level system (ref: src/Log.h:79-486):
+Verbose/Debug/Warn/Error levels with per-rank stamps.  In the TPU build the
+"rank" is the jax process index (multi-host) and messages go to stderr.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_t0 = time.time()
+
+
+class Log:
+    verbose_level = 0
+    debug_level = 0
+
+    @staticmethod
+    def _stamp() -> str:
+        rank = os.environ.get("KMERNATOR_TPU_RANK", "0")
+        return "%s %7.2f [%s]" % (time.strftime("%Y-%m-%d %H:%M:%S"), time.time() - _t0, rank)
+
+    @classmethod
+    def is_verbose(cls, level: int) -> bool:
+        return cls.verbose_level >= level
+
+    @classmethod
+    def is_debug(cls, level: int) -> bool:
+        return cls.debug_level >= level
+
+    @classmethod
+    def verbose(cls, level: int, msg: str):
+        if cls.verbose_level >= level:
+            print("%s VERBOSE: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+
+    @classmethod
+    def debug(cls, level: int, msg: str):
+        if cls.debug_level >= level:
+            print("%s DEBUG: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+
+    @classmethod
+    def warn(cls, msg: str):
+        print("%s WARN: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+
+    @classmethod
+    def error(cls, msg: str):
+        print("%s ERROR: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
