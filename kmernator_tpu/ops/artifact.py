@@ -1,0 +1,364 @@
+"""Artifact screen: primer/adapter/homopolymer (and optional simple-repeat /
+PhiX) filtering with quality-run trimming.
+
+Re-implements FilterKnownOddities (ref: src/FilterKnownOddities.h:171-736)
+with a flat table of canonical 24-mers (exact + pre-built hamming-<=d edits,
+ref: prepareMaps :242-286) and a vectorized byte-aligned scan: the reference
+hops byte-by-byte over the 2-bit sequence (every 4 bases,
+ref: applyFilterToRead :446-490), so only window positions that are
+multiples of 4 are probed.
+
+The built-in artifact data (public adapter/primer sequences from TagDust and
+Illumina documentation, plus PhiX174) live in kmernator_tpu/data/*.fasta —
+they are part of the behavioral contract (ref: getArtifactFasta :742-794).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from kmernator_tpu.io.reads import (ReadSet, BASE_CODE, parse_fasta_bytes,
+                                    _ragged_indices)
+from kmernator_tpu.ops.kmer import (extract_kmers_flat, nwords, string_to_words,
+                                    revcomp_words, words_less)
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def _canonical_ints(canon: np.ndarray) -> np.ndarray:
+    """[N, W<=4] u32 words -> object-free packed python-int-compatible u64/u128.
+    For match length <= 32 (W <= 2) a u64 suffices."""
+    N, W = canon.shape
+    if W > 2:
+        raise ValueError("artifact match length > 32 not supported")
+    out = canon[:, 0].astype(np.uint64) << np.uint64(32)
+    if W == 2:
+        out |= canon[:, 1].astype(np.uint64)
+    return out
+
+
+def _canon_int_of_words(words: np.ndarray, k: int) -> np.ndarray:
+    return _canonical_ints(words.reshape(-1, nwords(k)))
+
+
+class ArtifactFilter:
+    """Holds the 24-mer lookup table and applies the filter to a ReadSet."""
+
+    def __init__(self, match_length: int = 24, edit_distance: int = 2,
+                 build_edits_in_filter: int = 2,
+                 mask_simple_repeats: bool = False, phix: bool = False,
+                 extra_reference_files: Optional[List[str]] = None,
+                 min_quality: int = 3, min_read_length: float = 0.40):
+        if match_length > 28:
+            raise ValueError("match length must be <= 28 bases")
+        if match_length % 4 != 0:
+            raise ValueError("match length must be a multiple of 4")
+        self.k = match_length
+        self.min_quality = min_quality
+        self.min_read_length = min_read_length
+        self.remaining_errors = edit_distance
+
+        # sequence registry: index 0 is the no-match sentinel (ref: :198-200)
+        self.seq_names: List[bytes] = [b""]
+        seqs: List[bytes] = [b""]
+        self.simple_repeat_range = (1 << 30, -1)
+        self.phix_idx = -1
+        self.reference_idx = 1 << 30
+
+        def load(path):
+            names, comments, seq, qual, offsets, hq = parse_fasta_bytes(
+                open(path, "rb").read())
+            for i, nm in enumerate(names):
+                self.seq_names.append(nm)
+                seqs.append(seq[offsets[i]:offsets[i + 1]].tobytes())
+
+        load(os.path.join(DATA_DIR, "artifacts.fasta"))
+        if mask_simple_repeats:
+            begin = len(seqs)
+            load(os.path.join(DATA_DIR, "simple_repeats.fasta"))
+            self.simple_repeat_range = (begin, len(seqs))
+        if phix:
+            self.phix_idx = len(seqs)
+            load(os.path.join(DATA_DIR, "phix174.fasta"))
+        if extra_reference_files:
+            self.reference_idx = len(seqs)
+            for f in extra_reference_files:
+                load(f)
+        self.num_sequences = len(seqs)
+
+        # circularize (ref: ReadSet::circularize, src/ReadSet.cpp:120-130)
+        seqs = [s + s[:self.k] for s in seqs]
+
+        # build exact canonical kmer -> value table; first writer wins
+        # (ref: filter.getOrSetElement, :253)
+        table = {}
+        for idx, s in enumerate(seqs):
+            if idx == 0 or len(s) < self.k:
+                continue
+            codes = BASE_CODE[np.frombuffer(s, np.uint8)]
+            codes = np.where(codes == 4, 0, codes).astype(np.uint8)
+            canon, _, _, _ = extract_kmers_flat(codes, np.array([0, len(s)]), self.k)
+            for key in _canonical_ints(canon):
+                table.setdefault(int(key), idx)
+
+        # pre-build hamming-edit permutations into the table
+        # (ref: prepareMaps :260-282)
+        build = build_edits_in_filter
+        for _err in range(edit_distance):
+            if build == 1 or (build == 2 and len(table) < 750000):
+                self.remaining_errors -= 1
+                keys = np.fromiter(table.keys(), dtype=np.uint64, count=len(table))
+                vals = np.fromiter(table.values(), dtype=np.int64, count=len(table))
+                nk, nv = self._permute_all(keys, vals)
+                for key, v in zip(nk, nv):
+                    table.setdefault(int(key), int(v))
+        self._table_keys = np.fromiter(table.keys(), dtype=np.uint64, count=len(table))
+        self._table_vals = np.fromiter(table.values(), dtype=np.int64, count=len(table))
+        order = np.argsort(self._table_keys, kind="stable")
+        self._table_keys = self._table_keys[order]
+        self._table_vals = self._table_vals[order]
+
+    # ---- table helpers ----
+    def _unpack(self, keys: np.ndarray) -> np.ndarray:
+        W = nwords(self.k)
+        words = np.zeros((len(keys), W), dtype=np.uint32)
+        words[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+        if W == 2:
+            words[:, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return words
+
+    def _permute_all(self, keys: np.ndarray, vals: np.ndarray):
+        """All hamming-1 neighbors (canonicalized) of the given canonical
+        kmers (ref: KmerArrayPair::permuteBases, src/Kmer.h:1377-1454)."""
+        k = self.k
+        words = self._unpack(keys)
+        outs = []
+        outv = []
+        for posn in range(k):
+            w, o = divmod(posn, 16)
+            shift = np.uint32(30 - 2 * o)
+            cur = (words[:, w] >> shift) & np.uint32(3)
+            for nb in range(4):
+                mutated = words.copy()
+                nw_val = (words[:, w] & ~(np.uint32(3) << shift)) | (np.uint32(nb) << shift)
+                mutated[:, w] = nw_val
+                keep = cur != nb
+                rc = revcomp_words(np, mutated, k)
+                le = ~words_less(np, rc, mutated)
+                canon = np.where(le[:, None], mutated, rc)
+                outs.append(_canonical_ints(canon[keep]))
+                outv.append(vals[keep])
+        return np.concatenate(outs), np.concatenate(outv)
+
+    def lookup(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized table lookup: value (0 = miss) per canonical u64 key."""
+        idx = np.searchsorted(self._table_keys, keys)
+        idx = np.clip(idx, 0, len(self._table_keys) - 1)
+        hit = self._table_keys[idx] == keys
+        return np.where(hit, self._table_vals[idx], 0)
+
+    def is_phix(self, v) -> bool:
+        return self.phix_idx >= 0 and v == self.phix_idx
+
+    def is_simple_repeat(self, v) -> bool:
+        return self.simple_repeat_range[0] <= v < self.simple_repeat_range[1]
+
+    def is_reference(self, v) -> bool:
+        return v >= self.reference_idx
+
+    # ---- per-read scan ----
+    def _quality_runs(self, phred: np.ndarray, has_quals: bool):
+        """Best and second-best runs of q >= minQuality
+        (ref: applyFilterToRead :407-442).  Returns ((b0,b1),(s0,s1))."""
+        L = len(phred)
+        if not has_quals:
+            return (0, L), (0, 0)
+        bad = phred < self.min_quality
+        best = (0, 0)
+        second = (0, 0)
+        t0 = 0
+        for i in range(L + 1):
+            if i == L or bad[i]:
+                t = (t0, i)
+                if t[1] - t[0] > best[1] - best[0]:
+                    best, t = t, best
+                if t[1] - t[0] > second[1] - second[0]:
+                    second = t
+                t0 = i + 1
+        return best, second
+
+    def _scan_read(self, rs: ReadSet, i: int):
+        """ref: applyFilterToRead :389-541 (minus record effects).
+        Returns (value, min_pass, max_pass, second_best, was_phix)."""
+        s, e = rs.offsets[i], rs.offsets[i + 1]
+        L = int(e - s)
+        phred = rs.phred()[s:e]
+        best, second = self._quality_runs(phred, bool(rs.has_quals[i]))
+        if best[1] > best[0]:
+            min_pass, max_pass = best
+        else:
+            min_pass = max_pass = 0
+
+        value = 0
+        was_phix = False
+        min_aff, max_aff = max_pass, min_pass
+
+        k = self.k
+        tb_len = k // 4
+        bytes_ = (L + 3) // 4
+        byte_hops = (max_pass + 3) // 4 - tb_len - (0 if L % 4 == 0 else 1)
+        if byte_hops < 0 or byte_hops > bytes_:
+            byte_hops = 0
+        start_hop = min_pass // 4
+        if byte_hops >= start_hop and L >= k:
+            positions = np.arange(start_hop, byte_hops + 1) * 4
+            # pad to the 2-bit byte boundary: the reference's packed buffer
+            # zero-fills the trailing pad bases (read as 'A')
+            Lp = 4 * bytes_
+            codes = np.zeros(Lp, dtype=np.uint8)
+            c = BASE_CODE[rs.seq[s:e]]
+            codes[:L] = np.where(c == 4, 0, c)
+            canon, _, _, _ = extract_kmers_flat(codes, np.array([0, Lp]), k)
+            nw = Lp - k + 1
+            positions = positions[positions < nw]
+            if len(positions):
+                keys = _canonical_ints(canon[positions])
+                vals = self.lookup(keys)
+                if self.remaining_errors > 0:
+                    # query-side permutations (build_edits_in_filter == 0 path)
+                    for qi in np.flatnonzero(vals == 0):
+                        nk, _ = self._permute_all(keys[qi:qi + 1],
+                                                  np.zeros(1, np.int64))
+                        v2 = self.lookup(nk)
+                        hitn = np.flatnonzero(v2 > 0)
+                        if len(hitn):
+                            vals[qi] = v2[hitn[-1]]
+                hits = vals > 0
+                if hits.any():
+                    hp = positions[hits]
+                    hv = vals[hits]
+                    value = int(hv[-1])  # last hit wins (ref keeps overwriting)
+                    was_phix = any(self.is_phix(v) for v in hv)
+                    min_aff = min(min_aff, int(hp.min()))
+                    max_aff = max(max_aff, int(hp.max()) + k)
+
+        if was_phix:
+            value = self.phix_idx
+        elif self.is_simple_repeat(value):
+            good_margin = (min_aff - min_pass) >= (3 * k) // 2 and \
+                          (max_pass - max_aff) >= (3 * k) // 2
+            if good_margin:
+                value = 0
+                min_aff, max_aff = max_pass, min_pass
+
+        if value > 0 and min_aff <= max_aff:
+            if (min_aff - min_pass) >= (max_pass - max_aff):
+                max_pass = min_aff
+            else:
+                min_pass = max_aff
+
+        return value, min_pass, max_pass, second, was_phix
+
+
+def passes_length(length: float, read_length: int, minimum_length: float) -> bool:
+    """ref: ReadSelectorUtil::passesLength (src/ReadSelector.h:209-228)."""
+    if length <= 1.0:
+        return False
+    if minimum_length <= 1.0:
+        return read_length * minimum_length <= length
+    return minimum_length <= length
+
+
+@dataclass
+class FilterOutcome:
+    affected: int = 0
+    discarded: int = 0
+    trimmed: int = 0
+    phix_reads: List[int] = field(default_factory=list)
+
+
+def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
+    """ref: FilterKnownOddities::applyFilter (:663-732) +
+    recordAffectedRead (:551-661).  Mutates rs in place: trims reads
+    (AFTrim labels appended to comments), marks discards, appends -qtrim
+    remnant reads."""
+    out = FilterOutcome()
+    by_pair = rs.has_pairs()
+    n = rs.n
+    lens = rs.lengths()
+
+    trim_which: List[int] = []
+    trim_off: List[int] = []
+    trim_len: List[int] = []
+    trim_labels: List[bytes] = []
+    remnants: List[Tuple[bytes, bytes, bytes, np.ndarray]] = []
+
+    def record_read(i, value, min_pass, max_pass, was_phix_joint):
+        L = int(lens[i])
+        if value == 0:
+            return False
+        out.affected += 1
+        if was_phix_joint:
+            rs.discarded[i] = True
+            out.discarded += 1
+            out.phix_reads.append(i)
+            return True
+        pass_len = max_pass - min_pass
+        is_ref = filt.is_reference(value) and value != filt.num_sequences
+        if is_ref or pass_len <= 0 or not passes_length(pass_len, L, filt.min_read_length):
+            rs.discarded[i] = True
+            out.discarded += 1
+        else:
+            trim_which.append(i)
+            trim_off.append(min_pass)
+            trim_len.append(pass_len)
+            trim_labels.append(b"AFTrim:%d+%d" % (min_pass, pass_len))
+            out.trimmed += 1
+        return True
+
+    def scan_and_rescue(i):
+        value, min_pass, max_pass, second, was_phix = filt._scan_read(rs, i)
+        L = int(lens[i])
+        if value == 0 and (max_pass - min_pass) != L:
+            # only quality trimming affected the read (ref: :523-533)
+            value = filt.num_sequences
+            sec_len = second[1] - second[0]
+            if passes_length(sec_len, L, filt.min_read_length):
+                s = rs.offsets[i]
+                seq = rs.seq[s + second[0]:s + second[0] + sec_len].tobytes()
+                ph = rs.phred()[s + second[0]:s + second[0] + sec_len].copy()
+                lab = b"AFTrim:%d+%d" % (second[0], sec_len)
+                c = rs.comments[i]
+                comment = lab if not c else c + b"\t" + lab
+                remnants.append((rs.names[i] + b"-qtrim", comment, seq, ph))
+        return value, min_pass, max_pass, was_phix
+
+    if by_pair:
+        for (r1, r2) in rs.pairs:
+            res = {}
+            phx = False
+            for r in (r1, r2):
+                if r is not None and r >= 0:
+                    v, mn, mx, wp = scan_and_rescue(r)
+                    res[r] = (v, mn, mx)
+                    phx |= wp
+            for r, (v, mn, mx) in res.items():
+                if phx:
+                    record_read(r, filt.phix_idx if filt.phix_idx >= 0 else filt.num_sequences,
+                                mn, mx, True)
+                else:
+                    record_read(r, v, mn, mx, False)
+    else:
+        for i in range(n):
+            v, mn, mx, wp = scan_and_rescue(i)
+            record_read(i, v, mn, mx, wp)
+
+    if trim_which:
+        rs.apply_trims(np.array(trim_off, np.int64), np.array(trim_len, np.int64),
+                       np.array(trim_which, np.int64), trim_labels)
+    for name, comment, seq, ph in remnants:
+        rs.append_read(name, comment, seq, ph)
+    return out
