@@ -1,0 +1,170 @@
+"""Read scoring / trimming / selection (the ReadSelector semantics).
+
+Re-implements ReadSelector<Map> (ref: src/ReadSelector.h:232-1263):
+ - longest-run trim over per-window spectrum counts
+   (trimReadByMinimumKmerScore :948-1014)
+ - scoring types SUM/MEDIAN/AVG/MIN/MAX (:1088-1180; note SUM is
+   bug-compatible with the reference: it leaves the run-length score)
+ - trim headers "Trim:o+l" / "<Type>Score:n" (:1015-1035)
+ - pair-aware pick logic (pickAllPassingPairs :585-596, isPassing* :547-574)
+
+The count lookups themselves run against a KmerSpectrum table; this module
+only consumes a ragged [N_windows] count vector.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from kmernator_tpu.io.reads import ReadSet
+from kmernator_tpu.ops.artifact import passes_length
+
+SCORING_LABELS = {
+    "SUM": b"Score",
+    "MEDIAN": b"MedianScore",
+    "MIN": b"MinScore",
+    "MAX": b"MaxScore",
+    "AVG": b"AvgScore",
+}
+
+
+@dataclass
+class ReadTrims:
+    offset: np.ndarray   # [n] base offset of the kept region
+    length: np.ndarray   # [n] kept length in bases (0 = fails)
+    score: np.ndarray    # [n] float score (-1 = fails)
+    label: List[bytes]   # [n] trim label
+    available: np.ndarray  # [n] bool (pick state)
+
+
+def _longest_run(passing: np.ndarray) -> Tuple[int, int]:
+    """First longest run of True.  ref: trimReadByMinimumKmerScore loop —
+    a new best requires a strictly greater run score."""
+    best_off = best_len = 0
+    off = 0
+    cur = 0
+    for i in range(len(passing)):
+        if passing[i]:
+            cur += 1
+        else:
+            if cur > best_len:
+                best_off, best_len = off, cur
+            off = i + 1
+            cur = 0
+    if cur > best_len:
+        best_off, best_len = off, cur
+    return best_off, best_len
+
+
+def score_and_trim(rs: ReadSet, window_counts: np.ndarray,
+                   window_offsets: np.ndarray, k: int,
+                   min_kmer_score: float, scoring_type: str = "MAX",
+                   markup_first: Optional[np.ndarray] = None) -> ReadTrims:
+    """ref: ReadSelector::scoreAndTrimReads (src/ReadSelector.h:1182-1209).
+
+    window_counts:  concatenated per-read per-window spectrum counts
+    window_offsets: [n+1] boundaries into window_counts (reads shorter than k
+                    have zero windows)
+    markup_first:   [n] 1-based position of first N/X markup (0 = none),
+                    ref: TwoBitSequence::firstMarkupNorX
+    """
+    n = rs.n
+    lens = rs.lengths()
+    off = np.zeros(n, dtype=np.int64)
+    tlen = np.zeros(n, dtype=np.int64)
+    score = np.zeros(n, dtype=np.float64)
+    labels: List[bytes] = [b""] * n
+    slabel = SCORING_LABELS[scoring_type]
+
+    for i in range(n):
+        if rs.discarded[i]:
+            continue
+        s, e = window_offsets[i], window_offsets[i + 1]
+        counts = window_counts[s:e]
+        num_kmers = len(counts)
+        # markup truncation (ref: _setNumKmers :1037-1047)
+        if markup_first is not None and markup_first[i] != 0:
+            max_trim = int(markup_first[i])
+            num_kmers = max_trim - k if max_trim > k else 0
+        counts = counts[:num_kmers]
+        passing = counts >= min_kmer_score
+        b_off, b_len = _longest_run(passing)
+        was_trimmed = b_len < num_kmers
+
+        if b_len > 0:
+            vals = counts[b_off:b_off + b_len].astype(np.float64)
+            if scoring_type == "MEDIAN":
+                sc = float(np.sort(vals)[len(vals) // 2])
+            elif scoring_type == "AVG":
+                sc = float(vals.sum() / max(len(vals), 1))
+            elif scoring_type == "MIN":
+                sc = float(vals.min())
+            elif scoring_type == "MAX":
+                sc = float(vals.max())
+            else:  # SUM — run length (bug-compatible, see module docstring)
+                sc = float(b_len)
+        else:
+            sc = -1.0
+
+        # setTrimHeaders (ref: :1015-1035)
+        t_off, t_len = b_off, b_len
+        if t_len > 0:
+            t_len += k - 1
+        else:
+            t_off = 0
+            sc = -1.0
+        lab = b""
+        if was_trimmed:
+            lab += b"Trim:%d+%d" % (t_off, t_len)
+        if was_trimmed:
+            lab += b" "
+        lab += slabel + b":%d" % int(sc + 0.5)
+        off[i], tlen[i], score[i] = t_off, t_len, sc
+        labels[i] = lab
+
+    return ReadTrims(off, tlen, score, labels,
+                     np.ones(n, dtype=bool))
+
+
+def is_passing(rs: ReadSet, trims: ReadTrims, i: int,
+               min_score: float, min_length: float) -> bool:
+    """ref: isPassingRead (src/ReadSelector.h:550-557)."""
+    if i < 0 or i >= rs.n:
+        return False
+    return bool(trims.available[i] and trims.score[i] >= min_score and
+                passes_length(float(trims.length[i]), int(rs.lengths()[i]), min_length))
+
+
+def pick_all_passing(rs: ReadSet, trims: ReadTrims, min_score: float,
+                     min_length: float, both_pass: bool) -> List[int]:
+    """pickAllPassingPairs / pickAllPassingReads
+    (ref: src/ReadSelector.h:576-596).  Returns picked read indices sorted
+    ascending (optimizePickOrder sorts picks, :1212-1221)."""
+    picks: List[int] = []
+
+    def pick_if_new(i):
+        if 0 <= i < rs.n and trims.available[i]:
+            picks.append(i)
+            trims.available[i] = False
+
+    if rs.has_pairs():
+        for (r1, r2) in rs.pairs:
+            v1 = 0 <= r1 < rs.n
+            v2 = 0 <= r2 < rs.n
+            p1 = is_passing(rs, trims, r1, min_score, min_length) if v1 else False
+            p2 = is_passing(rs, trims, r2, min_score, min_length) if v2 else False
+            if v1 and v2 and both_pass:
+                ok = p1 and p2
+            else:
+                ok = p1 or p2
+            if ok:
+                pick_if_new(r1)
+                pick_if_new(r2)
+    else:
+        for i in range(rs.n):
+            if is_passing(rs, trims, i, min_score, min_length):
+                pick_if_new(i)
+    picks.sort()
+    return picks

@@ -1,0 +1,187 @@
+"""K-mer spectrum: the counted table of canonical k-mers.
+
+Design replaces the reference's three open-hash maps (solid/weak/singleton,
+ref: src/KmerSpectrum.h:344-420) with ONE sorted columnar table of
+(key, count, weighted_count, direction_bias[, extension counters]).  The
+reference splits maps only to save host RAM during promote-on-second-sight
+insertion; the final counts are order-independent, so a batched
+sort+segment-reduce produces identical results (singletons are simply rows
+with count == 1; `purge_min_depth` drops rows below the threshold, matching
+KmerSpectrum::purgeMinDepth + ReadSelector scoring against the weak map).
+
+This module is the host/exact implementation (numpy); the device (TPU)
+implementation with identical semantics lives in device_spectrum.py and the
+sharded multi-chip version in mesh.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from kmernator_tpu.ops.kmer import nwords
+
+
+def pack_u64(canon: np.ndarray) -> np.ndarray:
+    """[N, W<=2] u32 -> u64 preserving lexicographic order."""
+    W = canon.shape[1]
+    if W > 2:
+        raise ValueError("pack_u64 requires k <= 32")
+    out = canon[:, 0].astype(np.uint64) << np.uint64(32)
+    if W == 2:
+        out |= canon[:, 1].astype(np.uint64)
+    return out
+
+
+def unpack_u64(keys: np.ndarray, W: int) -> np.ndarray:
+    out = np.zeros((len(keys), W), dtype=np.uint32)
+    out[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    if W == 2:
+        out[:, 1] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return out
+
+
+@dataclass
+class KmerSpectrum:
+    """Sorted spectrum table (host representation)."""
+    k: int
+    keys: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    counts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    weighted: Optional[np.ndarray] = None      # sum of (float) weights
+    direction: Optional[np.ndarray] = None     # forward-orientation track count
+    extensions: Optional[np.ndarray] = None    # [M, 12] 2x6 left/right counters
+    raw_kmers: int = 0
+    raw_good_kmers: int = 0
+
+    @property
+    def n_unique(self) -> int:
+        return len(self.keys)
+
+    def singleton_count(self) -> int:
+        return int((self.counts == 1).sum())
+
+    @staticmethod
+    def from_observations(k: int, keys: np.ndarray, good: np.ndarray,
+                          weights: Optional[np.ndarray] = None,
+                          is_fwd: Optional[np.ndarray] = None,
+                          ext_left: Optional[np.ndarray] = None,
+                          ext_right: Optional[np.ndarray] = None) -> "KmerSpectrum":
+        """Count observations.
+
+        keys:   [N] u64 canonical kmers (all windows)
+        good:   [N] bool — weight above the discard threshold
+                (ref: TrackingData::isDiscard); only good observations count
+        weights:[N] float32 weights (summed for weightedCount parity)
+        is_fwd: [N] bool — stored orientation was the read's forward strand
+                (tracks directionBias, ref: TrackingDataWithDirection)
+        ext_left/ext_right: [N] int8 extension codes 0..5 (A,C,G,T,N,X) or -1
+                when below the extension quality threshold
+                (ref: ExtensionTracking::trackExtension)
+        """
+        sp = KmerSpectrum(k=k)
+        sp.raw_kmers = int(len(keys))
+        gk = keys[good]
+        sp.raw_good_kmers = int(len(gk))
+        if len(gk) == 0:
+            return sp
+        order = np.argsort(gk, kind="stable")
+        sk = gk[order]
+        boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
+        seg = np.cumsum(boundary) - 1
+        M = int(seg[-1]) + 1
+        sp.keys = sk[boundary]
+        sp.counts = np.bincount(seg, minlength=M).astype(np.int64)
+        if weights is not None:
+            # reference accumulates float32 weightedCount += (float)weight in
+            # insertion order; we sum in sorted order (documented deviation —
+            # weightedCount is only used for histograms/uncertainty displays)
+            sp.weighted = np.bincount(seg, weights=weights[good][order].astype(np.float64),
+                                      minlength=M)
+        if is_fwd is not None:
+            sp.direction = np.bincount(seg, weights=is_fwd[good][order].astype(np.float64),
+                                       minlength=M).astype(np.int64)
+        if ext_left is not None:
+            sp.extensions = np.zeros((M, 12), dtype=np.int64)
+            el = ext_left[good][order]
+            er = ext_right[good][order]
+            for code in range(6):
+                sp.extensions[:, code] += np.bincount(seg[el == code], minlength=M)
+                sp.extensions[:, 6 + code] += np.bincount(seg[er == code], minlength=M)
+        return sp
+
+    def purge_min_depth(self, min_depth: int):
+        """ref: KmerSpectrum::purgeMinDepth (src/KmerSpectrum.h:1805-1815)."""
+        keep = self.counts >= min_depth
+        self.keys = self.keys[keep]
+        self.counts = self.counts[keep]
+        if self.weighted is not None:
+            self.weighted = self.weighted[keep]
+        if self.direction is not None:
+            self.direction = self.direction[keep]
+        if self.extensions is not None:
+            self.extensions = self.extensions[keep]
+
+    def lookup_counts(self, query: np.ndarray) -> np.ndarray:
+        """count per query key (0 for absent), vectorized binary search."""
+        if len(self.keys) == 0:
+            return np.zeros(len(query), dtype=np.int64)
+        idx = np.searchsorted(self.keys, query)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == query
+        return np.where(hit, self.counts[idx], 0)
+
+    def merge(self, other: "KmerSpectrum") -> "KmerSpectrum":
+        """Merge two spectra (out-of-core / sharded builds)."""
+        keys = np.concatenate([self.keys, other.keys])
+        counts = np.concatenate([self.counts, other.counts])
+        order = np.argsort(keys, kind="stable")
+        keys, counts = keys[order], counts[order]
+        boundary = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg = np.cumsum(boundary) - 1
+        out = KmerSpectrum(k=self.k)
+        out.keys = keys[boundary]
+        out.counts = np.bincount(seg, weights=counts.astype(np.float64)).astype(np.int64)
+        out.raw_kmers = self.raw_kmers + other.raw_kmers
+        out.raw_good_kmers = self.raw_good_kmers + other.raw_good_kmers
+        return out
+
+    # ---------- persistence (replaces storeMmap/restoreMmap,
+    # ref: src/KmerSpectrum.h:476-519) ----------
+    def save(self, path: str):
+        np.savez(path, k=self.k, keys=self.keys, counts=self.counts,
+                 weighted=self.weighted if self.weighted is not None else np.zeros(0),
+                 direction=self.direction if self.direction is not None else np.zeros(0),
+                 extensions=self.extensions if self.extensions is not None else np.zeros((0, 12)),
+                 raw=np.array([self.raw_kmers, self.raw_good_kmers]))
+
+    @staticmethod
+    def load(path: str) -> "KmerSpectrum":
+        z = np.load(path)
+        sp = KmerSpectrum(k=int(z["k"]))
+        sp.keys = z["keys"]
+        sp.counts = z["counts"]
+        if len(z["weighted"]):
+            sp.weighted = z["weighted"]
+        if len(z["direction"]):
+            sp.direction = z["direction"]
+        if len(z["extensions"]):
+            sp.extensions = z["extensions"]
+        sp.raw_kmers, sp.raw_good_kmers = (int(x) for x in z["raw"])
+        return sp
+
+    # ---------- histogram (ref: KmerSpectrum::Histogram,
+    # src/KmerSpectrum.h:909-1058) ----------
+    def histogram_table(self) -> str:
+        """Log-binned count histogram text table (same shape of output as the
+        reference's printHistograms; bucket scheme: integer counts 1..254,
+        then log-scale)."""
+        lines = ["depth\tuniqueKmers\ttotalCount"]
+        if len(self.counts) == 0:
+            return "\n".join(lines) + "\n"
+        maxc = int(self.counts.max())
+        binc = np.bincount(np.minimum(self.counts, 10000).astype(np.int64))
+        for d in range(1, len(binc)):
+            if binc[d]:
+                lines.append("%d\t%d\t%d" % (d, binc[d], d * binc[d]))
+        return "\n".join(lines) + "\n"
