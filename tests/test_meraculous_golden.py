@@ -1,0 +1,25 @@
+"""MeraculousCounter golden tests: sorted-identical mercount/mergraph
+(ref: test/runMeraculousTests.sh:40-74)."""
+import os
+import subprocess
+import sys
+
+REF = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_mercount_mergraph_golden(tmp_path):
+    out = str(tmp_path / "mc")
+    cmd = [sys.executable, "-m", "kmernator_tpu.apps.meraculous_counter",
+           "--min-kmer-quality", "0", "--min-quality-score", "2",
+           "--kmer-size", "21", "--fastq-base-quality", "64",
+           "--out", out, os.path.join(REF, "1000.fastq")]
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    subprocess.run(cmd, check=True, env=env, capture_output=True)
+
+    for mine_name, golden_name in [
+            ("mc.mercount.m21", "phix.mercount.m21"),
+            ("mc.mergraph.m21.D2", "phix.mergraph.m21.D2")]:
+        mine = sorted(open(str(tmp_path / mine_name), "rb").read().splitlines())
+        want = sorted(open(os.path.join(REF, golden_name), "rb").read().splitlines())
+        assert mine == want, "%s differs" % golden_name
