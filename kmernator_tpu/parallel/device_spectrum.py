@@ -1,0 +1,269 @@
+"""Device (TPU) k-mer spectrum pipeline.
+
+The hot path of the framework: canonical k-mer window extraction, quality
+weighting, and counting as ONE jitted XLA program over dense padded batches.
+This replaces the reference's per-read scalar hot loop
+(KmerArrayPair::build + KmerSpectrum::append,
+ref: src/Kmer.h:1323-1375, src/KmerSpectrum.h:1578-1668) with:
+
+  pack16 shifts  ->  [B, NW, W] window words   (VPU bitops)
+  revcomp/min    ->  canonical keys            (VPU bitops)
+  log-prob cumsum->  window weights            (VPU)
+  multi-key sort ->  runs of equal keys        (XLA sort)
+  segment sums   ->  counts                    (scans)
+  scatter        ->  per-window counts back in read order
+
+Everything is fixed-shape: invalid (padding) windows carry the sentinel key
+(0xFFFFFFFF per word) and sort to the end.
+
+The weight fast path uses float32 log-probabilities (sliding sums); the
+discard rule w > min is evaluated in log space.  This is count-equivalent to
+the reference's double recurrence for all practical data; the bit-exact host
+recurrence (ops/weights.py) remains the golden-test path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmernator_tpu.ops.kmer import (last_word_mask, nwords, pack16,
+                                    revcomp_words, shift_left_words, words_less)
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+# --------------------------------------------------------------------------
+# batch packing (host -> device layout)
+# --------------------------------------------------------------------------
+
+def pack_readset(rs, L: int, min_quality: int, output_base: int):
+    """ReadSet -> (codes [B, L] uint8, logp [B, L] f32, lengths [B] i32).
+
+    logp is log2(P(correct)) with -inf (here: -1e30) for zero-probability
+    bases; markup positions also get -inf so windows covering them weigh 0
+    (ref: KmerReadUtils.h:214-219).
+    """
+    from kmernator_tpu.io.reads import BASE_CODE
+    from kmernator_tpu.ops.weights import probability_table
+
+    B = rs.n
+    codes = np.zeros((B, L), dtype=np.uint8)
+    logp = np.full((B, L), np.float32(-1e30), dtype=np.float32)
+    lengths = rs.lengths().astype(np.int32)
+    tab = probability_table(min_quality, output_base)
+    with np.errstate(divide="ignore"):
+        ltab = np.where(tab > 0, np.log2(tab, where=tab > 0), -1e30).astype(np.float32)
+    ph = rs.phred()
+    hq = np.repeat(rs.has_quals, rs.lengths())
+    ch = np.clip(ph + output_base, 0, 255)
+    lp_flat = np.where(hq, ltab[ch], np.float32(0.0)).astype(np.float32)
+    c_raw = BASE_CODE[rs.seq]
+    markup = c_raw == 4
+    c_flat = np.where(markup, 0, c_raw).astype(np.uint8)
+    lp_flat = np.where(markup, np.float32(-1e30), lp_flat)
+    dis = np.repeat(rs.discarded, rs.lengths())
+    lp_flat = np.where(dis, np.float32(-1e30), lp_flat)
+    for i in range(B):
+        s, e = rs.offsets[i], rs.offsets[i + 1]
+        n = int(e - s)
+        codes[i, :n] = c_flat[s:e]
+        logp[i, :n] = lp_flat[s:e]
+    return codes, logp, lengths
+
+
+# --------------------------------------------------------------------------
+# jitted device steps
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical(codes: jax.Array, lengths: jax.Array, k: int):
+    """[B, L] codes -> (canon [B, NW, W] u32, is_fwd [B, NW], valid [B, NW])."""
+    B, L = codes.shape
+    W = nwords(k)
+    NW = L - k + 1
+    p16 = pack16(jnp, codes.astype(jnp.uint32))
+    parts = []
+    for w in range(W):
+        start = 16 * w
+        if start + NW <= L:
+            sl = jax.lax.dynamic_slice_in_dim(p16, start, NW, axis=1)
+        else:
+            pad = jnp.zeros((B, start + NW - L), dtype=jnp.uint32)
+            sl = jnp.concatenate([p16[:, start:], pad], axis=1)
+        parts.append(sl)
+    fwd = jnp.stack(parts, axis=-1)
+    fwd = fwd.at[..., W - 1].set(fwd[..., W - 1] & np.uint32(last_word_mask(k)))
+    rc = revcomp_words(jnp, fwd, k)
+    fwd_le = ~words_less(jnp, rc, fwd)
+    canon = jnp.where(fwd_le[..., None], fwd, rc)
+    pos = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    canon = jnp.where(valid[..., None], canon, SENTINEL)
+    return canon, fwd_le, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "log2_min_weight"))
+def window_good(logp: jax.Array, lengths: jax.Array, k: int,
+                log2_min_weight: float):
+    """Window weight (log2) and goodness test via sliding sums."""
+    B, L = logp.shape
+    NW = L - k + 1
+    cs = jnp.cumsum(logp.astype(jnp.float32), axis=1)
+    zero = jnp.zeros((B, 1), dtype=jnp.float32)
+    cs = jnp.concatenate([zero, cs], axis=1)
+    wsum = cs[:, k:] - cs[:, :-k]  # [B, NW]
+    pos = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    good = (wsum > jnp.float32(log2_min_weight)) & valid
+    return wsum, good
+
+
+def _flatten_keys(canon):
+    B, NW, W = canon.shape
+    return canon.reshape(B * NW, W)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_count"))
+def count_and_score(canon: jax.Array, good: jax.Array, k: int,
+                    min_count: int = 2):
+    """Count good observations per canonical key and return per-window counts
+    (0 below min_count — the weak-map purge semantics,
+    ref: KmerSpectrum::purgeMinDepth + ReadSelector::getValue).
+
+    canon: [B, NW, W] u32 (padding windows = sentinel)
+    good:  [B, NW] bool
+    Returns: counts [B, NW] int32 (count of the window's key, regardless of
+             the window's own goodness),
+             sorted (keys [N, W], seg_counts [N] — run-length layout for
+             spectrum compaction).
+    """
+    B, NW, W = canon.shape
+    N = B * NW
+    keys = _flatten_keys(canon)
+    g = good.reshape(N)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    ops = [keys[:, w] for w in range(W)] + [g.astype(jnp.int32), idx]
+    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(sorted_ops[:W], axis=-1)
+    sgood = sorted_ops[W]
+    sidx = sorted_ops[W + 1]
+    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    seg_counts = jax.ops.segment_sum(sgood, seg, num_segments=N)
+    cnt_sorted = seg_counts[seg]
+    counts = jnp.zeros(N, dtype=jnp.int32).at[sidx].set(cnt_sorted)
+    counts = jnp.where(counts >= min_count, counts, 0)
+    # zero out sentinel windows
+    is_sent = jnp.ones(N, dtype=jnp.bool_)
+    flat = keys
+    for w in range(W):
+        is_sent = is_sent & (flat[:, w] == SENTINEL)
+    counts = jnp.where(is_sent, 0, counts)
+    return counts.reshape(B, NW), (skeys, boundary, seg, seg_counts)
+
+
+@jax.jit
+def compact_spectrum(skeys: jax.Array, boundary: jax.Array, seg: jax.Array,
+                     seg_counts: jax.Array):
+    """Run-length-encoded sorted keys -> sorted unique table of the same
+    (fixed) size, unique rows leading, sentinel padding trailing."""
+    N, W = skeys.shape
+    keep = boundary & ~_is_sentinel_rows(skeys) & (seg_counts[seg] > 0)
+    out_keys = jnp.where(keep[:, None], skeys, SENTINEL)
+    out_counts = jnp.where(keep, seg_counts[seg], 0)
+    ops = [out_keys[:, w] for w in range(W)] + [out_counts]
+    s = jax.lax.sort(ops, num_keys=W)
+    n_unique = jnp.sum(keep)
+    return jnp.stack(s[:W], axis=-1), s[W], n_unique
+
+
+def _is_sentinel_rows(keys):
+    s = jnp.ones(keys.shape[0], dtype=jnp.bool_)
+    for w in range(keys.shape[1]):
+        s = s & (keys[:, w] == SENTINEL)
+    return s
+
+
+@jax.jit
+def merge_tables(keys_a, counts_a, keys_b, counts_b):
+    """Merge two fixed-capacity sorted spectrum tables (streaming builds).
+    Output capacity = len(a) + len(b), caller may re-compact."""
+    keys = jnp.concatenate([keys_a, keys_b])
+    counts = jnp.concatenate([counts_a, counts_b])
+    W = keys.shape[1]
+    ops = [keys[:, w] for w in range(W)] + [counts]
+    s = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(s[:W], axis=-1)
+    scounts = s[W]
+    N = keys.shape[0]
+    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    seg_counts = jax.ops.segment_sum(scounts, seg, num_segments=N)
+    out_keys = jnp.where(boundary[:, None], skeys, SENTINEL)
+    out_counts = jnp.where(boundary, seg_counts[seg], 0)
+    # re-sort so unique rows lead and sentinels trail
+    ops2 = [out_keys[:, w] for w in range(W)] + [out_counts]
+    s2 = jax.lax.sort(ops2, num_keys=W)
+    return jnp.stack(s2[:W], axis=-1), s2[W]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_count", "log2_min_weight"))
+def spectrum_step(codes: jax.Array, logp: jax.Array, lengths: jax.Array,
+                  k: int, min_count: int = 2, log2_min_weight: float = -3.3219281):
+    """The flagship fused step: codes/quals -> per-window spectrum counts.
+
+    This is what `__graft_entry__.entry()` compiles: one batch in, canonical
+    extraction + weighting + counting + score lookup out.
+    """
+    canon, is_fwd, valid = extract_canonical(codes, lengths, k)
+    wsum, good = window_good(logp, lengths, k, log2_min_weight)
+    counts, sorted_state = count_and_score(canon, good, k, min_count)
+    return counts, canon, good
+
+
+# --------------------------------------------------------------------------
+# table lookup (sort-merge join) for cross-batch scoring
+# --------------------------------------------------------------------------
+
+@jax.jit
+def lookup_join(table_keys: jax.Array, table_counts: jax.Array,
+                query_keys: jax.Array):
+    """counts per query key via sort-merge join (0 for absent).
+
+    table_keys: [M, W] sorted unique (sentinel padded); query_keys: [Q, W].
+    """
+    M, W = table_keys.shape
+    Q = query_keys.shape[0]
+    keys = jnp.concatenate([table_keys, query_keys])
+    is_q = jnp.concatenate([jnp.zeros(M, jnp.int32), jnp.ones(Q, jnp.int32)])
+    payload = jnp.concatenate([table_counts, jnp.zeros(Q, jnp.int32)])
+    qidx = jnp.concatenate([jnp.zeros(M, jnp.int32), jnp.arange(Q, dtype=jnp.int32)])
+    ops = [keys[:, w] for w in range(W)] + [is_q, payload, qidx]
+    s = jax.lax.sort(ops, num_keys=W + 1)  # table rows before queries per key
+    skeys = jnp.stack(s[:W], axis=-1)
+    s_isq, s_payload, s_qidx = s[W], s[W + 1], s[W + 2]
+    N = M + Q
+    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    # per key-run the (unique) table row carries the count; queries carry 0
+    table_val = jnp.where(s_isq == 0, s_payload, 0)
+    seg_val = jax.ops.segment_max(table_val, seg, num_segments=N)
+    filled = seg_val[seg]
+    out = jnp.zeros(Q, dtype=jnp.int32)
+    out = out.at[jnp.where(s_isq == 1, s_qidx, 0)].add(
+        jnp.where(s_isq == 1, filled, 0))
+    return out

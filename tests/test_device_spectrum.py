@@ -1,0 +1,92 @@
+"""Device (jit) spectrum pipeline agrees with the exact host pipeline."""
+import numpy as np
+import pytest
+
+from kmernator_tpu.io.reads import load_reads, BASE_CODE
+from kmernator_tpu.ops.kmer import extract_kmers_flat
+from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
+from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_u64
+
+REF = "/root/reference/test"
+K = 31
+
+
+@pytest.fixture(scope="module")
+def rs():
+    r = load_reads([REF + "/1000.fastq"])
+    r.identify_pairs()
+    return r
+
+
+def host_counts(rs, k, min_count=2):
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
+    canon, is_fwd, read_id, pos = extract_kmers_flat(codes, rs.offsets, k)
+    keys = pack_u64(canon)
+    p = rs.base_probabilities(3, 33)
+    w = window_weights(p, rs.offsets, markup, k)
+    good = good_kmer_mask(w, 0.10)
+    sp = KmerSpectrum.from_observations(k, keys, good)
+    sp.purge_min_depth(min_count)
+    return sp.lookup_counts(keys), good, sp
+
+
+def test_device_matches_host(rs):
+    import jax.numpy as jnp
+    from kmernator_tpu.parallel.device_spectrum import (
+        pack_readset, extract_canonical, window_good, count_and_score)
+
+    L = rs.max_length()
+    codes, logp, lengths = pack_readset(rs, L, 3, 33)
+    canon, is_fwd, valid = extract_canonical(jnp.asarray(codes),
+                                             jnp.asarray(lengths), K)
+    wsum, good_dev = window_good(jnp.asarray(logp), jnp.asarray(lengths), K,
+                                 float(np.log2(0.10)))
+    counts_dev, sorted_state = count_and_score(canon, good_dev, K, 2)
+
+    want_counts, good_host, sp = host_counts(rs, K)
+
+    # compare per-window (ragged host vs padded device)
+    lens = rs.lengths()
+    nw = np.maximum(lens - K + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)])
+    cd = np.asarray(counts_dev)
+    gd = np.asarray(good_dev)
+    mism_good = 0
+    mism_cnt = 0
+    for i in range(rs.n):
+        n = int(nw[i])
+        if rs.discarded[i]:
+            continue
+        hg = good_host[woff[i]:woff[i] + n] & ~rs.discarded[i]
+        mism_good += int((gd[i, :n] != hg).sum())
+        mism_cnt += int((cd[i, :n] != want_counts[woff[i]:woff[i] + n]).sum())
+    assert mism_good == 0, "log-space good mask diverged on real data"
+    assert mism_cnt == 0
+
+    # spectrum compaction matches host unique counts
+    from kmernator_tpu.parallel.device_spectrum import compact_spectrum
+    tk, tc, nu = compact_spectrum(*sorted_state)
+    assert int(nu) == sp.raw_good_kmers * 0 + len(host_counts(rs, K, 1)[2].keys)
+
+
+def test_lookup_join(rs):
+    import jax.numpy as jnp
+    from kmernator_tpu.parallel.device_spectrum import lookup_join
+
+    rng = np.random.default_rng(0)
+    M, Q, W = 1000, 500, 2
+    tkeys = np.unique(rng.integers(0, 2**32 - 2, (M, W)).astype(np.uint32), axis=0)
+    M = len(tkeys)
+    tcounts = rng.integers(1, 100, M).astype(np.int32)
+    # half the queries hit, half miss
+    qsel = rng.integers(0, M, Q // 2)
+    qkeys = np.concatenate([tkeys[qsel],
+                            rng.integers(0, 2**32 - 2, (Q - Q // 2, W)).astype(np.uint32)])
+    got = np.asarray(lookup_join(jnp.asarray(tkeys), jnp.asarray(tcounts),
+                                 jnp.asarray(qkeys)))
+    # host oracle
+    lut = {tuple(k): c for k, c in zip(map(tuple, tkeys), tcounts)}
+    want = np.array([lut.get(tuple(q), 0) for q in qkeys], np.int32)
+    assert np.array_equal(got, want)
