@@ -1,0 +1,160 @@
+"""Multi-chip sharded k-mer spectrum over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's MPI layer: the hash-sharded
+distributed k-mer table (ref: src/DistributedFunctions.h:102-747) becomes a
+per-device table shard addressed by a hash of the canonical key, and the
+MPIAllToAllMessageBuffer transport (ref: src/MPIBuffer.h:412-1074) becomes
+`jax.lax.all_to_all` inside a `shard_map`:
+
+  reads are data-parallel over the 'd' mesh axis
+  each device extracts canonical kmers from its shard of reads
+  kmers are bucketed by owner = hash(key) % D and exchanged (all_to_all)
+  each owner counts its received kmers (sort + segment-sum)
+  counts ride the reverse all_to_all back to the source windows
+
+This mirrors the reference's routing exactly (hash bits -> owner rank,
+ref: src/Kmer.h:2284-2298) but with XLA collectives over ICI instead of
+MPI_Alltoallv, and with fixed-capacity padded buckets instead of dynamic
+message buffers (the reference pads its TransmitBuffer per-rank too;
+ref: src/MPIBuffer.h:509-600).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.6 style
+    shard_map = jax.shard_map
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from kmernator_tpu.ops.kmer import nwords
+from kmernator_tpu.parallel.device_spectrum import (SENTINEL, extract_canonical,
+                                                    window_good)
+
+
+def make_mesh(n_devices: int = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def owner_hash(keys: jax.Array) -> jax.Array:
+    """Cheap avalanche mix over the key words -> u32 (murmur3-style
+    finalizer).  Plays the role of the reference's lookup3 high-bit rank
+    partition (ref: src/Kmer.h:183-268); outputs are decomposition-
+    invariant so the hash need not match the reference's."""
+    W = keys.shape[-1]
+    h = jnp.uint32(0x9E3779B9)
+    for w in range(W):
+        h = h ^ keys[..., w]
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> jnp.uint32(13))
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
+def _bucket_scatter(keys, good, owner, D: int, C: int):
+    """Scatter local windows into a [D, C] padded send buffer.
+
+    Returns (send_keys [D, C, W], send_good [D, C], win_slot [N] int32 — the
+    flat slot each window landed in, or -1 if dropped on bucket overflow).
+    """
+    N, W = keys.shape
+    idx = jnp.arange(N, dtype=jnp.int32)
+    sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
+    # rank within each owner run (sorted): i - first_index_of(owner[i])
+    first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
+    pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
+    ok = pos_in_run < C
+    slot = sowner * C + pos_in_run
+    # extra dummy slot absorbs overflow writes
+    send_keys = jnp.full((D * C + 1, W), SENTINEL, dtype=jnp.uint32)
+    send_good = jnp.zeros(D * C + 1, dtype=jnp.int32)
+    tgt = jnp.where(ok, slot, D * C)
+    send_keys = send_keys.at[tgt].set(jnp.where(ok[:, None], keys[sidx], SENTINEL))
+    send_good = send_good.at[tgt].max(jnp.where(ok, good[sidx].astype(jnp.int32), 0))
+    win_slot = jnp.full(N, -1, dtype=jnp.int32)
+    win_slot = win_slot.at[sidx].set(jnp.where(ok, slot, -1))
+    return (send_keys[:D * C].reshape(D, C, W),
+            send_good[:D * C].reshape(D, C), win_slot)
+
+
+def _count_received(keys2d, good2d, min_count: int):
+    """Count good observations per key over the received [DC] entries.
+    Returns (count per received entry, run-length shard table)."""
+    DC, W = keys2d.shape
+    idx = jnp.arange(DC, dtype=jnp.int32)
+    ops = [keys2d[:, w] for w in range(W)] + [good2d, idx]
+    s = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(s[:W], axis=-1)
+    sgood, sidx = s[W], s[W + 1]
+    neq = jnp.zeros(DC - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    seg_counts = jax.ops.segment_sum(sgood, seg, num_segments=DC)
+    cnt = seg_counts[seg]
+    cnt = jnp.where(cnt >= min_count, cnt, 0)
+    out = jnp.zeros(DC, dtype=jnp.int32).at[sidx].set(cnt)
+    sent = jnp.ones(DC, dtype=jnp.bool_)
+    for w in range(W):
+        sent = sent & (keys2d[:, w] == SENTINEL)
+    out = jnp.where(sent, 0, out)
+    shard_keys = jnp.where(boundary[:, None] & ~sent[sidx][:, None] &
+                           (seg_counts[seg] > 0)[:, None], skeys, SENTINEL)
+    shard_counts = jnp.where(boundary, seg_counts[seg], 0)
+    return out, shard_keys, shard_counts
+
+
+def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
+                            min_count: int = 2,
+                            log2_min_weight: float = float(np.log2(0.10))):
+    """Build the jitted multi-chip spectrum step over `mesh`.
+
+    Input (sharded over 'd' on the batch axis):
+      codes [B, L] uint8, logp [B, L] f32, lengths [B] i32
+    Output:
+      counts [B, NW] int32 — per-window spectrum counts (weak-map purged),
+      shard_keys [B-shards..] / shard_counts — per-device table shards.
+    """
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def step(codes, logp, lengths):
+        canon, is_fwd, valid = extract_canonical(codes, lengths, k)
+        wsum, good = window_good(logp, lengths, k, log2_min_weight)
+        B, NW, W = canon.shape
+        N = B * NW
+        keys = canon.reshape(N, W)
+        g = good.reshape(N) & valid.reshape(N)
+        owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        C = int(np.ceil(N / D * capacity_factor))
+        send_keys, send_good, win_slot = _bucket_scatter(keys, g, owner, D, C)
+        recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
+                                       concat_axis=0)
+        recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
+                                       concat_axis=0)
+        cnt_recv, shard_keys, shard_counts = _count_received(
+            recv_keys.reshape(D * C, W), recv_good.reshape(D * C), min_count)
+        cnt_back = jax.lax.all_to_all(cnt_recv.reshape(D, C), axis,
+                                      split_axis=0, concat_axis=0)
+        flat_back = cnt_back.reshape(D * C)
+        counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
+        counts = jnp.where(valid.reshape(N), counts, 0)
+        return counts.reshape(B, NW), shard_keys, shard_counts
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis, None), P(axis)))
+    return jax.jit(smapped)
