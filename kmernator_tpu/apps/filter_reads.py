@@ -88,24 +88,13 @@ def first_markup_nor_x(rs: ReadSet) -> np.ndarray:
     return out
 
 
-def select_and_write(rs: ReadSet, trims: ReadTrims, opts, kopts, sopts, ropts,
-                     input_files: List[str]) -> Dict[str, bytes]:
-    """selectReads + writePicks (ref: apps/FilterReads.h:158-282,
-    src/ReadSelector.h:1242-1262).  Returns {output_path: bytes}."""
-    out_name = opts.output_file
-    min_depth = sopts.min_depth if kopts.kmer_size > 0 else 0
-    suffix = ""
-    if ropts.separate_outputs:
-        if kopts.kmer_size > 0:
-            out_name += "-MinDepth%d" % min_depth
-        suffix = ".fastq" if opts.format_output in (0, 2) else ".fasta"
-
-    picks = pick_all_passing(rs, trims, float(min_depth), ropts.min_read_length,
-                             ropts.min_passing_in_pair == 2)
-
-    outputs: Dict[str, List[bytes]] = {}
+def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
+                 suffix: str, opts, ropts, input_files,
+                 outputs: Dict[str, List[bytes]]):
     phred = rs.phred()
     for i in picks:
+        if i < 0 or i >= rs.n:
+            continue
         key = ""
         if ropts.separate_outputs:
             key = "-" + file_prefix(input_files[rs.file_idx[i]])
@@ -119,6 +108,222 @@ def select_and_write(rs: ReadSet, trims: ReadTrims, opts, kopts, sopts, ropts,
             bool(rs.discarded[i]), bool(rs.has_quals[i]),
             comment_stored=opts.keep_read_comment)
         outputs.setdefault(path, []).append(rec)
+
+
+def _pick_coverage_normalized(rs: ReadSet, trims: ReadTrims, target_depth: int,
+                              min_score: float, min_length: float,
+                              by_pair: bool, both_pass: bool,
+                              use_logscale: bool, rng) -> List[int]:
+    """RANDOM normalization (ref: pickCoverageNormalizedSubset,
+    src/ReadSelector.h:661-749).  The reference uses thread-local rand();
+    we use a seeded numpy generator (documented deviation — its own test
+    suite does not golden this path either)."""
+    from kmernator_tpu.ops.trim import is_passing
+    picks: List[int] = []
+
+    def choose(score: int) -> bool:
+        if score <= target_depth:
+            return True
+        choice = int(rng.integers(0, score))
+        if use_logscale:
+            return choice <= target_depth * np.log(float(score) / float(target_depth))
+        return choice <= target_depth
+
+    def pick_if_new(i):
+        if 0 <= i < rs.n and trims.available[i]:
+            picks.append(i)
+            trims.available[i] = False
+
+    for (r1, r2) in rs.pairs:
+        p1 = is_passing(rs, trims, r1, min_score, min_length)
+        p2 = is_passing(rs, trims, r2, min_score, min_length)
+        s1 = int(trims.score[r1]) if p1 else -1
+        s2 = int(trims.score[r2]) if p2 else -1
+        if by_pair:
+            v1, v2 = 0 <= r1 < rs.n, 0 <= r2 < rs.n
+            ok = (p1 and p2) if (v1 and v2 and both_pass) else (p1 or p2)
+            if not ok:
+                continue
+            if both_pass and (s1 <= 0 or s2 <= 0):
+                continue
+            if s1 <= 0 and s2 <= 0:
+                continue
+            if choose(max(s1, s2)):
+                pick_if_new(r1)
+                pick_if_new(r2)
+        else:
+            if s1 > 0 and choose(s1):
+                pick_if_new(r1)
+            if s2 > 0 and choose(s2):
+                pick_if_new(r2)
+    picks.sort()
+    return picks
+
+
+def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
+                        max_depth: int, min_score: float, min_length: float,
+                        both_pass: bool) -> List[int]:
+    """OPTIMAL normalization: greedy best-covering-subset with per-kmer
+    picked-depth bookkeeping (ref: pickBestCoveringSubsetPairs/Reads,
+    src/ReadSelector.h:751-922), simplified to a single-threaded heap."""
+    import heapq
+    from kmernator_tpu.ops.trim import is_passing
+    from kmernator_tpu.parallel.spectrum import pack_u64
+    from kmernator_tpu.ops.kmer import extract_kmers_flat
+
+    codes_raw = BASE_CODE[rs.seq]
+    codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
+    picked_depth: Dict[int, int] = {}
+    dup_set = set()
+
+    def trimmed_kmers(i):
+        off, ln = int(trims.offset[i]), int(trims.length[i])
+        if ln < k:
+            return np.zeros(0, np.uint64)
+        s = rs.offsets[i]
+        sub = codes[s + off:s + off + ln]
+        canon, _, _, _ = extract_kmers_flat(sub, np.array([0, ln]), k)
+        return pack_u64(canon)
+
+    def rescore(i):
+        """Returns (score, blocked); blocked if any kmer at max depth."""
+        ks = trimmed_kmers(i)
+        counts = spectrum.lookup_counts(ks)
+        score = 0.0
+        for key, c in zip(ks.tolist(), counts.tolist()):
+            if c <= 0:
+                continue
+            pd = picked_depth.get(key, 0)
+            if pd >= max_depth:
+                return -1.0, True
+            score += c * (max_depth - pd)
+        return score, False
+
+    def account(i):
+        for key in trimmed_kmers(i).tolist():
+            picked_depth[key] = picked_depth.get(key, 0) + 1
+
+    picks: List[int] = []
+    by_pair = rs.has_pairs()
+    heap = []
+    if by_pair:
+        items = [(r1, r2) for (r1, r2) in rs.pairs]
+    else:
+        items = [(i, -1) for i in range(rs.n)]
+    for (r1, r2) in items:
+        score = 0.0
+        ln = 0.0
+        ok = False
+        for r in (r1, r2):
+            if 0 <= r < rs.n and is_passing(rs, trims, r, min_score, min_length):
+                sc, blocked = rescore(r)
+                if not blocked:
+                    score += sc
+                    ln += float(trims.length[r])
+                    ok = True
+        if ok and ln > 0:
+            heapq.heappush(heap, (-(score / ln), r1, r2))
+    while heap:
+        negs, r1, r2 = heapq.heappop(heap)
+        score = 0.0
+        ln = 0.0
+        blocked_any = False
+        for r in (r1, r2):
+            if 0 <= r < rs.n and trims.available[r]:
+                sc, blocked = rescore(r)
+                blocked_any |= blocked
+                score += max(sc, 0.0)
+                ln += float(trims.length[r])
+        if ln <= 0 or blocked_any or score <= min_score:
+            continue
+        new_key = -(score / ln)
+        if new_key > negs * 1.0001 + 1e-12:  # score dropped: re-heap
+            heapq.heappush(heap, (new_key, r1, r2))
+            continue
+        # pick (with duplicate-fragment suppression, ref: _addDup)
+        recs = []
+        for r in (r1, r2):
+            if 0 <= r < rs.n and trims.available[r]:
+                key = rs.get_seq(r)[int(trims.offset[r]):
+                                    int(trims.offset[r]) + int(trims.length[r])]
+                recs.append((r, key))
+        if any(key in dup_set for _, key in recs):
+            continue
+        for r, key in recs:
+            dup_set.add(key)
+            trims.available[r] = False
+            picks.append(r)
+            account(r)
+    picks.sort()
+    return picks
+
+
+def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
+                 ropts, input_files: List[str]) -> Dict[str, bytes]:
+    """Full selectReads flow (ref: apps/FilterReads.h:158-282): max-kmer-depth
+    normalization, partition-by-depth, remainder-trim, or plain all-passing
+    selection.  Returns {output_path: bytes}."""
+    out_name = opts.output_file
+    k = kopts.kmer_size
+    min_depth = sopts.min_depth if k > 0 else 0
+    suffix = ""
+    if ropts.separate_outputs:
+        if k > 0:
+            out_name += "-MinDepth%d" % min_depth
+        suffix = ".fastq" if opts.format_output in (0, 2) else ".fasta"
+
+    outputs: Dict[str, List[bytes]] = {}
+    max_kmer_depth = ropts.max_kmer_output_depth
+
+    if max_kmer_depth > 0:
+        if ropts.separate_outputs:
+            out_name += "-MaxDepth%d" % max_kmer_depth
+        if ropts.normalization_method == "RANDOM":
+            rng = np.random.default_rng(42)
+            picks = _pick_coverage_normalized(
+                rs, trims, max_kmer_depth, float(min_depth),
+                ropts.min_read_length, rs.has_pairs(),
+                ropts.min_passing_in_pair == 2, ropts.use_logscale_above_max, rng)
+        else:  # OPTIMAL
+            picks = _pick_best_covering(
+                rs, trims, spectrum, k, max_kmer_depth, float(min_depth),
+                ropts.min_read_length, ropts.min_passing_in_pair == 2)
+        _write_picks(rs, trims, picks, out_name, suffix, opts, ropts,
+                     input_files, outputs)
+    else:
+        partition_depth = ropts.partition_by_depth
+        is_partitioned = partition_depth > 0
+        max_depth = partition_depth if is_partitioned else min_depth
+        min_read_length = ropts.min_read_length
+        min_passing = ropts.min_passing_in_pair
+        has_remainder = False
+        depth = max_depth
+        while depth >= min_depth:
+            tmp_min = max(min_depth, depth)
+            if k == 0:
+                tmp_min = 0
+                depth = 0
+            ofname = out_name
+            if has_remainder and ropts.separate_outputs:
+                ofname += "-Remainder"
+            elif is_partitioned and tmp_min > 0 and ropts.separate_outputs:
+                ofname += "-PartitionDepth%d" % tmp_min
+            picks = pick_all_passing(rs, trims, float(tmp_min),
+                                     min_read_length, min_passing == 2)
+            _write_picks(rs, trims, picks, ofname, suffix, opts, ropts,
+                         input_files, outputs)
+            if depth == min_depth or depth == 0:
+                if (not has_remainder and is_partitioned
+                        and ropts.remainder_trim >= 0.0
+                        and (min_passing != 1
+                             or int(min_read_length) != ropts.remainder_trim)):
+                    min_passing = 1
+                    min_read_length = ropts.remainder_trim
+                    has_remainder = True
+                    depth *= 2
+                else:
+                    break
+            depth //= 2
     return {path: b"".join(recs) for path, recs in outputs.items()}
 
 
@@ -147,6 +352,7 @@ def run(argv: List[str]) -> int:
     Log.verbose(1, "loaded %d reads" % rs.n)
     rs.identify_pairs()
 
+    filt = None
     if not aopts.skip_artifact_filter:
         filt = ArtifactFilter(
             match_length=aopts.artifact_match_length,
@@ -160,7 +366,19 @@ def run(argv: List[str]) -> int:
         out = apply_artifact_filter(rs, filt)
         Log.verbose(1, "filter affected (trimmed/removed) %d reads" % out.affected)
 
+    if dopts.dedup_mode > 0 and dopts.dedup_edit_distance != -1:
+        from kmernator_tpu.ops.dedup import filter_duplicate_fragments
+        dups = filter_duplicate_fragments(
+            rs, dedup_length=dopts.dedup_length, mode=dopts.dedup_mode,
+            consensus=dopts.dedup_consensus, dedup_single=dopts.dedup_single,
+            start_offset=dopts.dedup_start_offset,
+            min_quality=opts.min_quality_score,
+            output_base=opts.fastq_output_base_quality,
+            artifact_filter=filt)
+        Log.verbose(1, "filter removed duplicate fragment pair reads: %d" % dups)
+
     k = kopts.kmer_size
+    spectrum = None
     if k > 0:
         if sopts.load_kmer_mmap:
             spectrum = KmerSpectrum.load(sopts.load_kmer_mmap)
@@ -168,6 +386,15 @@ def run(argv: List[str]) -> int:
             spectrum = build_spectrum(rs, k, opts.min_quality_score,
                                       opts.fastq_output_base_quality,
                                       sopts.min_kmer_quality)
+            if fopts.histogram_file:
+                with open(fopts.histogram_file, "w") as f:
+                    f.write(spectrum.histogram_table())
+            if fopts.size_history_file:
+                with open(fopts.size_history_file, "w") as f:
+                    f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
+                    f.write("%d\t%d\t%d\t%d\n" % (
+                        spectrum.raw_kmers, spectrum.raw_good_kmers,
+                        spectrum.n_unique, spectrum.singleton_count()))
             # weak-map visibility: singletons are never consulted by the
             # selector (ref: FilterReads.cpp:196 binds spectrum.weak)
             spectrum.purge_min_depth(max(sopts.min_depth, 2))
@@ -184,8 +411,8 @@ def run(argv: List[str]) -> int:
         trims = _trim_by_markup(rs)
 
     if opts.output_file:
-        outputs = select_and_write(rs, trims, opts, kopts, sopts, ropts,
-                                   opts.input_file)
+        outputs = select_reads(rs, trims, spectrum, opts, kopts, sopts, ropts,
+                               opts.input_file)
         for path, data in outputs.items():
             with open(path, "wb") as f:
                 f.write(data)

@@ -144,15 +144,18 @@ class FilterArtifactOptions:
 
 @dataclass
 class DuplicateFilterOptions:
-    """ref: src/DuplicateFragmentFilter.h:60-130."""
-    dedup_mode: int = 1
+    """ref: src/DuplicateFragmentFilter.h:58-150."""
+    dedup_mode: int = 0
     dedup_single: bool = False
-    dedup_edit_distance: int = -1   # -1 disables (reference default)
-    dedup_length: int = 16
+    dedup_consensus: bool = True
+    dedup_edit_distance: int = 0
+    dedup_start_offset: int = 0
+    dedup_length: int = 24
 
     FLAGS = {
-        "dedup-mode": int, "dedup-single": _bool,
-        "dedup-edit-distance": int, "dedup-length": int,
+        "dedup-mode": int, "dedup-single": _bool, "dedup-consensus": _bool,
+        "dedup-edit-distance": int, "dedup-start-offset": int,
+        "dedup-length": int,
     }
 
 
