@@ -454,13 +454,14 @@ def find_next_record(data: bytes, pos: int, by_pair: bool = True) -> int:
                 name_line = data[j + 1:e1]
                 nm, cm, _ = _split_name_line(name_line, True)
                 if read_num(nm, cm) == 2:
-                    # skip one record forward so the pair stays whole upstream
-                    e3 = data.find(b"\n", e2 + 1)
-                    if e3 < 0:
+                    # skip the whole /2 record so the pair stays upstream
+                    e3 = data.find(b"\n", e2 + 1)   # end of '+' line
+                    e4 = data.find(b"\n", e3 + 1) if e3 >= 0 else -1  # end of quals
+                    if e4 < 0:
                         return len(data)
                     prev = _prev_record_name(data, j)
                     if prev is not None and ReadSet._is_pair(prev[0], prev[1], nm, cm):
-                        return e3 + 1
+                        return e4 + 1
                 return j
         i = data.find(b"\n", j)
     return len(data)

@@ -1,0 +1,82 @@
+"""Smoke + invariant tests for the smaller applications."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REF = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+
+
+def run_app(mod, args):
+    return subprocess.run([sys.executable, "-m", "kmernator_tpu.apps." + mod] + args,
+                          check=True, env=ENV, capture_output=True)
+
+
+def test_fastq2fasta(tmp_path):
+    out = str(tmp_path / "o")
+    run_app("fastq2fasta", ["--out", out, REF + "/1000.fastq"])
+    lines = open(out + "-1000.fasta", "rb").read().splitlines()
+    assert len(lines) == 2000
+    assert lines[0] == b">1089:8:1:10382:1094/1"
+    # unmasked fasta of first read
+    orig = open(REF + "/1000.fastq", "rb").read().splitlines()
+    assert lines[1] == orig[1]
+
+
+def test_fastq2fasta_split_pairs(tmp_path):
+    out = str(tmp_path / "o")
+    run_app("fastq2fasta", ["--split-pairs", "1", "--out", out, REF + "/1000.fastq"])
+    l1 = open(out + "-1000-1.fasta", "rb").read().splitlines()
+    l2 = open(out + "-1000-2.fasta", "rb").read().splitlines()
+    assert len(l1) == len(l2) == 1000
+    assert all(x.endswith(b"/1") for x in l1[0::2])
+    assert all(x.endswith(b"/2") for x in l2[0::2])
+
+
+def test_randomly_sample_counts(tmp_path):
+    out = str(tmp_path / "s.fastq")
+    run_app("randomly_sample", ["--num-samples", "7", "--out", out,
+                                REF + "/1000.fastq"])
+    recs = open(out, "rb").read().splitlines()
+    assert len(recs) == 7 * 2 * 4  # 7 pairs = 14 reads
+    run_app("randomly_sample", ["--num-samples", "9", "--by-pair", "0",
+                                "--out", out, REF + "/1000.fastq"])
+    recs = open(out, "rb").read().splitlines()
+    assert len(recs) == 9 * 4
+
+
+def test_compare_spectrums_self():
+    r = run_app("compare_spectrums",
+                ["21", REF + "/10.fasta", REF + "/10.fasta"])
+    last = r.stdout.decode().strip().splitlines()[-1].split("\t")
+    assert last[0] == last[1] == last[2]   # all kmers common
+    assert float(last[3]) == 100.0
+
+
+def test_tnf_distance_vectors():
+    r = run_app("tnf_distance", [REF + "/5.fa"])
+    lines = r.stdout.decode().strip().splitlines()
+    assert lines[0].startswith("Label\tCount\tLength\tAAAA")
+    assert len(lines) == 6  # header + 5 seqs
+    # 136 canonical tetramers
+    assert len(lines[0].split("\t")) == 3 + 136
+
+
+def test_tnf_inter_distance(tmp_path):
+    inter = str(tmp_path / "inter.txt")
+    run_app("tnf_distance", ["--inter-distance-file", inter, REF + "/5.fa"])
+    rows = open(inter).read().strip().splitlines()
+    assert len(rows) == 5
+    assert len(rows[4].split("\t")) == 5  # name + 4 distances (LT)
+
+
+def test_estimate_size():
+    r = run_app("estimate_size",
+                ["--kmer-subsample", "1", "--max-sample-fraction", "0.9",
+                 "--sample-partitions", "30", "21", REF + "/1000.fastq"])
+    vals = dict(line.split("\t") for line in r.stdout.decode().strip().splitlines())
+    gs = int(vals["estimatedGenomeSize"])
+    assert 3000 < gs < 8000  # phiX is 5386; reads cover most of it
