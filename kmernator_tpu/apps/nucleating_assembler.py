@@ -1,0 +1,172 @@
+"""DistributedNucleatingAssembler: iterative targeted seed assembly.
+
+Re-implements apps/DistributedNucleatingAssembler.cpp:339-547: load reads
+(artifact-filtered), build the k-mer read matcher, then iterate: match reads
+to each contig's edges, pool them, greedily extend each contig with the
+k-mer extender at ascending k, retire contigs that stopped growing or
+exceeded --max-contig-length, and checkpoint contig FASTAs every iteration.
+
+This is the single-process driver; the matcher/extender cores are the same
+modules the mesh path shards.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from kmernator_tpu.io.reads import ReadSet, load_reads, format_read
+from kmernator_tpu.ops.artifact import ArtifactFilter, apply_artifact_filter
+from kmernator_tpu.ops.extend import (ExtendParams, extend_contigs,
+                                      get_min_max_kmer_size, new_contig_name)
+from kmernator_tpu.ops.match import KmerReadIndex, match_pools
+from kmernator_tpu.utils.logging import Log
+from kmernator_tpu.utils.options import (GeneralOptions, KmerBaseOptions,
+                                         KmerSpectrumOptions,
+                                         FilterArtifactOptions, compose)
+
+
+class _AsmOptions:
+    FLAGS = {"contig-file": str, "max-iterations": int,
+             "max-contig-length": int, "max-contigs-per-batch": int,
+             "minimum-consensus": float, "minimum-coverage": float,
+             "maximum-delta-ratio": float,
+             "match-max-positions-from-edge": int, "max-read-matches": int}
+
+    def __init__(self):
+        self.contig_file = ""
+        self.max_iterations = 1000
+        self.max_contig_length = 3000
+        self.max_contigs_per_batch = 25
+        self.minimum_consensus = 85.0
+        self.minimum_coverage = 4.8
+        self.maximum_delta_ratio = 0.33
+        self.match_max_positions_from_edge = 500
+        self.max_read_matches = 10000
+
+
+def _subset(rs: ReadSet, indices) -> ReadSet:
+    out = ReadSet()
+    out.input_qual_base = rs.input_qual_base
+    for i in indices:
+        out.append_read(rs.names[i], rs.comments[i], rs.get_seq(i),
+                        rs.get_phred(i) if rs.has_quals[i] else None)
+        out.discarded[-1] = rs.discarded[i]
+    return out
+
+
+def write_fasta(rs: ReadSet, path: str):
+    with open(path, "wb") as f:
+        for i in range(rs.n):
+            f.write(b">" + rs.names[i] + b"\n" + rs.get_seq(i) + b"\n")
+
+
+def run(argv: List[str]) -> int:
+    opts = GeneralOptions()
+    kopts = KmerBaseOptions()
+    sopts = KmerSpectrumOptions()
+    aopts = FilterArtifactOptions()
+    asm = _AsmOptions()
+    argv = ["--output-file" if a == "--out" else a for a in argv]
+    compose([opts, kopts, sopts, aopts, asm], argv,
+            positional=["kmer-size", "input-file"])
+    Log.verbose_level = opts.verbose
+    if not asm.contig_file:
+        Log.error("you must specify the --contig-file")
+        return 1
+    if kopts.kmer_size == 0:
+        Log.error("kmer-size required (Vmatch backend not supported)")
+        return 1
+
+    rs = load_reads(opts.input_file, opts.fastq_base_quality,
+                    opts.fastq_output_base_quality, opts.keep_read_comment)
+    rs.identify_pairs()
+    if not aopts.skip_artifact_filter:
+        filt = ArtifactFilter(edit_distance=aopts.artifact_edit_distance,
+                              min_quality=opts.min_quality_score)
+        apply_artifact_filter(rs, filt)
+
+    index = KmerReadIndex(rs, kopts.kmer_size, sopts.min_depth,
+                          opts.min_quality_score,
+                          opts.fastq_output_base_quality,
+                          sopts.min_kmer_quality)
+    min_k, max_k, k_step = get_min_max_kmer_size(rs, kopts.kmer_size)
+    max_extend = max_k
+    params = ExtendParams(minimum_consensus=asm.minimum_consensus / 100.0,
+                          minimum_coverage=asm.minimum_coverage,
+                          maximum_delta_ratio=asm.maximum_delta_ratio,
+                          max_extend=max_extend)
+
+    contigs = load_reads([asm.contig_file])
+    final = ReadSet()
+    final.input_qual_base = rs.input_qual_base
+
+    iteration = 0
+    while iteration < asm.max_iterations and contigs.n > 0:
+        iteration += 1
+        Log.verbose(1, "Iteration %d: %d contigs" % (iteration, contigs.n))
+        pools = match_pools(index, contigs, asm.match_max_positions_from_edge,
+                            asm.max_read_matches)
+        changed = ReadSet()
+        changed.input_qual_base = rs.input_qual_base
+        for ci in range(contigs.n):
+            old_len = int(contigs.lengths()[ci])
+            pool_ids = sorted(pools[ci])
+            if len(pool_ids) <= asm.minimum_coverage:
+                final.append_read(contigs.names[ci], b"",
+                                  contigs.get_seq(ci), None)
+                continue
+            pool = _subset(rs, pool_ids)
+            single = _subset(contigs, [ci])
+            new_len = 0
+            my_k = min_k
+            new_contig = None
+            # ascending-k retry (ref: extendContigsWithContigExtender)
+            while new_len <= old_len and my_k <= max_k:
+                new_contig = extend_contigs(single, pool, params, my_k, my_k, 2,
+                                            opts.min_quality_score,
+                                            opts.fastq_output_base_quality,
+                                            sopts.min_kmer_quality)
+                new_len = int(new_contig.lengths()[0])
+                my_k += k_step
+            if new_len > old_len:
+                changed.append_read(new_contig.names[0], b"",
+                                    new_contig.get_seq(0), None)
+            else:
+                final.append_read(contigs.names[ci], b"",
+                                  contigs.get_seq(ci), None)
+        # retire long contigs (ref: finishLongContigs)
+        keep_idx = []
+        for ci in range(changed.n):
+            if changed.lengths()[ci] >= asm.max_contig_length:
+                final.append_read(changed.names[ci], b"",
+                                  changed.get_seq(ci), None)
+            else:
+                keep_idx.append(ci)
+        contigs = _subset(changed, keep_idx)
+        # checkpoint (ref: per-iteration final/changed fasta writes)
+        if opts.output_file:
+            write_fasta(final, opts.output_file)
+            if contigs.n:
+                write_fasta(contigs, opts.output_file + "-inputcontigs-%d.fasta" % iteration)
+
+    for ci in range(contigs.n):
+        final.append_read(contigs.names[ci], b"", contigs.get_seq(ci), None)
+    if opts.output_file:
+        write_fasta(final, opts.output_file)
+    else:
+        for i in range(final.n):
+            sys.stdout.buffer.write(b">" + final.names[i] + b"\n" +
+                                    final.get_seq(i) + b"\n")
+    Log.verbose(1, "Done: %d final contigs" % final.n)
+    return 0
+
+
+def main():
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,16 @@ def pack_u64(canon: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack_keys(canon: np.ndarray) -> np.ndarray:
+    """[N, W] u32 -> sortable scalar keys: u64 for W <= 2, big-endian byte
+    strings ('S4W', lexicographic == word order) for wider kmers."""
+    W = canon.shape[1]
+    if W <= 2:
+        return pack_u64(canon)
+    be = np.ascontiguousarray(canon.astype(">u4"))
+    return be.view("S%d" % (4 * W)).reshape(-1)
+
+
 def unpack_u64(keys: np.ndarray, W: int) -> np.ndarray:
     out = np.zeros((len(keys), W), dtype=np.uint32)
     out[:, 0] = (keys >> np.uint64(32)).astype(np.uint32)

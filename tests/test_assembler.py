@@ -1,0 +1,50 @@
+"""DistributedNucleatingAssembler extension-consistency: seeds from
+test/5.fa extended against the phiX read set must grow and remain exact
+substrings of the (circular) PhiX174 genome."""
+import os
+import subprocess
+import sys
+
+REF = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+
+
+def load_fasta(path):
+    seqs = {}
+    name = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            name = line[1:]
+            seqs[name] = ""
+        else:
+            seqs[name] += line
+    return seqs
+
+
+def test_extension_consistency(tmp_path):
+    out = str(tmp_path / "asm.fa")
+    subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.nucleating_assembler",
+         "--contig-file", REF + "/5.fa", "--out", out,
+         "--max-iterations", "2", "25", REF + "/1000.fastq"],
+        check=True, env=ENV, capture_output=True)
+    contigs = load_fasta(out)
+    assert len(contigs) == 5
+
+    phix = "".join(l.strip() for l in
+                   open(os.path.join(REPO, "kmernator_tpu/data/phix174.fasta"))
+                   if not l.startswith(">"))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(phix))
+    g = phix + phix[:1000]
+    grc = rc + rc[:1000]
+
+    grew = 0
+    for name, seq in contigs.items():
+        assert seq in g or seq in grc, "contig %s diverged from phiX" % name
+        if len(seq) > 76:
+            grew += 1
+            assert "-l" in name and "r" in name.rsplit("-l", 1)[1]
+    assert grew >= 4, "expected most seeds to extend"
