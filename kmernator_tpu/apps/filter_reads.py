@@ -406,7 +406,8 @@ def run(argv: List[str]) -> int:
         Log.verbose(1, "spectrum: %d unique kmers" % spectrum.n_unique)
         counts, w_off = window_count_lookup(rs, spectrum, k)
         trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),
-                               ropts.kmer_scoring_type, first_markup_nor_x(rs))
+                               ropts.kmer_scoring_type, first_markup_nor_x(rs),
+                               ropts.bimodal_sigmas)
     else:
         trims = _trim_by_markup(rs)
 

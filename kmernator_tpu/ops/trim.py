@@ -58,10 +58,47 @@ def _longest_run(passing: np.ndarray) -> Tuple[int, int]:
     return best_off, best_len
 
 
+def _mean_var_count(vals: np.ndarray, poisson: bool = True):
+    """ref: Statistics::MeanStdCount (src/Utils.h:997-1028).  NOTE the
+    reference's 'stdDev' is the sample VARIANCE, floored at sqrt(mean)
+    (bug-compatible)."""
+    n = len(vals)
+    mean = float(vals.sum())
+    var = 0.0
+    if n > 1:
+        mean /= n
+        var = float(((vals - mean) ** 2).sum()) / (n - 1)
+    if poisson and mean > 0.0:
+        var = max(var, float(np.sqrt(mean)))
+    return mean, var, n
+
+
+def find_bimodal_partition(num_sigmas: float, vals: np.ndarray):
+    """ref: Statistics::findBimodalPartition (src/Utils.h:1031-1055).
+    Returns (split_index or None, first_mean, second_mean)."""
+    n = len(vals)
+    best = None
+    best_diff = 0.0
+    fm = sm = 0.0
+    for p in range(1, n):
+        m1, v1, c1 = _mean_var_count(vals[:p])
+        m2, v2, c2 = _mean_var_count(vals[p:])
+        if c1 == 1 and c2 == 1:
+            continue
+        diff = abs(m1 - m2)
+        sd = max(v1, v2)
+        if diff > num_sigmas * sd and diff > best_diff:
+            best_diff = diff
+            best = p
+            fm, sm = m1, m2
+    return best, fm, sm
+
+
 def score_and_trim(rs: ReadSet, window_counts: np.ndarray,
                    window_offsets: np.ndarray, k: int,
                    min_kmer_score: float, scoring_type: str = "MAX",
-                   markup_first: Optional[np.ndarray] = None) -> ReadTrims:
+                   markup_first: Optional[np.ndarray] = None,
+                   bimodal_sigmas: float = -1.0) -> ReadTrims:
     """ref: ReadSelector::scoreAndTrimReads (src/ReadSelector.h:1182-1209).
 
     window_counts:  concatenated per-read per-window spectrum counts
@@ -93,6 +130,21 @@ def score_and_trim(rs: ReadSet, window_counts: np.ndarray,
         b_off, b_len = _longest_run(passing)
         was_trimmed = b_len < num_kmers
 
+        bimodal_label = b""
+        if b_len >= 3 and bimodal_sigmas >= 0.0:
+            # ref: trimReadByMinimumKmerScore bimodal branch (:981-1008)
+            vals = counts[b_off:b_off + b_len].astype(np.float64)
+            p, fm, sm = find_bimodal_partition(bimodal_sigmas, vals)
+            if p is not None:
+                lab = b"Bimodal@%d:%d/%d" % (p + k, int(fm), int(sm))
+                if fm > sm:
+                    b_len -= (b_len - p)
+                    bimodal_label = lab
+                else:
+                    b_len -= p
+                    b_off += p
+                    bimodal_label = b"Inv" + lab
+
         if b_len > 0:
             vals = counts[b_off:b_off + b_len].astype(np.float64)
             if scoring_type == "MEDIAN":
@@ -115,10 +167,12 @@ def score_and_trim(rs: ReadSet, window_counts: np.ndarray,
         else:
             t_off = 0
             sc = -1.0
-        lab = b""
+        lab = bimodal_label
         if was_trimmed:
+            if lab:
+                lab += b" "
             lab += b"Trim:%d+%d" % (t_off, t_len)
-        if was_trimmed:
+        if was_trimmed or lab:
             lab += b" "
         lab += slabel + b":%d" % int(sc + 0.5)
         off[i], tlen[i], score[i] = t_off, t_len, sc
