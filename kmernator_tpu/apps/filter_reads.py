@@ -59,6 +59,51 @@ def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
         k, keys, good, weights=w.astype(np.float32), is_fwd=is_fwd)
 
 
+def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
+                             min_quality: int, output_base: int,
+                             min_kmer_quality: float, n_devices: int):
+    """Multi-chip spectrum counting (the FilterReads-P analogue): exact host
+    weights gate goodness, the mesh all_to_all path does the counting.
+    Returns the same ragged (counts, window_offsets) as the host path."""
+    import jax
+    import jax.numpy as jnp
+    from kmernator_tpu.parallel.mesh import make_mesh, distributed_count_fn
+    from kmernator_tpu.parallel.device_spectrum import pack_readset
+
+    L = max(rs.max_length(), k)
+    codes, logp, lengths = pack_readset(rs, L, min_quality, output_base)
+    B = codes.shape[0]
+    NW = L - k + 1
+    # exact good mask from the host recurrence
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    p = rs.base_probabilities(min_quality, output_base)
+    w = window_weights(p, rs.offsets, markup, k)
+    exact_good = good_kmer_mask(w, min_kmer_quality)
+    lens = rs.lengths()
+    nw = np.maximum(lens - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)])
+    good2d = np.zeros((B, NW), dtype=bool)
+    read_has = np.flatnonzero(nw > 0)
+    for i in read_has:
+        good2d[i, :nw[i]] = exact_good[woff[i]:woff[i + 1]]
+    good2d &= ~rs.discarded[:, None]
+
+    pad = (-B) % n_devices
+    if pad:
+        codes = np.concatenate([codes, np.zeros((pad, L), codes.dtype)])
+        good2d = np.concatenate([good2d, np.zeros((pad, NW), bool)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    mesh = make_mesh(n_devices)
+    fn = distributed_count_fn(mesh, k, min_count=max(min_depth, 2))
+    counts2d = np.asarray(fn(jnp.asarray(codes), jnp.asarray(good2d),
+                             jnp.asarray(lengths)))[:B]
+    counts = np.zeros(int(nw.sum()), dtype=np.int64)
+    for i in read_has:
+        counts[woff[i]:woff[i + 1]] = counts2d[i, :nw[i]]
+    return counts, woff
+
+
 def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int):
     """Per-window spectrum counts for scoring (ref: setKmerValues,
     src/ReadSelector.h:1064-1076)."""
@@ -337,6 +382,17 @@ def run(argv: List[str]) -> int:
     fopts = FilterReadsOptions()
     # FilterReads aliases --out for --output-file (test scripts use --out)
     argv = ["--output-file" if a == "--out" else a for a in argv]
+    mesh_devices = 0
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        mesh_devices = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--jax-platform" in argv:
+        i = argv.index("--jax-platform")
+        platform = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        import jax
+        jax.config.update("jax_platforms", platform)
     compose([opts, kopts, sopts, ropts, aopts, dopts, fopts], argv,
             positional=["kmer-size", "input-file"])
     Log.verbose_level = opts.verbose
@@ -379,7 +435,16 @@ def run(argv: List[str]) -> int:
 
     k = kopts.kmer_size
     spectrum = None
-    if k > 0:
+    if k > 0 and mesh_devices > 0 and not sopts.load_kmer_mmap:
+        # FilterReads-P analogue: counting via the sharded device mesh
+        counts, w_off = window_count_lookup_mesh(
+            rs, k, sopts.min_depth, opts.min_quality_score,
+            opts.fastq_output_base_quality, sopts.min_kmer_quality,
+            mesh_devices)
+        trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),
+                               ropts.kmer_scoring_type, first_markup_nor_x(rs),
+                               ropts.bimodal_sigmas)
+    elif k > 0:
         if sopts.load_kmer_mmap:
             spectrum = KmerSpectrum.load(sopts.load_kmer_mmap)
         else:

@@ -158,3 +158,41 @@ def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
         out_specs=(P(axis, None), P(axis, None), P(axis)))
     return jax.jit(smapped)
+
+
+def distributed_count_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
+                         min_count: int = 2):
+    """Like distributed_spectrum_fn but takes a precomputed per-window good
+    mask (e.g. the bit-exact host weight recurrence) instead of deriving it
+    from log-probabilities — the golden-faithful multi-chip path used by the
+    FilterReads --mesh mode (the FilterReads-P analogue)."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def step(codes, good_in, lengths):
+        canon, is_fwd, valid = extract_canonical(codes, lengths, k)
+        B, NW, W = canon.shape
+        N = B * NW
+        keys = canon.reshape(N, W)
+        g = good_in.reshape(N) & valid.reshape(N)
+        owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        C = int(np.ceil(N / D * capacity_factor))
+        send_keys, send_good, win_slot = _bucket_scatter(keys, g, owner, D, C)
+        recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
+                                       concat_axis=0)
+        recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
+                                       concat_axis=0)
+        cnt_recv, shard_keys, shard_counts = _count_received(
+            recv_keys.reshape(D * C, W), recv_good.reshape(D * C), min_count)
+        cnt_back = jax.lax.all_to_all(cnt_recv.reshape(D, C), axis,
+                                      split_axis=0, concat_axis=0)
+        flat_back = cnt_back.reshape(D * C)
+        counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
+        counts = jnp.where(valid.reshape(N), counts, 0)
+        return counts.reshape(B, NW)
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis, None))
+    return jax.jit(smapped)

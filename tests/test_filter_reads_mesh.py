@@ -1,0 +1,28 @@
+"""FilterReads --mesh N: the FilterReads-P analogue must produce
+byte-identical output to the golden at every device count (the reference's
+MPI rank-sweep invariant, ref: test/runFilterTests.sh:93-128)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REF = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 3, 8])
+def test_mesh_golden_invariance(tmp_path, ndev):
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+           "--jax-platform", "cpu", "--mesh", str(ndev),
+           "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+           "--artifact-edit-distance", "1",
+           "--fastq-output-base-quality", "64", "--min-read-length", "25",
+           "--out", out, "31", os.path.join(REF, "1000.fastq")]
+    subprocess.run(cmd, check=True, env=env, capture_output=True)
+    mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
+    want = open(os.path.join(REF, "1000-Filtered.fastq"), "rb").read()
+    assert mine == want
