@@ -463,6 +463,12 @@ def run(argv: List[str]) -> int:
             # weak-map visibility: singletons are never consulted by the
             # selector (ref: FilterReads.cpp:196 binds spectrum.weak)
             spectrum.purge_min_depth(max(sopts.min_depth, 2))
+            if sopts.variant_sigmas > 0.0:
+                purged = spectrum.purge_variants(
+                    sopts.variant_sigmas, sopts.variant_hamming_distance,
+                    sopts.min_variant_kmer_depth,
+                    min_depth=max(sopts.min_depth, 2))
+                Log.verbose(1, "Removed %d kmer-variants" % purged)
             if sopts.save_kmer_mmap and opts.output_file:
                 spectrum.save(opts.output_file + "-mmap")
                 # np.savez appends .npz; keep the bare name for reload parity

@@ -52,6 +52,26 @@ def unpack_u64(keys: np.ndarray, W: int) -> np.ndarray:
     return out
 
 
+def _hamming1_canonical(words: np.ndarray, k: int) -> np.ndarray:
+    """All canonical u64 keys at hamming distance 1 from the [1, W] kmer."""
+    from kmernator_tpu.ops.kmer import revcomp_words, words_less
+    out = []
+    W = words.shape[1]
+    for posn in range(k):
+        w, o = divmod(posn, 16)
+        shift = np.uint32(30 - 2 * o)
+        cur = (words[0, w] >> shift) & np.uint32(3)
+        for nb in range(4):
+            if nb == cur:
+                continue
+            mut = words.copy()
+            mut[0, w] = (words[0, w] & ~(np.uint32(3) << shift)) | (np.uint32(nb) << shift)
+            rc = revcomp_words(np, mut, k)
+            canon = rc if words_less(np, rc, mut)[0] else mut
+            out.append(pack_u64(canon)[0])
+    return np.array(out, dtype=np.uint64)
+
+
 @dataclass
 class KmerSpectrum:
     """Sorted spectrum table (host representation)."""
@@ -182,16 +202,110 @@ class KmerSpectrum:
 
     # ---------- histogram (ref: KmerSpectrum::Histogram,
     # src/KmerSpectrum.h:909-1058) ----------
-    def histogram_table(self) -> str:
-        """Log-binned count histogram text table (same shape of output as the
-        reference's printHistograms; bucket scheme: integer counts 1..254,
-        then log-scale)."""
-        lines = ["depth\tuniqueKmers\ttotalCount"]
-        if len(self.counts) == 0:
-            return "\n".join(lines) + "\n"
-        maxc = int(self.counts.max())
-        binc = np.bincount(np.minimum(self.counts, 10000).astype(np.int64))
-        for d in range(1, len(binc)):
-            if binc[d]:
-                lines.append("%d\t%d\t%d" % (d, binc[d], d * binc[d]))
-        return "\n".join(lines) + "\n"
+    def histogram_table(self, zoom_max: int = 256, log_base: float = 2.0) -> str:
+        """Reference-format histogram: linear buckets up to zoom_max, then
+        log-scale; columns Bucket/Cumulative/Unique/%Unique/Count/%Count/
+        Weight/QualProb/%Weight (ref: Histogram::toString)."""
+        import math
+        log_factor = math.log(log_base)
+        zoom_log_skip = int(math.log(zoom_max + 1.0) / log_factor - 1.0)
+        max_idx = (1 << 16) + 1 + zoom_max
+        visits = np.zeros(max_idx + 1, np.int64)
+        vcount = np.zeros(max_idx + 1, np.int64)
+        vweight = np.zeros(max_idx + 1, np.float64)
+        counts = self.counts
+        weights = (self.weighted if self.weighted is not None
+                   else counts.astype(np.float64))
+        nz = counts > 0
+        c = counts[nz].astype(np.float64)
+        idx = np.where(counts[nz] <= zoom_max, counts[nz],
+                       (np.log(c) / log_factor - zoom_log_skip + zoom_max
+                        ).astype(np.int64)).astype(np.int64)
+        idx = np.clip(idx, 0, max_idx)
+        np.add.at(visits, idx, 1)
+        np.add.at(vcount, idx, counts[nz])
+        np.add.at(vweight, idx, weights[nz])
+        # finish(): cumulative from the top
+        cum = np.cumsum(visits[::-1])[::-1]
+        total_visits = int(visits.sum())
+        total_count = float(vcount.sum())
+        total_weight = float(vweight.sum())
+        nz_idx = np.flatnonzero(visits)
+        last_bucket = int(nz_idx.max()) if len(nz_idx) else 0
+        out = ["Counts, Weights and Directions"]
+        out.append("Counts:\t%d\t%.3f\t%.3f\t" % (
+            total_visits, total_count,
+            total_count / total_visits if total_visits else 0.0))
+        out.append("Weights:\t%d\t%.3f\t%.3f\t%.3f" % (
+            total_visits, total_weight,
+            total_weight / total_visits if total_visits else 0.0,
+            total_weight / total_count if total_count else 0.0))
+        out.append("")
+        out.append("Bucket\tCumulative\tUnique\t%Unique\tCount\t%Count\tWeight\tQualProb\t%Weight")
+        for i in range(1, last_bucket + 1):
+            if i <= zoom_max:
+                bucket_val = i
+            else:
+                bucket_val = int(log_base ** (i + zoom_log_skip - zoom_max))
+            out.append("%d\t%d\t%d\t%.3f\t%d\t%.3f\t\t%.3f\t%.3f\t%.3f\t" % (
+                bucket_val, int(cum[i]), int(visits[i]),
+                100.0 * visits[i] / total_visits if total_visits else 0.0,
+                int(vcount[i]),
+                100.0 * vcount[i] / total_count if total_count else 0.0,
+                vweight[i],
+                vweight[i] / vcount[i] if vcount[i] else 0.0,
+                100.0 * vweight[i] / total_weight if total_weight else 0.0))
+        return "\n".join(out) + "\n"
+
+    # ---------- variant purge (ref: KmerSpectrum::purgeVariants,
+    # src/KmerSpectrum.h:2117-2235) ----------
+    def purge_variants(self, variant_sigmas: float, edit_distance: int = 2,
+                       min_variant_kmer_depth: float = 512,
+                       use_weighted: bool = True, min_depth: int = 2) -> int:
+        """Purge hamming-neighbor kmers that are far less abundant than a
+        strong kmer: threshold = (count - sigmas*sqrt(count)) / (20 XOR
+        (d-1)) (the reference's `^` is XOR — bug-compatible).  Sources are
+        processed in descending abundance (the reference uses bucket order);
+        purged kmers are skipped as sources.  Ends with purge_min_depth."""
+        if variant_sigmas <= 0.0 or len(self.keys) == 0:
+            return 0
+        from kmernator_tpu.ops.kmer import nwords
+        vals = (self.weighted if (use_weighted and self.weighted is not None)
+                else self.counts.astype(np.float64)).copy()
+        value_map = {int(k): i for i, k in enumerate(self.keys)}
+        k = self.k
+        W = nwords(k)
+        order = np.argsort(-vals, kind="stable")
+        purged = 0
+        for si in order:
+            v = vals[si]
+            if v <= min_variant_kmer_depth:
+                break
+            thr_base = v - np.sqrt(v) * variant_sigmas
+            d = edit_distance
+            while d > 1:
+                if v > min_variant_kmer_depth * (20 ^ d):
+                    break
+                d -= 1
+            key = int(self.keys[si])
+            words = unpack_u64(np.array([self.keys[si]], np.uint64), W)
+            neighbors = _hamming1_canonical(words, k)
+            for dist in range(1, d + 1):
+                thr = thr_base / (20 ^ (dist - 1))
+                for nk in neighbors:
+                    j = value_map.get(int(nk))
+                    if j is not None and 0.0 < vals[j] < thr:
+                        vals[j] = 0.0
+                        self.counts[j] = 0
+                        if self.weighted is not None:
+                            self.weighted[j] = 0.0
+                        purged += 1
+                if dist < d:
+                    # expand to the next shell lazily
+                    words_n = unpack_u64(np.asarray(neighbors, np.uint64), W)
+                    nxt = set()
+                    for row in range(len(words_n)):
+                        nxt.update(_hamming1_canonical(words_n[row:row + 1], k))
+                    neighbors = np.fromiter(nxt, dtype=np.uint64)
+        self.purge_min_depth(min_depth)
+        return purged
