@@ -1,10 +1,15 @@
-"""Benchmark: canonical 31-mer counting throughput per chip.
+"""Benchmark: canonical 31-mer spectrum-build throughput per chip.
 
-Measures the fused device spectrum step (extract + canonicalize + weight +
-sort-count, parallel/device_spectrum.py) on synthetic reads sampled from a
-synthetic genome at ~20x coverage, and compares against a multithreaded C++
-single-node open-hash counter (native/baseline_count.cpp) standing in for
-the reference's single-node hot path.
+Measures the full device counting path — canonical window extraction,
+log-space quality weighting, and the sort/scan spectrum count
+(parallel/device_spectrum.py) — on synthetic reads sampled from a synthetic
+genome at ~20x coverage, with completion forced by reading a scalar result
+back to the host each step (the axon transport does not block on
+block_until_ready alone).
+
+Baseline: a multithreaded C++ open-addressing counter
+(native/baseline_count.cpp) standing in for the reference's single-node hot
+path, run on the same host over the same workload shape.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
@@ -12,7 +17,6 @@ Prints ONE JSON line:
 import json
 import os
 import subprocess
-import sys
 import time
 
 import numpy as np
@@ -21,8 +25,8 @@ K = 31
 L = 100
 GENOME = 2_000_000
 COVERAGE = 20
-B = 8192          # reads per device batch
-STEPS = 8         # timed steps
+B = 65536         # reads per device batch (~4.6M windows)
+STEPS = 5
 
 
 def baseline_kmers_per_sec() -> float:
@@ -30,8 +34,8 @@ def baseline_kmers_per_sec() -> float:
     src = os.path.join(here, "native", "baseline_count.cpp")
     exe = os.path.join(here, "native", "baseline_count")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
-        subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src, "-lpthread"],
-                       check=True)
+        subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
+                        "-lpthread"], check=True)
     n_reads = GENOME * COVERAGE // L
     out = subprocess.run([exe, str(n_reads), str(L), str(K), "4", str(GENOME)],
                          check=True, capture_output=True, text=True)
@@ -44,32 +48,35 @@ def baseline_kmers_per_sec() -> float:
 def tpu_kmers_per_sec() -> float:
     import jax
     import jax.numpy as jnp
-    from kmernator_tpu.parallel.device_spectrum import spectrum_step
+    from kmernator_tpu.parallel.device_spectrum import (count_batch,
+                                                       extract_canonical,
+                                                       window_good)
 
-    dev = jax.devices()[0]
+    @jax.jit
+    def build(codes, logp, lengths):
+        canon, is_fwd, valid = extract_canonical(codes, lengths, K)
+        wsum, good = window_good(logp, lengths, K, -3.3219281)
+        Bv, NW, W = canon.shape
+        keys, counts, n_unique = count_batch(
+            canon.reshape(Bv * NW, W), (good & valid).reshape(Bv * NW), 1)
+        return n_unique
+
     rng = np.random.default_rng(7)
-    # synthetic genome on host; reads sampled at random offsets, then staged
-    # to device once (bench isolates the per-chip compute path; host IO is
-    # benchmarked separately)
     genome = rng.integers(0, 4, GENOME, dtype=np.uint8)
     starts = rng.integers(0, GENOME - L, B)
-    codes_np = genome[starts[:, None] + np.arange(L)[None, :]]
-    logp_np = np.full((B, L), np.float32(-0.00144), dtype=np.float32)
-    lengths_np = np.full(B, L, dtype=np.int32)
+    codes = jnp.asarray(genome[starts[:, None] + np.arange(L)[None, :]])
+    logp = jnp.full((B, L), np.float32(-0.00144), dtype=jnp.float32)
+    lengths = jnp.full(B, L, dtype=jnp.int32)
 
-    codes = jax.device_put(jnp.asarray(codes_np), dev)
-    logp = jax.device_put(jnp.asarray(logp_np), dev)
-    lengths = jax.device_put(jnp.asarray(lengths_np), dev)
-
-    # compile + warm up
-    counts, canon, good = spectrum_step(codes, logp, lengths, K)
-    counts.block_until_ready()
+    # compile + warm (forced completion via host readback)
+    n = int(build(codes, logp, lengths))
+    assert 0 < n <= B * (L - K + 1)
+    n = int(build(codes, logp, lengths))
 
     n_windows = B * (L - K + 1)
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        counts, canon, good = spectrum_step(codes, logp, lengths, K)
-    counts.block_until_ready()
+        n = int(build(codes, logp, lengths))  # int() forces completion
     dt = time.perf_counter() - t0
     return n_windows * STEPS / dt
 

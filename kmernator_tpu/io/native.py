@@ -1,0 +1,112 @@
+"""ctypes bindings for the native IO kernels (native/io_native.cpp).
+
+Auto-builds the shared library on first use (g++ is in the image); all
+callers fall back to the pure-numpy paths when compilation is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "io_native.cpp")
+_LIB = os.path.join(_REPO, "native", "libkmernator_io.so")
+
+_lib = None
+_tried = False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                            "-o", _LIB, _SRC], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB)
+        lib.fastq_index.restype = ctypes.c_long
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def fastq_index(data: bytes):
+    """Single-pass FASTQ record index.  Returns dict of numpy offset arrays
+    or None if the native lib is unavailable / input malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(data.count(b"\n") // 4 + 2, 16)
+    cols = {name: np.zeros(cap, dtype=np.int64) for name in
+            ("name_off", "name_len", "comment_off", "comment_len",
+             "seq_off", "seq_len", "qual_off")}
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = lib.fastq_index(_ptr(buf), ctypes.c_long(len(data)), ctypes.c_long(cap),
+                        *[_ptr(cols[c]) for c in
+                          ("name_off", "name_len", "comment_off", "comment_len",
+                           "seq_off", "seq_len", "qual_off")])
+    if n < 0:
+        return None
+    return {k: v[:n] for k, v in cols.items()}
+
+
+def normalize_bases(seq: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty_like(seq)
+    if lib is None:
+        from kmernator_tpu.io.reads import _BASE_NORM
+        return _BASE_NORM[seq]
+    lib.normalize_bases(_ptr(seq), ctypes.c_long(len(seq)), _ptr(out))
+    return out
+
+
+def pack_batch_idx(data: np.ndarray, seq_off: np.ndarray, qual_off: np.ndarray,
+                   seq_len: np.ndarray, L: int, logp_table: np.ndarray,
+                   logp_floor: float = -1e30):
+    """Pack straight from the raw buffer via index arrays (fast path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(seq_off)
+    codes = np.zeros((B, L), dtype=np.uint8)
+    logp = np.zeros((B, L), dtype=np.float32)
+    lengths = np.zeros(B, dtype=np.int32)
+    tab = np.ascontiguousarray(logp_table, dtype=np.float64)
+    lib.pack_batch_idx(_ptr(data),
+                       _ptr(np.ascontiguousarray(seq_off, np.int64)),
+                       _ptr(np.ascontiguousarray(qual_off, np.int64)),
+                       _ptr(np.ascontiguousarray(seq_len, np.int64)),
+                       ctypes.c_long(B), ctypes.c_long(L), _ptr(tab),
+                       ctypes.c_float(logp_floor),
+                       _ptr(codes), _ptr(logp), _ptr(lengths))
+    return codes, logp, lengths
+
+
+def pack_batch(seq: np.ndarray, qual: np.ndarray, offsets: np.ndarray,
+               L: int, logp_table: np.ndarray, logp_floor: float = -1e30):
+    """Dense [B, L] codes/logp/lengths from ragged reads (native scatter)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(offsets) - 1
+    codes = np.zeros((B, L), dtype=np.uint8)
+    logp = np.zeros((B, L), dtype=np.float32)
+    lengths = np.zeros(B, dtype=np.int32)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    tab = np.ascontiguousarray(logp_table, dtype=np.float64)
+    lib.pack_batch(_ptr(seq), _ptr(qual), _ptr(off), ctypes.c_long(B),
+                   ctypes.c_long(L), _ptr(tab), ctypes.c_float(logp_floor),
+                   _ptr(codes), _ptr(logp), _ptr(lengths))
+    return codes, logp, lengths

@@ -128,6 +128,32 @@ def _flatten_keys(canon):
     return canon.reshape(B * NW, W)
 
 
+def _run_counts_scan(skeys, sgood):
+    """Per-element count of good observations in the element's key run,
+    using only scans over the sorted order (no scatter/gather — those are
+    ~2-4x slower than the sort itself on TPU).
+
+    Returns (boundary, cnt) where cnt[i] = total good in the run containing
+    sorted position i."""
+    N, W = skeys.shape
+    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    gcum = jnp.cumsum(sgood.astype(jnp.int32))          # inclusive
+    gexcl = gcum - sgood.astype(jnp.int32)              # exclusive
+    # good-count before the run start: gexcl at boundaries is nondecreasing,
+    # so a running max broadcasts it through the run without a gather
+    run_base = jax.lax.cummax(jnp.where(boundary, gexcl, jnp.int32(-1)))
+    # total good in run = (gcum at run end) - run_base; the run end's gcum
+    # broadcasts backward via a reverse cummin of (gcum at last-of-run)
+    is_end = jnp.concatenate([boundary[1:], jnp.ones(1, jnp.bool_)])
+    run_total = jax.lax.cummin(
+        jnp.where(is_end, gcum, jnp.iinfo(jnp.int32).max), reverse=True)
+    cnt = run_total - run_base
+    return boundary, cnt
+
+
 @functools.partial(jax.jit, static_argnames=("k", "min_count"))
 def count_and_score(canon: jax.Array, good: jax.Array, k: int,
                     min_count: int = 2):
@@ -139,8 +165,8 @@ def count_and_score(canon: jax.Array, good: jax.Array, k: int,
     good:  [B, NW] bool
     Returns: counts [B, NW] int32 (count of the window's key, regardless of
              the window's own goodness),
-             sorted (keys [N, W], seg_counts [N] — run-length layout for
-             spectrum compaction).
+             sorted (keys [N, W], boundary, seg, seg_counts — run-length
+             layout for spectrum compaction).
     """
     B, NW, W = canon.shape
     N = B * NW
@@ -152,22 +178,40 @@ def count_and_score(canon: jax.Array, good: jax.Array, k: int,
     skeys = jnp.stack(sorted_ops[:W], axis=-1)
     sgood = sorted_ops[W]
     sidx = sorted_ops[W + 1]
-    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
-    for w in range(W):
-        neq = neq | (skeys[1:, w] != skeys[:-1, w])
-    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    seg_counts = jax.ops.segment_sum(sgood, seg, num_segments=N)
-    cnt_sorted = seg_counts[seg]
+    boundary, cnt_sorted = _run_counts_scan(skeys, sgood)
     counts = jnp.zeros(N, dtype=jnp.int32).at[sidx].set(cnt_sorted)
     counts = jnp.where(counts >= min_count, counts, 0)
     # zero out sentinel windows
     is_sent = jnp.ones(N, dtype=jnp.bool_)
-    flat = keys
     for w in range(W):
-        is_sent = is_sent & (flat[:, w] == SENTINEL)
+        is_sent = is_sent & (keys[:, w] == SENTINEL)
     counts = jnp.where(is_sent, 0, counts)
-    return counts.reshape(B, NW), (skeys, boundary, seg, seg_counts)
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    return counts.reshape(B, NW), (skeys, boundary, seg, cnt_sorted)
+
+
+@functools.partial(jax.jit, static_argnames=("min_count",))
+def count_batch(keys: jax.Array, good: jax.Array, min_count: int = 1):
+    """Spectrum-build-only counting (no per-window scatter-back): the lean
+    kernel for the streaming pipeline and the benchmark.
+
+    keys: [N, W] u32; good: [N] bool.  Returns run-length table
+    (sorted keys [N, W], counts-at-run [N] — count > 0 only at run starts)
+    and the number of unique keys at or above min_count."""
+    N, W = keys.shape
+    # pre-mask bad windows to the sentinel so only good observations count
+    mk = jnp.where(good[:, None], keys, SENTINEL)
+    ops = [mk[:, w] for w in range(W)]
+    s = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(s, axis=-1)
+    boundary, cnt = _run_counts_scan(skeys, jnp.ones(N, dtype=jnp.bool_))
+    is_sent = jnp.ones(N, dtype=jnp.bool_)
+    for w in range(W):
+        is_sent = is_sent & (skeys[:, w] == SENTINEL)
+    table_counts = jnp.where(boundary & ~is_sent & (cnt >= min_count), cnt, 0)
+    out_keys = jnp.where((table_counts > 0)[:, None], skeys, SENTINEL)
+    n_unique = jnp.sum(table_counts > 0)
+    return out_keys, table_counts, n_unique
 
 
 @jax.jit

@@ -1,0 +1,89 @@
+"""Streaming spectrum build: FASTQ batches -> running device table.
+
+The scalable counting engine (the reference's buildKmerSpectrumInParts /
+streaming MPI build, ref: src/KmerSpectrum.h:1818-1902): each batch is
+extracted/weighted/sorted on device and merged into a bounded running table
+with sort-merge compaction, so arbitrarily large inputs stream through a
+fixed device footprint.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kmernator_tpu.parallel.device_spectrum import (SENTINEL, count_batch,
+                                                    extract_canonical,
+                                                    merge_tables, window_good)
+
+
+class StreamingSpectrum:
+    """Running (keys, counts) device table built by merging batch tables."""
+
+    def __init__(self, k: int, capacity: int, min_weight: float = 0.10):
+        self.k = k
+        self.capacity = capacity
+        from kmernator_tpu.ops.kmer import nwords
+        W = nwords(k)
+        self.keys = jnp.full((capacity, W), SENTINEL, dtype=jnp.uint32)
+        self.counts = jnp.zeros(capacity, dtype=jnp.int32)
+        self.log2_min_weight = float(np.log2(min_weight)) if min_weight > 0 else -1e30
+        self.total_windows = 0
+        self.total_good = 0
+
+    _pending_keys: list = None
+    _pending_counts: list = None
+    _pending_rows: int = 0
+
+    def add_batch(self, codes, logp, lengths):
+        """Count one batch and stage its compacted table; merges into the
+        main table are amortized (one big sort per ~capacity staged rows
+        instead of per batch)."""
+        if self._pending_keys is None:
+            self._pending_keys, self._pending_counts = [], []
+        codes = jnp.asarray(codes)
+        logp = jnp.asarray(logp)
+        lengths = jnp.asarray(lengths)
+        canon, is_fwd, valid = extract_canonical(codes, lengths, self.k)
+        wsum, good = window_good(logp, lengths, self.k, self.log2_min_weight)
+        B, NW, W = canon.shape
+        bkeys, bcounts, n_unique = count_batch(
+            canon.reshape(B * NW, W), (good & valid).reshape(B * NW), 1)
+        counts = None
+        self._pending_keys.append(bkeys)
+        self._pending_counts.append(bcounts)
+        self._pending_rows += bkeys.shape[0]
+        if self._pending_rows >= self.capacity:
+            self._drain()
+        self.total_windows += int(codes.shape[0]) * (codes.shape[1] - self.k + 1)
+        return counts
+
+    def _drain(self):
+        if not self._pending_keys:
+            return
+        pk = jnp.concatenate([self.keys] + self._pending_keys)
+        pc = jnp.concatenate([self.counts] + self._pending_counts)
+        # merge_tables with an empty second input just sorts+reduces pk
+        mk, mc = merge_tables(pk, pc, pk[:0], pc[:0])
+        self.keys = mk[:self.capacity]
+        self.counts = mc[:self.capacity]
+        self._pending_keys, self._pending_counts = [], []
+        self._pending_rows = 0
+
+    def finalize(self, min_depth: int = 2):
+        self._drain()
+        keys = np.asarray(self.keys)
+        counts = np.asarray(self.counts)
+        real = ~(keys == 0xFFFFFFFF).all(axis=1) & (counts >= min_depth)
+        return keys[real], counts[real]
+
+
+def build_streaming(batches: Iterable, k: int, capacity: int,
+                    min_weight: float = 0.10, min_depth: int = 2):
+    sp = StreamingSpectrum(k, capacity, min_weight)
+    for codes, logp, lengths in batches:
+        sp.add_batch(codes, logp, lengths)
+    return sp.finalize(min_depth)

@@ -1,0 +1,168 @@
+// Native IO kernels for the host-side input pipeline.
+//
+// TPU-native replacement for the reference's mmap FASTQ parser hot path
+// (ref: src/ReadFileReader.h FastqStreamParser): a single-pass index over
+// the raw buffer producing columnar record offsets, plus a packer that
+// scatters ragged reads into the dense padded [B, L] device-feed tensors.
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libkmernator_io.so io_native.cpp
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+extern "C" {
+
+// Index 4-line FASTQ records.
+// outputs (pre-allocated, capacity records):
+//   name_off/name_len: read name (after '@', before first whitespace)
+//   comment_off/comment_len: after first whitespace (0-length if none)
+//   seq_off/seq_len, qual_off
+// returns number of records parsed, or -1 on malformed input.
+long fastq_index(const char* data, long size, long capacity,
+                 long* name_off, long* name_len,
+                 long* comment_off, long* comment_len,
+                 long* seq_off, long* seq_len, long* qual_off) {
+  long n = 0;
+  const char* p = data;
+  const char* end = data + size;
+  while (p < end && n < capacity) {
+    if (*p != '@') return -1;
+    const char* nl1 = (const char*)memchr(p, '\n', end - p);
+    if (!nl1) break;
+    const char* seq = nl1 + 1;
+    const char* nl2 = (const char*)memchr(seq, '\n', end - seq);
+    if (!nl2) break;
+    const char* plus = nl2 + 1;
+    if (plus >= end || *plus != '+') return -1;
+    const char* nl3 = (const char*)memchr(plus, '\n', end - plus);
+    if (!nl3) break;
+    const char* qual = nl3 + 1;
+    const char* nl4 = (const char*)memchr(qual, '\n', end - qual);
+    const char* qend = nl4 ? nl4 : end;
+    long slen = nl2 - seq;
+    if (qend - qual != slen) return -1;
+    // split name/comment at first space/tab/CR
+    const char* name = p + 1;
+    const char* sp = name;
+    while (sp < nl1 && *sp != ' ' && *sp != '\t' && *sp != '\r') sp++;
+    name_off[n] = name - data;
+    name_len[n] = sp - name;
+    if (sp < nl1 && (nl1 - sp) >= 2) {
+      comment_off[n] = sp + 1 - data;
+      long cl = nl1 - (sp + 1);
+      while (cl > 0 && (data[comment_off[n] + cl - 1] == '\r')) cl--;
+      comment_len[n] = cl;
+    } else {
+      comment_off[n] = 0;
+      comment_len[n] = 0;
+    }
+    seq_off[n] = seq - data;
+    seq_len[n] = slen;
+    qual_off[n] = qual - data;
+    n++;
+    p = nl4 ? nl4 + 1 : end;
+  }
+  return n;
+}
+
+// Normalize bases in place-ish: acgt -> ACGT, '.' -> 'N' (writes to out).
+void normalize_bases(const unsigned char* in, long size, unsigned char* out) {
+  static unsigned char table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) table[i] = (unsigned char)i;
+    table['a'] = 'A'; table['c'] = 'C'; table['g'] = 'G'; table['t'] = 'T';
+    table['.'] = 'N';
+    init = true;
+  }
+  for (long i = 0; i < size; i++) out[i] = table[in[i]];
+}
+
+// Scatter ragged reads into dense padded [B, L] tensors:
+//   codes: 0..3 (non-ACGT -> 0), logp: log2 P(correct) from a 256-entry
+//   per-char table (markup positions forced to logp_floor).
+void pack_batch(const unsigned char* seq, const unsigned char* qual,
+                const long* offsets, long n_reads, long L,
+                const double* logp_table /*256, indexed by qual char*/,
+                float logp_floor,
+                unsigned char* codes_out /*B*L*/, float* logp_out /*B*L*/,
+                int* lengths_out /*B*/) {
+  static signed char code_table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) code_table[i] = -1;
+    code_table['A'] = 0; code_table['C'] = 1; code_table['G'] = 2;
+    code_table['T'] = 3;
+    code_table['a'] = 0; code_table['c'] = 1; code_table['g'] = 2;
+    code_table['t'] = 3;
+    init = true;
+  }
+  for (long r = 0; r < n_reads; r++) {
+    long s = offsets[r], e = offsets[r + 1];
+    long len = e - s;
+    if (len > L) len = L;
+    lengths_out[r] = (int)len;
+    unsigned char* crow = codes_out + r * L;
+    float* lrow = logp_out + r * L;
+    for (long i = 0; i < len; i++) {
+      signed char c = code_table[seq[s + i]];
+      if (c < 0) {
+        crow[i] = 0;
+        lrow[i] = logp_floor;
+      } else {
+        crow[i] = (unsigned char)c;
+        lrow[i] = (float)logp_table[qual[s + i]];
+      }
+    }
+    for (long i = len; i < L; i++) {
+      crow[i] = 0;
+      lrow[i] = logp_floor;
+    }
+  }
+}
+
+// Pack straight from the raw FASTQ buffer using the index arrays —
+// no intermediate ragged gather.
+void pack_batch_idx(const unsigned char* data,
+                    const long* seq_off, const long* qual_off,
+                    const long* seq_len, long n_reads, long L,
+                    const double* logp_table, float logp_floor,
+                    unsigned char* codes_out, float* logp_out,
+                    int* lengths_out) {
+  static signed char code_table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) code_table[i] = -1;
+    code_table['A'] = 0; code_table['C'] = 1; code_table['G'] = 2;
+    code_table['T'] = 3;
+    code_table['a'] = 0; code_table['c'] = 1; code_table['g'] = 2;
+    code_table['t'] = 3;
+    init = true;
+  }
+  for (long r = 0; r < n_reads; r++) {
+    const unsigned char* seq = data + seq_off[r];
+    const unsigned char* qual = data + qual_off[r];
+    long len = seq_len[r];
+    if (len > L) len = L;
+    lengths_out[r] = (int)len;
+    unsigned char* crow = codes_out + r * L;
+    float* lrow = logp_out + r * L;
+    for (long i = 0; i < len; i++) {
+      signed char c = code_table[seq[i]];
+      if (c < 0) {
+        crow[i] = 0;
+        lrow[i] = logp_floor;
+      } else {
+        crow[i] = (unsigned char)c;
+        lrow[i] = (float)logp_table[qual[i]];
+      }
+    }
+    for (long i = len; i < L; i++) {
+      crow[i] = 0;
+      lrow[i] = logp_floor;
+    }
+  }
+}
+
+}  // extern "C"
