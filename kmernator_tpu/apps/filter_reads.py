@@ -474,6 +474,9 @@ def run(argv: List[str]) -> int:
                 # np.savez appends .npz; keep the bare name for reload parity
                 if os.path.exists(opts.output_file + "-mmap.npz"):
                     os.replace(opts.output_file + "-mmap.npz", opts.output_file + "-mmap")
+        if sopts.gc_heat_map and opts.output_file:
+            with open(opts.output_file + "-GC.txt", "w") as f:
+                f.write(spectrum.gc_heat_map())
         Log.verbose(1, "spectrum: %d unique kmers" % spectrum.n_unique)
         counts, w_off = window_count_lookup(rs, spectrum, k)
         trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),

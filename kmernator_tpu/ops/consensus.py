@@ -76,6 +76,23 @@ def consensus_call(acc: np.ndarray, output_base: int) -> Tuple[bytes, np.ndarray
     return bytes(bases), quals
 
 
+def get_centroid(rs: ReadSet, indices, min_quality: int,
+                 output_base: int) -> int:
+    """Index (within `indices`) of the read closest to the consensus:
+    argmax of sum(own_probs * group_probs) (ref: ReadSet::getCentroidRead +
+    Read::scoreProbabilityBases)."""
+    acc = probability_bases(rs, indices, min_quality, output_base)
+    best_i = -1
+    best = 0.0
+    for j, i in enumerate(indices):
+        mine = probability_bases(rs, [i], min_quality, output_base)
+        L = min(len(mine), len(acc))
+        score = float((mine[:L] * acc[:L]).sum())
+        if best_i < 0 or score > best:
+            best_i, best = j, score
+    return best_i
+
+
 def consensus_read(rs: ReadSet, indices, min_quality: int,
                    output_base: int) -> Tuple[bytes, bytes, np.ndarray]:
     """(name, fasta, phred) of the consensus; name = C<n>-<firstName>

@@ -257,6 +257,38 @@ class KmerSpectrum:
                 100.0 * vweight[i] / total_weight if total_weight else 0.0))
         return "\n".join(out) + "\n"
 
+    def gc_heat_map(self) -> str:
+        """GC-vs-coverage weight heat map (ref: KmerSpectrum::GCCoverageHeatMap,
+        src/KmerSpectrum.h:1073-1140): rows = coverage count, columns =
+        GC-base count 0..k, cells = summed weighted counts."""
+        k = self.k
+        W = nwords(k)
+        header = "".join("depth\t%g" % (100.0 * gc / k) for gc in range(k + 1))
+        if len(self.keys) == 0:
+            return header + "\n"
+        words = unpack_u64(self.keys, W)
+        # GC count per key: count 01/10 2-bit groups
+        gc = np.zeros(len(self.keys), dtype=np.int64)
+        for w in range(W):
+            x = words[:, w]
+            for o in range(16):
+                code = (x >> np.uint32(30 - 2 * o)) & np.uint32(3)
+                if w * 16 + o < k:
+                    gc += ((code == 1) | (code == 2)).astype(np.int64)
+        weights = (self.weighted if self.weighted is not None
+                   else self.counts.astype(np.float64))
+        max_cover = int(self.counts.max()) + 1
+        hm = np.zeros((max_cover, k + 1), dtype=np.float64)
+        np.add.at(hm, (np.minimum(self.counts, max_cover - 1), gc), weights)
+        lines = [header]
+        for cover in range(max_cover):
+            row = [str(cover)]
+            for g in range(k + 1):
+                v = hm[cover, g]
+                row.append(("%g" % v) if v != 0.0 else "")
+            lines.append("\t".join(row))
+        return "\n".join(lines) + "\n"
+
     # ---------- variant purge (ref: KmerSpectrum::purgeVariants,
     # src/KmerSpectrum.h:2117-2235) ----------
     def purge_variants(self, variant_sigmas: float, edit_distance: int = 2,
