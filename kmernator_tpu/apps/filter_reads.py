@@ -430,7 +430,7 @@ def run(argv: List[str]) -> int:
             start_offset=dopts.dedup_start_offset,
             min_quality=opts.min_quality_score,
             output_base=opts.fastq_output_base_quality,
-            artifact_filter=filt)
+            artifact_filter=filt, edit_distance=dopts.dedup_edit_distance)
         Log.verbose(1, "filter removed duplicate fragment pair reads: %d" % dups)
 
     k = kopts.kmer_size

@@ -50,24 +50,59 @@ def filter_duplicate_fragments(rs: ReadSet, dedup_length: int = 24,
                                start_offset: int = 0,
                                min_quality: int = 3, output_base: int = 33,
                                artifact_filter=None,
+                               edit_distance: int = 0,
                                rng: np.random.Generator = None) -> int:
     """Returns the number of affected reads; mutates rs (discards + appends
     consensus reads).  ref: filterDuplicateFragments (:561-586)."""
-    if mode == 0:
+    if mode == 0 or edit_distance == -1:
         return 0
     nbases = max(dedup_length // 4, 1) * 4
     affected = _filter(rs, nbases, mode, consensus, True, start_offset,
-                       min_quality, output_base, artifact_filter, rng)
+                       min_quality, output_base, artifact_filter, rng,
+                       edit_distance)
     if dedup_single:
         affected += _filter(rs, nbases * 2, mode, consensus, False,
                             start_offset, min_quality, output_base,
-                            artifact_filter, rng)
+                            artifact_filter, rng, edit_distance)
     return affected
+
+
+def _merge_within_edit_distance(groups: Dict[Tuple, list], nbases: int,
+                                paired: bool, cutoff: int = 2):
+    """Merge fragment-key groups within hamming distance 1, strongest first
+    (ref: _mergeNodesWithinEditDistance + KmerSpectrum::consolidate).
+    Only edit distance 1 is supported (the reference rejects > 1)."""
+    from kmernator_tpu.ops.kmer import nwords
+    k = nbases * (2 if paired else 1)
+    W = nwords(k)
+    order = sorted(groups.keys(),
+                   key=lambda key: -len(groups[key]))
+    for key in order:
+        members = groups.get(key)
+        if members is None or len(members) < cutoff:
+            continue
+        words = np.array(key, dtype=np.uint32).reshape(1, W)
+        for posn in range(k):
+            w, o = divmod(posn, 16)
+            shift = np.uint32(30 - 2 * o)
+            cur = (words[0, w] >> shift) & np.uint32(3)
+            for nb in range(4):
+                if nb == cur:
+                    continue
+                nkey = list(key)
+                nkey[w] = int((words[0, w] & ~(np.uint32(3) << shift))
+                              | (np.uint32(nb) << shift))
+                nkey = tuple(nkey)
+                other = groups.get(nkey)
+                if other is not None and nkey != key:
+                    members.extend(other)
+                    del groups[nkey]
 
 
 def _filter(rs: ReadSet, nbases: int, mode: int, consensus: bool,
             paired: bool, start_offset: int, min_quality: int,
-            output_base: int, artifact_filter, rng) -> int:
+            output_base: int, artifact_filter, rng,
+            edit_distance: int = 0) -> int:
     use_rc = mode == 2
     groups: Dict[Tuple, List[Tuple[int, bool]]] = {}
     n_pairs = len(rs.pairs)
@@ -87,8 +122,11 @@ def _filter(rs: ReadSet, nbases: int, mode: int, consensus: bool,
                             rs.offsets[r1] + start_offset + nbases]
             c2 = codes_flat[rs.offsets[r2] + start_offset:
                             rs.offsets[r2] + start_offset + nbases]
-            fwd = np.concatenate([_prefix_words(c1, nbases),
-                                  _revcomp_prefix(c2, nbases)])
+            # fragment key = read1 prefix + revcomp(read2 prefix), packed
+            # contiguously as one 2*nbases kmer (the reference memcpys the
+            # packed bytes back to back, ref: :217,226)
+            combined = np.concatenate([c1, 3 - c2[::-1]])
+            fwd = _prefix_words(combined, 2 * nbases)
             flipped = False
             if use_rc:
                 k = 2 * nbases
@@ -109,6 +147,9 @@ def _filter(rs: ReadSet, nbases: int, mode: int, consensus: bool,
                            rs.offsets[r] + start_offset + nbases]
             groups.setdefault(tuple(_prefix_words(c, nbases).tolist()),
                               []).append((pair_idx, False))
+
+    if edit_distance > 0:
+        _merge_within_edit_distance(groups, nbases, paired)
 
     affected = 0
     new_reads: List[Tuple[bytes, bytes, np.ndarray]] = []
