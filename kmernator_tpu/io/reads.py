@@ -379,8 +379,32 @@ def parse_fasta_bytes(data: bytes, comment_stored: bool = True,
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     seq = _BASE_NORM[np.frombuffer(b"".join(bytes(s) for s in seqs), dtype=np.uint8)] \
         if seqs else np.zeros(0, dtype=np.uint8)
-    qual = np.full(len(seq), REF_QUAL, dtype=np.uint8)
     offsets = np.concatenate([[0], np.cumsum(lens)])
+    if qual_data is not None:
+        # FASTA+qual pair: whitespace-separated integer phreds per record
+        # (ref: SequenceRecordParser::convertQualIntsToChars — values are
+        # clamped below REF_QUAL)
+        qvals = []
+        cur = None
+        for line in qual_data.split(b"\n"):
+            line = line.rstrip(b"\r")
+            if not line:
+                continue
+            if line.startswith(b">"):
+                cur = []
+                qvals.append(cur)
+            elif cur is not None:
+                cur.extend(int(x) for x in line.split())
+        flat = []
+        for i, qv in enumerate(qvals[:len(names)]):
+            qv = [min(q, REF_QUAL - 33 - 1) for q in qv]
+            if len(qv) != lens[i]:
+                raise ValueError("fasta and qual lengths do not match")
+            flat.extend(qv)
+        qual = (np.array(flat, dtype=np.int16) + 33).astype(np.uint8)
+        has_quals = np.ones(len(names), dtype=bool)
+        return names, comments, seq, qual, offsets, has_quals
+    qual = np.full(len(seq), REF_QUAL, dtype=np.uint8)
     has_quals = np.zeros(len(names), dtype=bool)
     return names, comments, seq, qual, offsets, has_quals
 
@@ -405,7 +429,11 @@ def load_reads(paths: List[str], fastq_base_quality: int = 33,
         if byte_range is not None:
             data = extract_partition(data, byte_range[0], byte_range[1])
         if data[:1] == b">":
-            parsed = parse_fasta_bytes(data, comment_stored)
+            qual_data = None
+            qpath = path.rsplit(".", 1)[0] + ".qual"
+            if os.path.exists(qpath):
+                qual_data = open_maybe_gzip(qpath)
+            parsed = parse_fasta_bytes(data, comment_stored, qual_data)
         else:
             parsed = parse_fastq_bytes(data, comment_stored)
         rs.append_arrays(*parsed, file_idx=fi)

@@ -59,6 +59,12 @@ def test_casava18_comment_pairing():
 
 
 def test_fasta_qual():
+    # 10.fasta has a sibling 10.qual -> integer phreds are attached
+    # (ref: ReadFileReader FastaQualStreamParser)
     rs = load_reads([REF + "/10.fasta"])
     assert rs.n == 10
-    assert not rs.has_quals.any()
+    assert rs.has_quals.all()
+    ph = rs.get_phred(0)
+    assert ph[0] == 40 and ph[11] == 16
+    fa = load_reads([REF + "/5.fa"])
+    assert not fa.has_quals.any()
