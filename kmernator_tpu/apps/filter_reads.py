@@ -421,6 +421,31 @@ def run(argv: List[str]) -> int:
             min_read_length=ropts.min_read_length)
         out = apply_artifact_filter(rs, filt)
         Log.verbose(1, "filter affected (trimmed/removed) %d reads" % out.affected)
+        # diverted-read outputs (ref: recordDiscard -> omPhiX/omArtifact;
+        # deviation: the reference writes the 'N' discard placeholder with
+        # full-length quals — malformed fastq — we write the whole read)
+        ph = rs.phred()
+
+        def _divert(path_suffix, items):
+            files: Dict[str, List[bytes]] = {}
+            for i, label in items:
+                key = opts.output_file + "-" + file_prefix(
+                    opts.input_file[rs.file_idx[i]]) + path_suffix
+                rec = format_read(
+                    rs.names[i], rs.comments[i],
+                    rs.seq[rs.offsets[i]:rs.offsets[i + 1]].tobytes(),
+                    ph[rs.offsets[i]:rs.offsets[i + 1]], label, 2,
+                    opts.fastq_output_base_quality, 0, 1 << 30, False,
+                    bool(rs.has_quals[i]), opts.keep_read_comment)
+                files.setdefault(key, []).append(rec)
+            for path, recs in files.items():
+                with open(path, "wb") as f:
+                    f.write(b"".join(recs))
+
+        if aopts.phix_output and opts.output_file and out.phix_reads:
+            _divert("-PhiX.fastq", [(i, b"") for i in out.phix_reads])
+        if aopts.filter_output and opts.output_file and out.artifact_reads:
+            _divert("-Artifact.fastq", out.artifact_reads)
 
     if dopts.dedup_mode > 0 and dopts.dedup_edit_distance != -1:
         from kmernator_tpu.ops.dedup import filter_duplicate_fragments

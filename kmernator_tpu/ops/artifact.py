@@ -278,6 +278,8 @@ class FilterOutcome:
     discarded: int = 0
     trimmed: int = 0
     phix_reads: List[int] = field(default_factory=list)
+    # (read_idx, label) of non-phix discards, for --filter-output
+    artifact_reads: List[Tuple[int, bytes]] = field(default_factory=list)
 
 
 def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
@@ -311,6 +313,9 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
         if is_ref or pass_len <= 0 or not passes_length(pass_len, L, filt.min_read_length):
             rs.discarded[i] = True
             out.discarded += 1
+            label = (filt.seq_names[value] if value < len(filt.seq_names)
+                     else b"MinQualityTrim%d" % filt.min_quality)
+            out.artifact_reads.append((i, label))
         else:
             trim_which.append(i)
             trim_off.append(min_pass)
