@@ -100,6 +100,61 @@ def dump_graphs(spectrum: KmerSpectrum, path: str, min_depth: int):
             f.write(rc[i].tobytes() + b"\t" + rvals + b"\n")
 
 
+def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
+                                  output_base: int, min_kmer_quality: float,
+                                  n_devices: int) -> KmerSpectrum:
+    """Sharded extension-tracking spectrum (the distributed
+    MeraculousCounter path): exact host weights gate goodness; kmers and
+    extension observations route to owner shards via all_to_all."""
+    import jax.numpy as jnp
+    from kmernator_tpu.parallel.mesh import make_mesh, distributed_extension_fn
+    from kmernator_tpu.parallel.device_spectrum import pack_readset, SENTINEL
+
+    L = max(rs.max_length(), k)
+    codes, logp, lengths = pack_readset(rs, L, min_quality, output_base)
+    B = codes.shape[0]
+    NW = L - k + 1
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    p = rs.base_probabilities(min_quality, output_base)
+    w = window_weights(p, rs.offsets, markup, k)
+    exact_good = good_kmer_mask(w, min_kmer_quality)
+    lens = rs.lengths()
+    nw = np.maximum(lens - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)])
+    good2d = np.zeros((B, NW), dtype=bool)
+    ext_ok2d = np.zeros((B, L), dtype=bool)
+    phred = rs.phred()
+    hq = rs.has_quals
+    for i in range(B):
+        if nw[i] > 0:
+            good2d[i, :nw[i]] = exact_good[woff[i]:woff[i + 1]]
+        s, e = rs.offsets[i], rs.offsets[i + 1]
+        ok = (phred[s:e] >= EXT_MIN_QUALITY) | (not hq[i])
+        ext_ok2d[i, :e - s] = ok
+    good2d &= ~rs.discarded[:, None]
+
+    pad = (-B) % n_devices
+    if pad:
+        codes = np.concatenate([codes, np.zeros((pad, L), codes.dtype)])
+        good2d = np.concatenate([good2d, np.zeros((pad, NW), bool)])
+        ext_ok2d = np.concatenate([ext_ok2d, np.zeros((pad, L), bool)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    mesh = make_mesh(n_devices)
+    fn = distributed_extension_fn(mesh, k, min_count=1)
+    sk, sc, se = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                    jnp.asarray(ext_ok2d), jnp.asarray(lengths))
+    sk, sc, se = np.asarray(sk), np.asarray(sc), np.asarray(se)
+    real = (sc > 0) & ~np.all(sk == 0xFFFFFFFF, axis=1)
+    sp = KmerSpectrum(k=k)
+    keys = pack_u64(sk[real])
+    order = np.argsort(keys, kind="stable")
+    sp.keys = keys[order]
+    sp.counts = sc[real][order].astype(np.int64)
+    sp.extensions = se[real][order].astype(np.int64)
+    return sp
+
+
 def run(argv: List[str]) -> int:
     opts = GeneralOptions()
     opts.min_quality_score = 2      # ref: MeraculousCounter _resetDefaults
@@ -107,6 +162,17 @@ def run(argv: List[str]) -> int:
     sopts = KmerSpectrumOptions()
     sopts.min_kmer_quality = 0.0
     argv = ["--output-file" if a == "--out" else a for a in argv]
+    mesh_devices = 0
+    if "--mesh" in argv:
+        i = argv.index("--mesh")
+        mesh_devices = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--jax-platform" in argv:
+        i = argv.index("--jax-platform")
+        platform = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        import jax
+        jax.config.update("jax_platforms", platform)
     compose([opts, kopts, sopts], argv, positional=["input-file"])
     Log.verbose_level = opts.verbose
 
@@ -116,9 +182,14 @@ def run(argv: List[str]) -> int:
         return 1
     rs = load_reads(opts.input_file, opts.fastq_base_quality,
                     opts.fastq_output_base_quality, opts.keep_read_comment)
-    spectrum = build_extension_spectrum(rs, k, opts.min_quality_score,
-                                        opts.fastq_output_base_quality,
-                                        sopts.min_kmer_quality)
+    if mesh_devices > 0:
+        spectrum = build_extension_spectrum_mesh(
+            rs, k, opts.min_quality_score, opts.fastq_output_base_quality,
+            sopts.min_kmer_quality, mesh_devices)
+    else:
+        spectrum = build_extension_spectrum(rs, k, opts.min_quality_score,
+                                            opts.fastq_output_base_quality,
+                                            sopts.min_kmer_quality)
     spectrum.purge_min_depth(2)  # weak-map visibility
     out = opts.output_file
     dump_counts(spectrum, "%s.mercount.m%d" % (out, k), sopts.min_depth)

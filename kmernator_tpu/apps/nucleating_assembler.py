@@ -103,12 +103,16 @@ def run(argv: List[str]) -> int:
     final = ReadSet()
     final.input_qual_base = rs.input_qual_base
 
+    from kmernator_tpu.utils.timers import PhaseTimer
+    timer = PhaseTimer()
     iteration = 0
     while iteration < asm.max_iterations and contigs.n > 0:
         iteration += 1
+        timer.reset("iteration-%d" % iteration)
         Log.verbose(1, "Iteration %d: %d contigs" % (iteration, contigs.n))
         pools = match_pools(index, contigs, asm.match_max_positions_from_edge,
                             asm.max_read_matches)
+        timer.record("match")
         changed = ReadSet()
         changed.input_qual_base = rs.input_qual_base
         for ci in range(contigs.n):
@@ -146,6 +150,8 @@ def run(argv: List[str]) -> int:
             else:
                 keep_idx.append(ci)
         contigs = _subset(changed, keep_idx)
+        timer.record("extendContigs")
+        Log.verbose(1, "Iteration %d times: %s" % (iteration, timer.report()))
         # checkpoint (ref: per-iteration final/changed fasta writes)
         if opts.output_file:
             write_fasta(final, opts.output_file)

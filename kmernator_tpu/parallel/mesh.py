@@ -160,6 +160,127 @@ def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
     return jax.jit(smapped)
 
 
+def _window_extensions_device(codes, lengths, is_fwd, ext_ok, k):
+    """Device-side left/right extension codes per window (mirrors
+    ops/extensions.py; ref: src/KmerReadUtils.h:200-236).
+    codes [B, L] int32, ext_ok [B, L] bool, is_fwd [B, NW]."""
+    B, L = codes.shape
+    NW = L - k + 1
+    pos = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    c = codes.astype(jnp.int32)
+    left_codes = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), c[:, :NW - 1]], axis=1)
+    left_ok = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_), ext_ok[:, :NW - 1]], axis=1)
+    left = jnp.where(pos == 0, 5,
+                     jnp.where(left_ok, left_codes, -1))
+    # right neighbor of window i is base i+k: a shifted slice (the last
+    # window's neighbor is off the end -> padded)
+    rc_codes = jnp.concatenate([c[:, k:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    rc_ok = jnp.concatenate([ext_ok[:, k:], jnp.zeros((B, 1), jnp.bool_)], axis=1)
+    in_read = (pos + k) < lengths[:, None]
+    right = jnp.where(~in_read, 5, jnp.where(rc_ok, rc_codes, -1))
+
+    def comp(e):
+        return jnp.where((e >= 0) & (e < 4), 3 - e, e)
+
+    out_left = jnp.where(is_fwd, left, comp(right))
+    out_right = jnp.where(is_fwd, right, comp(left))
+    return out_left.astype(jnp.int32), out_right.astype(jnp.int32)
+
+
+def _count_received_ext(keys2d, good2d, el2d, er2d, min_count: int):
+    """Like _count_received but also sums 2x6 extension counters per key run
+    using the same gather-free monotone-scan trick."""
+    DC, W = keys2d.shape
+    ops = ([keys2d[:, w] for w in range(W)]
+           + [good2d, el2d, er2d])
+    s = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(s[:W], axis=-1)
+    sgood, sel, ser = s[W], s[W + 1], s[W + 2]
+    neq = jnp.zeros(DC - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    is_end = jnp.concatenate([boundary[1:], jnp.ones(1, jnp.bool_)])
+
+    def run_sum(col):
+        cum = jnp.cumsum(col.astype(jnp.int32))
+        excl = cum - col.astype(jnp.int32)
+        base = jax.lax.cummax(jnp.where(boundary, excl, jnp.int32(-1)))
+        total = jax.lax.cummin(
+            jnp.where(is_end, cum, jnp.iinfo(jnp.int32).max), reverse=True)
+        return total - base
+
+    cnt = run_sum(sgood)
+    ext_cols = []
+    for code in range(6):
+        ext_cols.append(run_sum(sgood.astype(jnp.bool_) & (sel == code)))
+    for code in range(6):
+        ext_cols.append(run_sum(sgood.astype(jnp.bool_) & (ser == code)))
+    ext = jnp.stack(ext_cols, axis=-1)  # [DC, 12]
+    sent = jnp.ones(DC, dtype=jnp.bool_)
+    for w in range(W):
+        sent = sent & (skeys[:, w] == SENTINEL)
+    keep = boundary & ~sent & (cnt >= min_count)
+    shard_keys = jnp.where(keep[:, None], skeys, SENTINEL)
+    shard_counts = jnp.where(keep, cnt, 0)
+    shard_ext = jnp.where(keep[:, None], ext, 0)
+    return shard_keys, shard_counts, shard_ext
+
+
+def distributed_extension_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
+                             min_count: int = 2):
+    """Distributed extension-tracking spectrum (the MeraculousCounter mesh
+    path): kmers + their left/right extension observations route to owner
+    shards via all_to_all; owners produce (key, count, 2x6 extension
+    counters) table shards.  Inputs take precomputed exact good masks and
+    extension eligibility (phred >= 20) so outputs are golden-faithful."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def step(codes, good_in, ext_ok, lengths):
+        canon, is_fwd, valid = extract_canonical(codes, lengths, k)
+        el, er = _window_extensions_device(codes, lengths, is_fwd, ext_ok, k)
+        B, NW, W = canon.shape
+        N = B * NW
+        keys = canon.reshape(N, W)
+        g = good_in.reshape(N) & valid.reshape(N)
+        keys = jnp.where(g[:, None], keys, SENTINEL)
+        owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        C = int(np.ceil(N / D * capacity_factor))
+        el_f = el.reshape(N)
+        er_f = er.reshape(N)
+        # bucket-scatter keys + payload columns
+        idx = jnp.arange(N, dtype=jnp.int32)
+        sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
+        first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
+        pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
+        ok = pos_in_run < C
+        slot = jnp.where(ok, sowner * C + pos_in_run, D * C)
+
+        def scatter(col, fill):
+            buf = jnp.full(D * C + 1, fill, dtype=col.dtype)
+            return buf.at[slot].set(jnp.where(ok, col[sidx], fill))[:D * C]
+
+        send_keys = jnp.stack([scatter(keys[:, w], SENTINEL) for w in range(W)],
+                              axis=-1).reshape(D, C, W)
+        send_good = scatter(g.astype(jnp.int32), jnp.int32(0)).reshape(D, C)
+        send_el = scatter(el_f, jnp.int32(-1)).reshape(D, C)
+        send_er = scatter(er_f, jnp.int32(-1)).reshape(D, C)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0)
+        rk, rg, rl, rr = a2a(send_keys), a2a(send_good), a2a(send_el), a2a(send_er)
+        return _count_received_ext(rk.reshape(D * C, W), rg.reshape(D * C),
+                                   rl.reshape(D * C), rr.reshape(D * C),
+                                   min_count)
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis, None)))
+    return jax.jit(smapped)
+
+
 def distributed_count_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
                          min_count: int = 2):
     """Like distributed_spectrum_fn but takes a precomputed per-window good

@@ -23,3 +23,26 @@ def test_mercount_mergraph_golden(tmp_path):
         mine = sorted(open(str(tmp_path / mine_name), "rb").read().splitlines())
         want = sorted(open(os.path.join(REF, golden_name), "rb").read().splitlines())
         assert mine == want, "%s differs" % golden_name
+
+
+def test_mesh_decomposition_invariance(tmp_path):
+    """Distributed extension-tracking spectrum (--mesh N) must reproduce the
+    goldens at several device counts (the reference's rank-sweep,
+    ref: test/runMeraculousTests.sh:85-127)."""
+    import pytest
+    for ndev in (2, 8):
+        out = str(tmp_path / ("mc%d" % ndev))
+        cmd = [sys.executable, "-m", "kmernator_tpu.apps.meraculous_counter",
+               "--jax-platform", "cpu", "--mesh", str(ndev),
+               "--min-kmer-quality", "0", "--min-quality-score", "2",
+               "--kmer-size", "21", "--fastq-base-quality", "64",
+               "--out", out, os.path.join(REF, "1000.fastq")]
+        env = dict(os.environ, PYTHONPATH=REPO,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        subprocess.run(cmd, check=True, env=env, capture_output=True)
+        for mine_name, golden_name in [
+                ("mercount.m21", "phix.mercount.m21"),
+                ("mergraph.m21.D2", "phix.mergraph.m21.D2")]:
+            mine = sorted(open(out + "." + mine_name, "rb").read().splitlines())
+            want = sorted(open(os.path.join(REF, golden_name), "rb").read().splitlines())
+            assert mine == want, "%s differs at mesh=%d" % (golden_name, ndev)
