@@ -94,11 +94,111 @@ def find_bimodal_partition(num_sigmas: float, vals: np.ndarray):
     return best, fm, sm
 
 
+def _vectorized_runs(counts2d: np.ndarray, nk: np.ndarray, min_score: float):
+    """First-longest-run per row, vectorized over reads.
+
+    counts2d: [R, NW] padded counts; nk: [R] valid kmers per row.
+    Returns (off [R], length [R]) in kmer units."""
+    R, NW = counts2d.shape
+    col = np.arange(NW)[None, :]
+    passing = (counts2d >= min_score) & (col < nk[:, None])
+    run = np.zeros((R, NW), dtype=np.int64)
+    prev = np.zeros(R, dtype=np.int64)
+    for j in range(NW):
+        prev = np.where(passing[:, j], prev + 1, 0)
+        run[:, j] = prev
+    best_len = run.max(axis=1)
+    # first occurrence of the max = end of the FIRST longest run (strict-
+    # greater replacement in the reference keeps the first)
+    best_end = np.argmax(run, axis=1)
+    best_off = best_end - best_len + 1
+    best_off = np.where(best_len > 0, best_off, 0)
+    return best_off, best_len
+
+
+def _vectorized_scores(counts2d, off, length, scoring_type):
+    """Per-row score over [off, off+length) (scoring types, vectorized)."""
+    R, NW = counts2d.shape
+    col = np.arange(NW)[None, :]
+    in_run = (col >= off[:, None]) & (col < (off + length)[:, None])
+    vals = counts2d.astype(np.float64)
+    if scoring_type == "MEDIAN":
+        tmp = np.where(in_run, vals, np.inf)
+        tmp = np.sort(tmp, axis=1)
+        idx = np.minimum(length // 2, NW - 1)
+        sc = tmp[np.arange(R), idx]
+    elif scoring_type == "AVG":
+        cnt = np.maximum(length, 1)
+        sc = np.where(in_run, vals, 0.0).sum(axis=1) / cnt
+    elif scoring_type == "MIN":
+        sc = np.where(in_run, vals, np.inf).min(axis=1)
+    elif scoring_type == "MAX":
+        sc = np.where(in_run, vals, -np.inf).max(axis=1)
+    else:  # SUM — run length (bug-compatible)
+        sc = length.astype(np.float64)
+    return np.where(length > 0, sc, -1.0)
+
+
 def score_and_trim(rs: ReadSet, window_counts: np.ndarray,
                    window_offsets: np.ndarray, k: int,
                    min_kmer_score: float, scoring_type: str = "MAX",
                    markup_first: Optional[np.ndarray] = None,
                    bimodal_sigmas: float = -1.0) -> ReadTrims:
+    """Dispatch: vectorized path for large read sets (no bimodal), scalar
+    reference transcription otherwise."""
+    if rs.n > 20000 and bimodal_sigmas < 0.0:
+        return _score_and_trim_vectorized(rs, window_counts, window_offsets,
+                                          k, min_kmer_score, scoring_type,
+                                          markup_first)
+    return _score_and_trim_scalar(rs, window_counts, window_offsets, k,
+                                  min_kmer_score, scoring_type, markup_first,
+                                  bimodal_sigmas)
+
+
+def _score_and_trim_vectorized(rs: ReadSet, window_counts: np.ndarray,
+                               window_offsets: np.ndarray, k: int,
+                               min_kmer_score: float, scoring_type: str,
+                               markup_first: Optional[np.ndarray]) -> ReadTrims:
+    n = rs.n
+    lens = rs.lengths()
+    nw = (window_offsets[1:] - window_offsets[:-1]).astype(np.int64)
+    NW = int(nw.max()) if n else 0
+    counts2d = np.zeros((n, NW), dtype=np.int64)
+    for i in range(n):
+        if nw[i]:
+            counts2d[i, :nw[i]] = window_counts[window_offsets[i]:window_offsets[i + 1]]
+    nk = nw.copy()
+    if markup_first is not None:
+        mk = markup_first.astype(np.int64)
+        nk = np.where(mk != 0, np.where(mk > k, mk - k, 0), nk)
+    nk = np.where(rs.discarded, 0, nk)
+    off, length = _vectorized_runs(counts2d, nk, min_kmer_score)
+    sc = _vectorized_scores(counts2d, off, length, scoring_type)
+    was_trimmed = length < nk
+    t_len = np.where(length > 0, length + k - 1, 0)
+    t_off = np.where(length > 0, off, 0)
+    sc = np.where(length > 0, sc, -1.0)
+    slabel = SCORING_LABELS[scoring_type]
+    labels: List[bytes] = [b""] * n
+    int_sc = (sc + 0.5).astype(np.int64)  # C-truncation matches for sc >= -1
+    for i in range(n):
+        if rs.discarded[i]:
+            t_off[i] = t_len[i] = 0
+            sc[i] = 0.0
+            continue
+        if was_trimmed[i]:
+            labels[i] = b"Trim:%d+%d %s:%d" % (t_off[i], t_len[i], slabel,
+                                               int_sc[i])
+        else:
+            labels[i] = b"%s:%d" % (slabel, int_sc[i])
+    return ReadTrims(t_off, t_len, sc, labels, np.ones(n, dtype=bool))
+
+
+def _score_and_trim_scalar(rs: ReadSet, window_counts: np.ndarray,
+                           window_offsets: np.ndarray, k: int,
+                           min_kmer_score: float, scoring_type: str = "MAX",
+                           markup_first: Optional[np.ndarray] = None,
+                           bimodal_sigmas: float = -1.0) -> ReadTrims:
     """ref: ReadSelector::scoreAndTrimReads (src/ReadSelector.h:1182-1209).
 
     window_counts:  concatenated per-read per-window spectrum counts
