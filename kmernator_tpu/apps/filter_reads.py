@@ -41,15 +41,19 @@ def file_prefix(path: str) -> str:
 
 
 def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
-                   min_kmer_quality: float) -> KmerSpectrum:
+                   min_kmer_quality: float, _keys_out: list = None) -> KmerSpectrum:
     """Extract canonical kmers + exact weights and count good observations.
     Mirrors _buildKmerSpectrumParallel + append()
-    (ref: src/KmerSpectrum.h:1932-2074,1578-1668)."""
+    (ref: src/KmerSpectrum.h:1932-2074,1578-1668).
+    If _keys_out is a list, the per-window u64 keys are appended to it so
+    the scoring lookup can reuse them without re-extracting."""
     codes_raw = BASE_CODE[rs.seq]
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
     canon, is_fwd, read_id, pos = extract_kmers_flat(codes, rs.offsets, k)
     keys = pack_u64(canon)
+    if _keys_out is not None:
+        _keys_out.append(keys)
     p = rs.base_probabilities(min_quality, output_base)
     w = window_weights(p, rs.offsets, markup, k)
     good = good_kmer_mask(w, min_kmer_quality)
@@ -104,13 +108,16 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     return counts, woff
 
 
-def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int):
+def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int,
+                        keys: np.ndarray = None):
     """Per-window spectrum counts for scoring (ref: setKmerValues,
     src/ReadSelector.h:1064-1076)."""
-    codes_raw = BASE_CODE[rs.seq]
-    codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
-    canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    counts = spectrum.lookup_counts(pack_u64(canon))
+    if keys is None:
+        codes_raw = BASE_CODE[rs.seq]
+        codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
+        canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+        keys = pack_u64(canon)
+    counts = spectrum.lookup_counts(keys)
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
     window_offsets = np.concatenate([[0], np.cumsum(nw)])
@@ -473,9 +480,10 @@ def run(argv: List[str]) -> int:
         if sopts.load_kmer_mmap:
             spectrum = KmerSpectrum.load(sopts.load_kmer_mmap)
         else:
+            keys_cache = []
             spectrum = build_spectrum(rs, k, opts.min_quality_score,
                                       opts.fastq_output_base_quality,
-                                      sopts.min_kmer_quality)
+                                      sopts.min_kmer_quality, keys_cache)
             if fopts.histogram_file:
                 with open(fopts.histogram_file, "w") as f:
                     f.write(spectrum.histogram_table())
@@ -503,7 +511,9 @@ def run(argv: List[str]) -> int:
             with open(opts.output_file + "-GC.txt", "w") as f:
                 f.write(spectrum.gc_heat_map())
         Log.verbose(1, "spectrum: %d unique kmers" % spectrum.n_unique)
-        counts, w_off = window_count_lookup(rs, spectrum, k)
+        cached = locals().get("keys_cache")
+        counts, w_off = window_count_lookup(rs, spectrum, k,
+                                            cached[0] if cached else None)
         trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),
                                ropts.kmer_scoring_type, first_markup_nor_x(rs),
                                ropts.bimodal_sigmas)

@@ -92,6 +92,7 @@ class ReadSet:
         self.pairs: List[Tuple[int, int]] = []      # (read1, read2) with -1 = invalid
         # per-read trim state applied by the artifact filter (AFTrim)
         self._phred: Optional[np.ndarray] = None
+        self._lengths: Optional[np.ndarray] = None
 
     # ---------- basic accessors ----------
     @property
@@ -99,7 +100,9 @@ class ReadSet:
         return len(self.offsets) - 1
 
     def lengths(self) -> np.ndarray:
-        return (self.offsets[1:] - self.offsets[:-1]).astype(np.int64)
+        if self._lengths is None or len(self._lengths) != self.n:
+            self._lengths = (self.offsets[1:] - self.offsets[:-1]).astype(np.int64)
+        return self._lengths
 
     def get_seq(self, i: int) -> bytes:
         return self.seq[self.offsets[i]:self.offsets[i + 1]].tobytes()
@@ -132,6 +135,7 @@ class ReadSet:
         self.file_idx = np.concatenate(
             [self.file_idx, np.full(nnew, file_idx, dtype=np.int32)])
         self._phred = None
+        self._lengths = None
 
     def append_read(self, name: bytes, comment: bytes, seq: bytes, phred: Optional[np.ndarray]):
         """Append one read whose quality is already in phred units."""
@@ -152,6 +156,7 @@ class ReadSet:
         self.has_quals = np.concatenate([self.has_quals, [hq]])
         self.file_idx = np.concatenate([self.file_idx, [0]])
         self._phred = None
+        self._lengths = None
 
     # ---------- quality-base autodetection ----------
     def detect_quality_base(self, initial_base: int, limit: int = 20000):
@@ -181,6 +186,7 @@ class ReadSet:
                 B = 64
         self.input_qual_base = B
         self._phred = None
+        self._lengths = None
         return B
 
     # ---------- pairing ----------
@@ -262,6 +268,7 @@ class ReadSet:
             c = self.comments[i]
             self.comments[i] = lab if not c else c + b"\t" + lab
         self._phred = None
+        self._lengths = None
 
     # ---------- probabilities ----------
     def base_probabilities(self, min_quality: int, output_base: int) -> np.ndarray:

@@ -263,6 +263,112 @@ class ArtifactFilter:
         return value, min_pass, max_pass, second, was_phix
 
 
+    def scan_all(self, rs: ReadSet):
+        """Vectorized whole-ReadSet scan: returns per-read
+        (value, min_pass, max_pass, second_off, second_len, was_phix) arrays
+        with identical semantics to _scan_read (which remains as the scalar
+        reference for testing)."""
+        n = rs.n
+        lens = rs.lengths().astype(np.int64)
+        phred = rs.phred()
+        k = self.k
+        # --- quality runs (best & second best) ---
+        L = int(lens.max()) if n else 0
+        good = np.zeros((n, L), dtype=bool)
+        for i in range(n):
+            s, e = rs.offsets[i], rs.offsets[i + 1]
+            if rs.has_quals[i]:
+                good[i, :e - s] = phred[s:e] >= self.min_quality
+            else:
+                good[i, :e - s] = True
+        col = np.arange(L)[None, :]
+        in_read = col < lens[:, None]
+        good &= in_read
+        run = np.zeros((n, L), dtype=np.int64)
+        prev = np.zeros(n, dtype=np.int64)
+        for j in range(L):
+            prev = np.where(good[:, j], prev + 1, 0)
+            run[:, j] = prev
+        best_len = run.max(axis=1) if L else np.zeros(n, np.int64)
+        best_end = np.argmax(run, axis=1) if L else np.zeros(n, np.int64)
+        best_off = best_end - best_len + 1
+        # second-best: longest run excluding the best one
+        run2 = np.where((col >= best_off[:, None]) & (col <= best_end[:, None]),
+                        0, run)
+        # runs overlapping the best are impossible (runs are disjoint), so
+        # masking the best run's columns suffices
+        sec_len = run2.max(axis=1) if L else np.zeros(n, np.int64)
+        sec_end = np.argmax(run2, axis=1) if L else np.zeros(n, np.int64)
+        sec_off = np.where(sec_len > 0, sec_end - sec_len + 1, 0)
+        min_pass = np.where(best_len > 0, best_off, 0)
+        max_pass = np.where(best_len > 0, best_off + best_len, 0)
+
+        # --- artifact 24-mer scan at byte-aligned positions ---
+        value = np.zeros(n, dtype=np.int64)
+        was_phix = np.zeros(n, dtype=bool)
+        min_aff = max_pass.copy()
+        max_aff = min_pass.copy()
+        bytes_ = (lens + 3) // 4
+        byte_hops = (max_pass + 3) // 4 - k // 4 - np.where(lens % 4 == 0, 0, 1)
+        byte_hops = np.where((byte_hops < 0) | (byte_hops > bytes_), 0, byte_hops)
+        start_hop = min_pass // 4
+        # scan over padded rows: Lp = 4*ceil(L/4) pad bases read as 'A'
+        Lp = 4 * ((L + 3) // 4)
+        codes = np.zeros((n, Lp), dtype=np.uint8)
+        craw = BASE_CODE[rs.seq]
+        cnorm = np.where(craw == 4, 0, craw).astype(np.uint8)
+        for i in range(n):
+            s, e = rs.offsets[i], rs.offsets[i + 1]
+            codes[i, :e - s] = cnorm[s:e]
+        if Lp >= k and n:
+            from kmernator_tpu.ops.kmer import extract_kmers_batch
+            canon, _, _ = extract_kmers_batch(np, codes,
+                                              np.full(n, Lp, np.int64), k)
+            NWp = Lp - k + 1
+            hops = np.arange(0, Lp // 4)[None, :]  # byte positions
+            pos = hops * 4
+            active = ((hops >= start_hop[:, None]) & (hops <= byte_hops[:, None])
+                      & (pos < NWp) & (lens[:, None] >= k)
+                      & (byte_hops[:, None] >= start_hop[:, None]))
+            sel_pos = np.where(active, pos, 0)
+            keys = _canonical_ints(
+                canon[np.repeat(np.arange(n), sel_pos.shape[1]),
+                      sel_pos.reshape(-1)].reshape(-1, canon.shape[-1]))
+            vals = self.lookup(keys).reshape(n, -1)
+            vals = np.where(active, vals, 0)
+            hit = vals > 0
+            any_hit = hit.any(axis=1)
+            if any_hit.any():
+                # last hit (highest position with a hit) wins the value
+                last_idx = vals.shape[1] - 1 - np.argmax(hit[:, ::-1], axis=1)
+                value = np.where(any_hit, vals[np.arange(n), last_idx], 0)
+                hp = np.where(hit, pos, np.iinfo(np.int64).max)
+                min_hit = hp.min(axis=1)
+                hp2 = np.where(hit, pos, -1)
+                max_hit = hp2.max(axis=1)
+                min_aff = np.where(any_hit, np.minimum(min_aff, min_hit), min_aff)
+                max_aff = np.where(any_hit, np.maximum(max_aff, max_hit + k), max_aff)
+                if self.phix_idx >= 0:
+                    was_phix = (vals == self.phix_idx).any(axis=1)
+                    value = np.where(was_phix, self.phix_idx, value)
+                if self.simple_repeat_range[1] > 0:
+                    is_sr = ((value >= self.simple_repeat_range[0])
+                             & (value < self.simple_repeat_range[1]))
+                    good_margin = (((min_aff - min_pass) >= (3 * k) // 2)
+                                   & ((max_pass - max_aff) >= (3 * k) // 2))
+                    clear = is_sr & good_margin & ~was_phix
+                    value = np.where(clear, 0, value)
+                    min_aff = np.where(clear, max_pass, min_aff)
+                    max_aff = np.where(clear, min_pass, max_aff)
+
+        # --- trim to the larger clean side ---
+        act = (value > 0) & (min_aff <= max_aff)
+        keep_left = (min_aff - min_pass) >= (max_pass - max_aff)
+        max_pass = np.where(act & keep_left, min_aff, max_pass)
+        min_pass = np.where(act & ~keep_left, max_aff, min_pass)
+        return value, min_pass, max_pass, sec_off, sec_len, was_phix
+
+
 def passes_length(length: float, read_length: int, minimum_length: float) -> bool:
     """ref: ReadSelectorUtil::passesLength (src/ReadSelector.h:209-228)."""
     if length <= 1.0:
@@ -270,6 +376,26 @@ def passes_length(length: float, read_length: int, minimum_length: float) -> boo
     if minimum_length <= 1.0:
         return read_length * minimum_length <= length
     return minimum_length <= length
+
+
+def _slice_readset(rs: ReadSet, cs: int, ce: int) -> ReadSet:
+    """Lightweight view-copy of reads [cs, ce) for chunked scanning."""
+    if cs == 0 and ce == rs.n:
+        return rs
+    sub = ReadSet.__new__(ReadSet)
+    s, e = rs.offsets[cs], rs.offsets[ce]
+    sub.names = rs.names[cs:ce]
+    sub.comments = rs.comments[cs:ce]
+    sub.seq = rs.seq[s:e]
+    sub.qual = rs.qual[s:e]
+    sub.offsets = rs.offsets[cs:ce + 1] - s
+    sub.discarded = rs.discarded[cs:ce]
+    sub.has_quals = rs.has_quals[cs:ce]
+    sub.file_idx = rs.file_idx[cs:ce]
+    sub.input_qual_base = rs.input_qual_base
+    sub.pairs = []
+    sub._phred = None
+    return sub
 
 
 @dataclass
@@ -324,8 +450,25 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
             out.trimmed += 1
         return True
 
+    # vectorized whole-set scan (chunked to bound memory)
+    CH = 65536
+    sv = np.zeros(n, np.int64)
+    smn = np.zeros(n, np.int64)
+    smx = np.zeros(n, np.int64)
+    sso = np.zeros(n, np.int64)
+    ssl = np.zeros(n, np.int64)
+    sph = np.zeros(n, bool)
+    for cs in range(0, n, CH):
+        ce = min(cs + CH, n)
+        sub = _slice_readset(rs, cs, ce)
+        v, mn, mx, so, sl, wp = filt.scan_all(sub)
+        sv[cs:ce], smn[cs:ce], smx[cs:ce] = v, mn, mx
+        sso[cs:ce], ssl[cs:ce], sph[cs:ce] = so, sl, wp
+
     def scan_and_rescue(i):
-        value, min_pass, max_pass, second, was_phix = filt._scan_read(rs, i)
+        value, min_pass, max_pass = int(sv[i]), int(smn[i]), int(smx[i])
+        was_phix = bool(sph[i])
+        second = (int(sso[i]), int(sso[i] + ssl[i]))
         L = int(lens[i])
         if value == 0 and (max_pass - min_pass) != L:
             # only quality trimming affected the read (ref: :523-533)

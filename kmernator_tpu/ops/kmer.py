@@ -33,6 +33,16 @@ def pack16(xp, codes):
     """
     c = codes.astype(xp.uint32)
     L = c.shape[-1]
+    if xp is np:
+        # in-place accumulation (no per-shift temporaries)
+        out = np.zeros_like(c)
+        for t in range(16):
+            if t >= L:
+                break
+            np.bitwise_or(out[..., :L - t] if t else out,
+                          c[..., t:] << np.uint32(30 - 2 * t),
+                          out=out[..., :L - t] if t else out)
+        return out
     out = xp.zeros_like(c)
     for t in range(16):
         shift = xp.uint32(30 - 2 * t)
@@ -47,6 +57,20 @@ def pack16(xp, codes):
 
 def _reverse_bases_u32(xp, x):
     """Reverse the 16 2-bit groups within each u32 lane."""
+    if xp is np:
+        for mask, s in ((np.uint32(0x33333333), np.uint32(2)),
+                        (np.uint32(0x0F0F0F0F), np.uint32(4)),
+                        (np.uint32(0x00FF00FF), np.uint32(8))):
+            lo = np.bitwise_and(x, mask)
+            np.left_shift(lo, s, out=lo)
+            hi = np.right_shift(x, s)
+            np.bitwise_and(hi, mask, out=hi)
+            np.bitwise_or(lo, hi, out=lo)
+            x = lo
+        hi = np.right_shift(x, np.uint32(16))
+        lo = np.left_shift(x, np.uint32(16))
+        np.bitwise_or(lo, hi, out=lo)
+        return lo
     x = _mask32(xp, ((x & xp.uint32(0x33333333)) << xp.uint32(2))) | ((x >> xp.uint32(2)) & xp.uint32(0x33333333))
     x = _mask32(xp, ((x & xp.uint32(0x0F0F0F0F)) << xp.uint32(4))) | ((x >> xp.uint32(4)) & xp.uint32(0x0F0F0F0F))
     x = _mask32(xp, ((x & xp.uint32(0x00FF00FF)) << xp.uint32(8))) | ((x >> xp.uint32(8)) & xp.uint32(0x00FF00FF))
