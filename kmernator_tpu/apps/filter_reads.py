@@ -40,8 +40,31 @@ def file_prefix(path: str) -> str:
     return base[:dot]
 
 
+def build_subtract_keys(reference_files, subtract_files, k, min_quality,
+                        output_base, min_kmer_quality, min_depth):
+    """Union of kmers to exclude from counting (ref: FilterReads-P.cpp:
+    287-308 + KmerSpectrum::subtractReference): every kmer of the
+    reference files (not subject to min-depth) plus the abundant
+    (>= min-depth) kmers of the subtract files."""
+    sets = []
+    if reference_files:
+        ref = load_reads(list(reference_files), 33, output_base, True)
+        sp = build_spectrum(ref, k, min_quality, output_base, min_kmer_quality)
+        sets.append(sp.keys)
+    if subtract_files:
+        sub = load_reads(list(subtract_files), 33, output_base, True)
+        sp = build_spectrum(sub, k, min_quality, output_base, min_kmer_quality)
+        if min_depth > 1:
+            sp.purge_min_depth(max(min_depth, 2))
+        sets.append(sp.keys)
+    if not sets:
+        return None
+    return np.unique(np.concatenate(sets))
+
+
 def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
-                   min_kmer_quality: float, _keys_out: list = None) -> KmerSpectrum:
+                   min_kmer_quality: float, _keys_out: list = None,
+                   subtract_keys: np.ndarray = None) -> KmerSpectrum:
     """Extract canonical kmers + exact weights and count good observations.
     Mirrors _buildKmerSpectrumParallel + append()
     (ref: src/KmerSpectrum.h:1932-2074,1578-1668).
@@ -59,6 +82,10 @@ def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
     good = good_kmer_mask(w, min_kmer_quality)
     # discarded reads contribute nothing (ref: buildWeightedKmers early-out)
     good = good & ~rs.discarded[read_id]
+    if subtract_keys is not None and len(subtract_keys):
+        idx = np.searchsorted(subtract_keys, keys)
+        idx = np.clip(idx, 0, len(subtract_keys) - 1)
+        good = good & (subtract_keys[idx] != keys)
     return KmerSpectrum.from_observations(
         k, keys, good, weights=w.astype(np.float32), is_fwd=is_fwd)
 
@@ -480,10 +507,15 @@ def run(argv: List[str]) -> int:
         if sopts.load_kmer_mmap:
             spectrum = KmerSpectrum.load(sopts.load_kmer_mmap)
         else:
+            subtract_keys = build_subtract_keys(
+                fopts.reference_file, fopts.subtract_file, k,
+                opts.min_quality_score, opts.fastq_output_base_quality,
+                sopts.min_kmer_quality, sopts.min_depth)
             keys_cache = []
             spectrum = build_spectrum(rs, k, opts.min_quality_score,
                                       opts.fastq_output_base_quality,
-                                      sopts.min_kmer_quality, keys_cache)
+                                      sopts.min_kmer_quality, keys_cache,
+                                      subtract_keys)
             if fopts.histogram_file:
                 with open(fopts.histogram_file, "w") as f:
                     f.write(spectrum.histogram_table())
