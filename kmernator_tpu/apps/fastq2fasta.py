@@ -11,14 +11,16 @@ from kmernator_tpu.utils.options import GeneralOptions, compose
 
 
 class _F2FOptions:
-    split_pairs: bool = False
-    split_size_mbase: int = 0
     FLAGS = {"split-pairs": lambda v: str(v).lower() not in ("0", "false", ""),
-             "split-size-mbase": int}
+             "split-size-mbase": int,
+             "write-qual": lambda v: str(v).lower() not in ("0", "false", "")}
 
     def __init__(self):
         self.split_pairs = False
         self.split_size_mbase = 0
+        # Fastq2FastaQual mode (ref: apps/Fastq2FastaQual.cpp): also emit
+        # .qual files with whitespace-separated integer phreds
+        self.write_qual = False
 
 
 def run(argv: List[str]) -> int:
@@ -37,11 +39,17 @@ def run(argv: List[str]) -> int:
     if not out_name:
         split_size = 0
     outputs: Dict[str, List[bytes]] = {}
+    quals_out: Dict[str, List[bytes]] = {}
     ph = rs.phred()
     current_base = 0
     partition = 1
 
     def emit(i, key):
+        if f2f.write_qual and rs.has_quals[i]:
+            q = ph[rs.offsets[i]:rs.offsets[i + 1]]
+            rec = (b">" + rs.names[i] + b"\n"
+                   + b" ".join(b"%d" % v for v in q) + b" \n")
+            quals_out.setdefault(key, []).append(rec)
         rec = format_read(
             rs.names[i], rs.comments[i],
             rs.seq[rs.offsets[i]:rs.offsets[i + 1]].tobytes(),
@@ -75,6 +83,9 @@ def run(argv: List[str]) -> int:
     if out_name:
         for key, recs in outputs.items():
             with open(out_name + key + suffix, "wb") as f:
+                f.write(b"".join(recs))
+        for key, recs in quals_out.items():
+            with open(out_name + key + ".qual", "wb") as f:
                 f.write(b"".join(recs))
     else:
         for recs in outputs.values():

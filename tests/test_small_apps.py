@@ -80,3 +80,32 @@ def test_estimate_size():
     vals = dict(line.split("\t") for line in r.stdout.decode().strip().splitlines())
     gs = int(vals["estimatedGenomeSize"])
     assert 3000 < gs < 8000  # phiX is 5386; reads cover most of it
+
+
+def test_fastq2fastaqual_roundtrip(tmp_path):
+    out = str(tmp_path / "fq")
+    run_app("fastq2fasta", ["--write-qual", "1", "--out", out,
+                            REF + "/10.fastq"])
+    import sys as _s
+    _s.path.insert(0, REPO)
+    from kmernator_tpu.io.reads import load_reads
+    a = load_reads([out + "-10.fasta"])     # sibling .qual autoloads
+    b = load_reads([REF + "/10.fastq"])
+    assert np.array_equal(a.seq, b.seq)
+    assert np.array_equal(a.phred(), b.phred())
+
+
+def test_paired_normalization(tmp_path):
+    out = str(tmp_path / "nz")
+    r = subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+         "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+         "--artifact-edit-distance", "1", "--min-read-length", "0.4",
+         "--max-kmer-output-depth", "100", "--out", out, "21",
+         REF + "/10-cs18.1.fastq", REF + "/10-cs18.2.fastq"],
+        check=True, env=ENV, capture_output=True)
+    f1 = out + "-MinDepth2-MaxDepth100-10-cs18.1.fastq"
+    f2 = out + "-MinDepth2-MaxDepth100-10-cs18.2.fastq"
+    n1 = open(f1, "rb").read().count(b"\n") // 4
+    n2 = open(f2, "rb").read().count(b"\n") // 4
+    assert n1 == n2 and n1 > 0  # pairs stay together across the two outputs
