@@ -87,8 +87,13 @@ def run(argv: List[str]) -> int:
 
     order = coordinate_sort_order(bd)
     order = order[keep[order]]
-    with open(out_path, "wb") as f:
-        f.write(write_bam(bd, order))
+    if out_path.endswith(".sam"):
+        from kmernator_tpu.io.bam import to_sam_text
+        with open(out_path, "wb") as f:
+            f.write(to_sam_text(bd, order))
+    else:
+        with open(out_path, "wb") as f:
+            f.write(write_bam(bd, order))
 
     if unmapped_reads:
         with gzip.open(unmapped_reads, "wb") as f:

@@ -90,6 +90,47 @@ def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
         k, keys, good, weights=w.astype(np.float32), is_fwd=is_fwd)
 
 
+def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
+                            output_base: int, min_kmer_quality: float,
+                            num_parts: int, subtract_keys=None,
+                            spill_prefix: str = "") -> KmerSpectrum:
+    """Hash-range partitioned build with per-part spills and a final merge
+    (ref: buildKmerSpectrumInParts): each pass counts only the kmers whose
+    hash lands in part i, spills the partial table, then merges."""
+    import tempfile
+    from kmernator_tpu.apps.estimate_size import owner_hash_np
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
+    canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+    keys = pack_u64(canon)
+    p = rs.base_probabilities(min_quality, output_base)
+    w = window_weights(p, rs.offsets, markup, k)
+    good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
+    if subtract_keys is not None and len(subtract_keys):
+        idx = np.searchsorted(subtract_keys, keys)
+        idx = np.clip(idx, 0, len(subtract_keys) - 1)
+        good = good & (subtract_keys[idx] != keys)
+    part = owner_hash_np(keys) % np.uint32(num_parts)
+    spills = []
+    tmpdir = tempfile.mkdtemp(prefix="kmtpu-parts-")
+    merged = None
+    for pi in range(num_parts):
+        sel = good & (part == pi)
+        sp = KmerSpectrum.from_observations(k, keys, sel,
+                                            weights=w.astype(np.float32),
+                                            is_fwd=is_fwd)
+        path = os.path.join(tmpdir, "part%d.npz" % pi)
+        sp.save(path)
+        spills.append(path)
+    for path in spills:
+        sp = KmerSpectrum.load(path if os.path.exists(path) else path + ".npz")
+        merged = sp if merged is None else merged.merge(sp)
+        os.unlink(path if os.path.exists(path) else path + ".npz")
+    os.rmdir(tmpdir)
+    return merged
+
+
 def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
                              min_quality: int, output_base: int,
                              min_kmer_quality: float, n_devices: int):
@@ -512,10 +553,20 @@ def run(argv: List[str]) -> int:
                 opts.min_quality_score, opts.fastq_output_base_quality,
                 sopts.min_kmer_quality, sopts.min_depth)
             keys_cache = []
-            spectrum = build_spectrum(rs, k, opts.min_quality_score,
-                                      opts.fastq_output_base_quality,
-                                      sopts.min_kmer_quality, keys_cache,
-                                      subtract_keys)
+            if sopts.build_partitions > 1:
+                # out-of-core hash-range partitioned build + merge
+                # (ref: buildKmerSpectrumInParts, src/KmerSpectrum.h:1818-1902)
+                spectrum = build_spectrum_in_parts(
+                    rs, k, opts.min_quality_score,
+                    opts.fastq_output_base_quality, sopts.min_kmer_quality,
+                    sopts.build_partitions, subtract_keys,
+                    opts.output_file + "-mmap" if opts.output_file else "")
+                keys_cache = None
+            else:
+                spectrum = build_spectrum(rs, k, opts.min_quality_score,
+                                          opts.fastq_output_base_quality,
+                                          sopts.min_kmer_quality, keys_cache,
+                                          subtract_keys)
             if fopts.histogram_file:
                 with open(fopts.histogram_file, "w") as f:
                     f.write(spectrum.histogram_table())

@@ -251,6 +251,83 @@ def merge(bds: List[BamData]) -> BamData:
     return out
 
 
+def record_to_sam(bd: BamData, i: int) -> bytes:
+    """One SAM text line (samtools-view equivalent) incl. aux tags."""
+    body = bd.records[i]
+    ref_id, pos = struct.unpack_from("<ii", body, 0)
+    l_read_name = body[8]
+    mapq = body[9]
+    n_cigar = struct.unpack_from("<H", body, 12)[0]
+    flag = struct.unpack_from("<H", body, 14)[0]
+    l_seq = struct.unpack_from("<i", body, 16)[0]
+    next_ref, next_pos, tlen = struct.unpack_from("<iii", body, 20)
+    name = body[32:32 + l_read_name - 1]
+    off = 32 + l_read_name
+    cigar_ops = struct.unpack_from("<%dI" % n_cigar, body, off)
+    off += 4 * n_cigar
+    seq, qual = bd.seq_qual(i)
+    cigar = b"".join(b"%d%c" % (op >> 4, _CIGAR_OPS[op & 0xF].encode())
+                     for op in cigar_ops) or b"*"
+    rname = bd.ref_names[ref_id] if ref_id >= 0 else b"*"
+    if next_ref < 0:
+        rnext = b"*"
+    elif next_ref == ref_id:
+        rnext = b"="
+    else:
+        rnext = bd.ref_names[next_ref]
+    qual_txt = bytes(c + 33 for c in qual) if l_seq else b"*"
+    fields = [name, b"%d" % flag, rname, b"%d" % (pos + 1), b"%d" % mapq,
+              cigar, rnext, b"%d" % (next_pos + 1), b"%d" % tlen,
+              seq or b"*", qual_txt]
+    # aux tags
+    aux_off = off + (l_seq + 1) // 2 + l_seq
+    aux = body[aux_off:]
+    j = 0
+    while j + 3 <= len(aux):
+        tag = aux[j:j + 2]
+        typ = aux[j + 2:j + 3]
+        j += 3
+        if typ == b"A":
+            fields.append(tag + b":A:" + aux[j:j + 1]); j += 1
+        elif typ in b"cC":
+            v = aux[j] if typ == b"C" else struct.unpack_from("<b", aux, j)[0]
+            fields.append(tag + b":i:%d" % v); j += 1
+        elif typ in b"sS":
+            fmt = "<h" if typ == b"s" else "<H"
+            fields.append(tag + b":i:%d" % struct.unpack_from(fmt, aux, j)[0]); j += 2
+        elif typ in b"iI":
+            fmt = "<i" if typ == b"i" else "<I"
+            fields.append(tag + b":i:%d" % struct.unpack_from(fmt, aux, j)[0]); j += 4
+        elif typ == b"f":
+            fields.append(tag + b":f:%g" % struct.unpack_from("<f", aux, j)[0]); j += 4
+        elif typ in b"ZH":
+            end = aux.index(b"\x00", j)
+            fields.append(tag + b":" + typ + b":" + aux[j:end]); j = end + 1
+        elif typ == b"B":
+            sub = aux[j:j + 1]; j += 1
+            cnt = struct.unpack_from("<i", aux, j)[0]; j += 4
+            sizes = {b"c": 1, b"C": 1, b"s": 2, b"S": 2, b"i": 4, b"I": 4, b"f": 4}
+            fmts = {b"c": "<b", b"C": "<B", b"s": "<h", b"S": "<H",
+                    b"i": "<i", b"I": "<I", b"f": "<f"}
+            vals = [struct.unpack_from(fmts[sub], aux, j + t * sizes[sub])[0]
+                    for t in range(cnt)]
+            j += cnt * sizes[sub]
+            body_txt = b",".join((b"%g" if sub == b"f" else b"%d") % v for v in vals)
+            fields.append(tag + b":B:" + sub + b"," + body_txt)
+        else:
+            break  # unknown tag type; stop rather than emit garbage
+    return b"\t".join(fields)
+
+
+def to_sam_text(bd: BamData, order=None) -> bytes:
+    out = [bd.header_text if bd.header_text.endswith(b"\n")
+           else bd.header_text + b"\n"]
+    idx = order if order is not None else range(bd.n)
+    for i in idx:
+        out.append(record_to_sam(bd, int(i)) + b"\n")
+    return b"".join(out)
+
+
 def coordinate_sort_order(bd: BamData) -> np.ndarray:
     """samtools-sort order: refID ascending (unmapped -1 last), pos asc."""
     ref = np.where(bd.ref_id < 0, np.int64(1 << 40), bd.ref_id.astype(np.int64))
