@@ -109,3 +109,29 @@ def test_paired_normalization(tmp_path):
     n1 = open(f1, "rb").read().count(b"\n") // 4
     n2 = open(f2, "rb").read().count(b"\n") // 4
     assert n1 == n2 and n1 > 0  # pairs stay together across the two outputs
+
+
+def test_mask_simple_repeats_smoke(tmp_path):
+    """Exercise the simple-repeat artifact table (ref: ktest2 registration
+    with --mask-simple-repeats)."""
+    out = str(tmp_path / "sr")
+    subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+         "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "1",
+         "--artifact-edit-distance", "1", "--fastq-output-base-quality", "64",
+         "--min-read-length", "25", "--out", out, "21", REF + "/10.fastq"],
+        check=True, env=ENV, capture_output=True)
+    assert len(open(out + "-MinDepth2-10.fastq", "rb").read()) > 0
+
+
+def test_owner_hash_balance():
+    """Shard routing balance (ref: test/HashTester.cpp's purpose)."""
+    import numpy as np
+    sys.path.insert(0, REPO)
+    from kmernator_tpu.apps.estimate_size import owner_hash_np
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**62, 200000).astype(np.uint64)
+    for d in (2, 8, 13):
+        counts = np.bincount(owner_hash_np(keys) % np.uint32(d), minlength=d)
+        assert counts.min() > 0.9 * len(keys) / d
+        assert counts.max() < 1.1 * len(keys) / d
