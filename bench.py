@@ -46,6 +46,8 @@ def baseline_kmers_per_sec() -> float:
 
 
 def tpu_kmers_per_sec() -> float:
+    from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from kmernator_tpu.parallel.device_spectrum import (count_batch,

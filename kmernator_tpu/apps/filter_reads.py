@@ -137,6 +137,8 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     """Multi-chip spectrum counting (the FilterReads-P analogue): exact host
     weights gate goodness, the mesh all_to_all path does the counting.
     Returns the same ragged (counts, window_offsets) as the host path."""
+    from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from kmernator_tpu.parallel.mesh import make_mesh, distributed_count_fn

@@ -106,6 +106,8 @@ def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
     """Sharded extension-tracking spectrum (the distributed
     MeraculousCounter path): exact host weights gate goodness; kmers and
     extension observations route to owner shards via all_to_all."""
+    from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from kmernator_tpu.parallel.mesh import make_mesh, distributed_extension_fn
     from kmernator_tpu.parallel.device_spectrum import pack_readset, SENTINEL

@@ -12,6 +12,8 @@ from typing import Iterable, Optional, Tuple
 
 import numpy as np
 
+from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
@@ -82,8 +84,45 @@ class StreamingSpectrum:
 
 
 def build_streaming(batches: Iterable, k: int, capacity: int,
-                    min_weight: float = 0.10, min_depth: int = 2):
+                    min_weight: float = 0.10, min_depth: int = 2,
+                    prefetch: int = 2):
+    """Stream batches into a StreamingSpectrum with host-side prefetch: a
+    background thread runs the (CPU-bound) parse/pack iterator while the
+    device works on the previous batch — the reference's comm-thread /
+    worker-thread split (ref: DistributedFunctions.h:376-382) recast as
+    IO/compute overlap."""
     sp = StreamingSpectrum(k, capacity, min_weight)
-    for codes, logp, lengths in batches:
+    for codes, logp, lengths in _prefetched(batches, prefetch):
         sp.add_batch(codes, logp, lengths)
     return sp.finalize(min_depth)
+
+
+def _prefetched(iterable: Iterable, depth: int):
+    if depth <= 0:
+        yield from iterable
+        return
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]
