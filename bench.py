@@ -37,12 +37,17 @@ def baseline_kmers_per_sec() -> float:
         subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
                         "-lpthread"], check=True)
     n_reads = GENOME * COVERAGE // L
-    out = subprocess.run([exe, str(n_reads), str(L), str(K), "4", str(GENOME)],
-                         check=True, capture_output=True, text=True)
-    for line in out.stdout.splitlines():
-        if line.startswith("kmers_per_sec="):
-            return float(line.split("=")[1])
-    raise RuntimeError("baseline produced no rate: %r" % out.stdout)
+    best = 0.0
+    for _ in range(3):  # take the baseline's best run (conservative ratio)
+        out = subprocess.run([exe, str(n_reads), str(L), str(K), "4",
+                              str(GENOME)], check=True, capture_output=True,
+                             text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("kmers_per_sec="):
+                best = max(best, float(line.split("=")[1]))
+    if not best:
+        raise RuntimeError("baseline produced no rate: %r" % out.stdout)
+    return best
 
 
 def tpu_kmers_per_sec() -> float:
