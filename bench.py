@@ -25,7 +25,7 @@ K = 31
 L = 100
 GENOME = 2_000_000
 COVERAGE = 20
-B = 65536         # reads per device batch (~4.6M windows)
+B = 131072        # reads per device batch (~9.2M windows)
 STEPS = 5
 
 

@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <chrono>
+#include <cmath>
 #include <random>
 #include <thread>
 #include <vector>
@@ -26,16 +27,20 @@ static inline uint64_t mix64(uint64_t h) {
 }
 
 struct Table {
+  // (key, count, weightedCount) — the reference tracks a float weighted
+  // count alongside every integer count (ref TrackingData semantics)
   std::vector<uint64_t> keys;
   std::vector<uint32_t> counts;
+  std::vector<float> weighted;
   uint64_t mask;
   explicit Table(size_t cap_pow2) : keys(cap_pow2, ~0ULL), counts(cap_pow2, 0),
+                                    weighted(cap_pow2, 0.f),
                                     mask(cap_pow2 - 1) {}
-  inline void add(uint64_t key) {
+  inline void add(uint64_t key, float w) {
     uint64_t h = mix64(key) & mask;
     while (true) {
-      if (keys[h] == key) { counts[h]++; return; }
-      if (keys[h] == ~0ULL) { keys[h] = key; counts[h] = 1; return; }
+      if (keys[h] == key) { counts[h]++; weighted[h] += w; return; }
+      if (keys[h] == ~0ULL) { keys[h] = key; counts[h] = 1; weighted[h] = w; return; }
       h = (h + 1) & mask;
     }
   }
@@ -86,15 +91,24 @@ int main(int argc, char** argv) {
       Table* tab = new Table(cap / threads * 2);
       tables[t] = tab;
       const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+      // per-base P(correct) as the reference computes for every window
+      // (quality product with incremental update, ref KmerReadUtils)
+      double ptable[64];
+      for (int q = 0; q < 64; q++) ptable[q] = 1.0 - pow(10.0, -q / 10.0);
       for (long r = 0; r < n_reads; r++) {
         const uint8_t* p = &bases[(size_t)r * L];
         uint64_t fwd = 0;
+        double weight = 1.0;
         for (int i = 0; i < L; i++) {
           fwd = ((fwd << 2) | p[i]) & kmask;
+          double pb = ptable[30 + (p[i] & 7)];
+          if (i < k) weight *= pb;
+          else weight *= pb / ptable[30 + (p[i - k] & 7)];
           if (i >= k - 1) {
             uint64_t rc = revcomp_k(fwd, k);
             uint64_t canon = fwd < rc ? fwd : rc;
-            if ((int)(mix64(canon) % threads) == t) tab->add(canon);
+            if ((int)(mix64(canon) % threads) == t && weight > 0.1)
+              tab->add(canon, (float)weight);
           }
         }
       }
