@@ -170,8 +170,11 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
     mesh = make_mesh(n_devices)
     fn = distributed_count_fn(mesh, k, min_count=max(min_depth, 2))
-    counts2d = np.asarray(fn(jnp.asarray(codes), jnp.asarray(good2d),
-                             jnp.asarray(lengths)))[:B]
+    counts2d, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                            jnp.asarray(lengths))
+    if int(np.asarray(overflow).sum()):
+        raise RuntimeError("mesh bucket overflow — raise capacity_factor")
+    counts2d = np.asarray(counts2d)[:B]
     counts = np.zeros(int(nw.sum()), dtype=np.int64)
     for i in read_has:
         counts[woff[i]:woff[i + 1]] = counts2d[i, :nw[i]]

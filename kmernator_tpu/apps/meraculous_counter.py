@@ -144,8 +144,10 @@ def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
     mesh = make_mesh(n_devices)
     fn = distributed_extension_fn(mesh, k, min_count=1)
-    sk, sc, se = fn(jnp.asarray(codes), jnp.asarray(good2d),
-                    jnp.asarray(ext_ok2d), jnp.asarray(lengths))
+    sk, sc, se, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                              jnp.asarray(ext_ok2d), jnp.asarray(lengths))
+    if int(np.asarray(overflow).sum()):
+        raise RuntimeError("mesh bucket overflow — raise capacity_factor")
     sk, sc, se = np.asarray(sk), np.asarray(sc), np.asarray(se)
     real = (sc > 0) & ~np.all(sk == 0xFFFFFFFF, axis=1)
     sp = KmerSpectrum(k=k)

@@ -84,8 +84,9 @@ def _bucket_scatter(keys, good, owner, D: int, C: int):
     send_good = send_good.at[tgt].max(jnp.where(ok, good[sidx].astype(jnp.int32), 0))
     win_slot = jnp.full(N, -1, dtype=jnp.int32)
     win_slot = win_slot.at[sidx].set(jnp.where(ok, slot, -1))
+    overflow = jnp.sum((~ok).astype(jnp.int32))
     return (send_keys[:D * C].reshape(D, C, W),
-            send_good[:D * C].reshape(D, C), win_slot)
+            send_good[:D * C].reshape(D, C), win_slot, overflow)
 
 
 def _count_received(keys2d, good2d, min_count: int):
@@ -139,7 +140,8 @@ def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         g = good.reshape(N) & valid.reshape(N)
         owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
         C = int(np.ceil(N / D * capacity_factor))
-        send_keys, send_good, win_slot = _bucket_scatter(keys, g, owner, D, C)
+        send_keys, send_good, win_slot, overflow = _bucket_scatter(
+            keys, g, owner, D, C)
         recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
                                        concat_axis=0)
         recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
@@ -151,12 +153,12 @@ def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         flat_back = cnt_back.reshape(D * C)
         counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
         counts = jnp.where(valid.reshape(N), counts, 0)
-        return counts.reshape(B, NW), shard_keys, shard_counts
+        return counts.reshape(B, NW), shard_keys, shard_counts, overflow[None]
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis, None), P(axis)))
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)))
     return jax.jit(smapped)
 
 
@@ -257,6 +259,7 @@ def distributed_extension_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
         ok = pos_in_run < C
+        overflow = jnp.sum((~ok).astype(jnp.int32))
         slot = jnp.where(ok, sowner * C + pos_in_run, D * C)
 
         def scatter(col, fill):
@@ -270,14 +273,15 @@ def distributed_extension_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         send_er = scatter(er_f, jnp.int32(-1)).reshape(D, C)
         a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0)
         rk, rg, rl, rr = a2a(send_keys), a2a(send_good), a2a(send_el), a2a(send_er)
-        return _count_received_ext(rk.reshape(D * C, W), rg.reshape(D * C),
-                                   rl.reshape(D * C), rr.reshape(D * C),
-                                   min_count)
+        out = _count_received_ext(rk.reshape(D * C, W), rg.reshape(D * C),
+                                  rl.reshape(D * C), rr.reshape(D * C),
+                                  min_count)
+        return out + (overflow[None],)
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis), P(axis, None)))
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis)))
     return jax.jit(smapped)
 
 
@@ -298,7 +302,8 @@ def distributed_count_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         g = good_in.reshape(N) & valid.reshape(N)
         owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
         C = int(np.ceil(N / D * capacity_factor))
-        send_keys, send_good, win_slot = _bucket_scatter(keys, g, owner, D, C)
+        send_keys, send_good, win_slot, overflow = _bucket_scatter(
+            keys, g, owner, D, C)
         recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
                                        concat_axis=0)
         recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
@@ -310,10 +315,10 @@ def distributed_count_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         flat_back = cnt_back.reshape(D * C)
         counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
         counts = jnp.where(valid.reshape(N), counts, 0)
-        return counts.reshape(B, NW)
+        return counts.reshape(B, NW), overflow[None]
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
-        out_specs=P(axis, None))
+        out_specs=(P(axis, None), P(axis)))
     return jax.jit(smapped)

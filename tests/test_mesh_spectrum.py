@@ -34,8 +34,9 @@ def test_distributed_counts_match_host(ndev):
 
     mesh = make_mesh(ndev)
     fn = distributed_spectrum_fn(mesh, K)
-    counts, shard_keys, shard_counts = fn(jnp.asarray(codes), jnp.asarray(logp),
-                                          jnp.asarray(lengths))
+    counts, shard_keys, shard_counts, overflow = fn(
+        jnp.asarray(codes), jnp.asarray(logp), jnp.asarray(lengths))
+    assert int(np.asarray(overflow).sum()) == 0
     counts = np.asarray(counts)[:B]
 
     want_counts, good_host, sp = host_counts(rs, K)
