@@ -25,7 +25,9 @@ class _TnfOptions:
     FLAGS = {"kmer-size": int, "reference-file": list,
              "inter-distance-file": str, "cluster-file": str,
              "cluster-threshold-distance": float,
-             "distance-formula": str, "min-sequence-length": int}
+             "distance-formula": str, "min-sequence-length": int,
+             "intra-inter-file": str, "window-size": int, "window-step": int,
+             "likelihood-bins": int, "max-samples": int}
 
     def __init__(self):
         self.kmer_size = 4
@@ -35,6 +37,11 @@ class _TnfOptions:
         self.cluster_threshold_distance = 0.175
         self.distance_formula = "EUCLIDEAN"
         self.min_sequence_length = 0
+        self.intra_inter_file = ""
+        self.window_size = 2000
+        self.window_step = 1000
+        self.likelihood_bins = 250
+        self.max_samples = 2_000_000
 
 
 def canonical_index_table(k: int):
@@ -128,6 +135,93 @@ def cluster(dist: np.ndarray, threshold: float) -> List[List[int]]:
     return list(groups.values())
 
 
+def shred_windows(rs: ReadSet, window: int, step: int) -> ReadSet:
+    """ref: shredReadByWindow — fixed windows every `step` bases."""
+    out = ReadSet()
+    out.input_qual_base = rs.input_qual_base
+    for i in range(rs.n):
+        seq = rs.get_seq(i)
+        L = len(seq)
+        for s in range(0, max(L - window, 0) or 1, step):
+            if L <= window and s > 0:
+                break
+            out.append_read(rs.names[i] + b":%d-%d" % (s, min(s + window, L)),
+                            b"", seq[s:s + window], None)
+            out.file_idx[-1] = rs.file_idx[i]
+    return out
+
+
+def intra_inter_likelihood(rs: ReadSet, tnfo, k: int) -> str:
+    """Intra- vs inter-file TNF distance likelihood tables
+    (ref: TnfDistance.cpp --intra-inter-file flow :700-860): shred every
+    sequence into windows, histogram pairwise distances within a file
+    (intra) vs across files (inter), plus window-vs-whole-file distances."""
+    rng = np.random.default_rng(0)
+    max_dist = np.sqrt(2.0) if tnfo.distance_formula == "EUCLIDEAN" else 1.0
+    bins = tnfo.likelihood_bins
+    edges = np.linspace(0.0, max_dist, bins + 1)
+    hists = {name: np.zeros(bins + 1, dtype=np.int64)
+             for name in ("intra", "inter", "intra_vs_whole", "inter_vs_whole")}
+
+    def observe(name, d):
+        idx = np.minimum((d / (max_dist / bins)).astype(np.int64), bins)
+        np.add.at(hists[name], idx, 1)
+
+    shreds = shred_windows(rs, tnfo.window_size, tnfo.window_step)
+    tnfs, _ = tnf_vectors(shreds, k)
+    # purge short windows (ref: purgeShortTNFS at 3/4 of the window)
+    keep = tnfs.sum(axis=1) >= tnfo.window_size * 3 // 4
+    tnfs = tnfs[keep]
+    files = shreds.file_idx[keep]
+    whole, _ = tnf_vectors(rs, k)
+    whole_by_file = np.zeros((int(rs.file_idx.max()) + 1, whole.shape[1]))
+    np.add.at(whole_by_file, rs.file_idx, whole)
+
+    n_files = whole_by_file.shape[0]
+    max_intra = tnfo.max_samples // max(n_files, 1)
+    for fi in range(n_files):
+        sel = np.flatnonzero(files == fi)
+        if len(sel) < 2:
+            continue
+        sub = tnfs[sel]
+        d2whole = distances(np.concatenate([whole_by_file[fi:fi + 1], sub]),
+                            tnfo.distance_formula)[0, 1:]
+        observe("intra_vs_whole", d2whole)
+        dm = distances(sub, tnfo.distance_formula)
+        iu = np.triu_indices(len(sub), 1)
+        vals = dm[iu]
+        if len(vals) > max_intra:
+            vals = rng.choice(vals, max_intra, replace=False)
+        observe("intra", vals)
+    # inter: across file pairs
+    if n_files >= 2:
+        max_inter = tnfo.max_samples // (n_files * (n_files - 1) // 2)
+        for fi in range(n_files):
+            for fj in range(fi + 1, n_files):
+                a = tnfs[files == fi]
+                b = tnfs[files == fj]
+                if not len(a) or not len(b):
+                    continue
+                dm = distances(np.concatenate([a, b]),
+                               tnfo.distance_formula)[:len(a), len(a):]
+                vals = dm.reshape(-1)
+                if len(vals) > max_inter:
+                    vals = rng.choice(vals, max_inter, replace=False)
+                observe("inter", vals)
+                observe("inter_vs_whole",
+                        distances(np.concatenate([whole_by_file[fj:fj + 1], a]),
+                                  tnfo.distance_formula)[0, 1:])
+                observe("inter_vs_whole",
+                        distances(np.concatenate([whole_by_file[fi:fi + 1], b]),
+                                  tnfo.distance_formula)[0, 1:])
+    lines = ["BinStart\tIntra\tInter\tIntraVsWhole\tInterVsWhole"]
+    for b in range(bins + 1):
+        lines.append("%g\t%d\t%d\t%d\t%d" % (
+            edges[min(b, bins)], hists["intra"][b], hists["inter"][b],
+            hists["intra_vs_whole"][b], hists["inter_vs_whole"][b]))
+    return "\n".join(lines) + "\n"
+
+
 def run(argv: List[str]) -> int:
     opts = GeneralOptions()
     tnfo = _TnfOptions()
@@ -185,6 +279,10 @@ def run(argv: List[str]) -> int:
             for gi, g in enumerate(groups):
                 for i in g:
                     f.write("%d\t%s\n" % (gi, rs.names[i].decode()))
+
+    if tnfo.intra_inter_file:
+        with open(tnfo.intra_inter_file, "w") as f:
+            f.write(intra_inter_likelihood(rs, tnfo, k))
     if close:
         out.close()
     return 0

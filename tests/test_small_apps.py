@@ -135,3 +135,29 @@ def test_owner_hash_balance():
         counts = np.bincount(owner_hash_np(keys) % np.uint32(d), minlength=d)
         assert counts.min() > 0.9 * len(keys) / d
         assert counts.max() < 1.1 * len(keys) / d
+
+
+def test_tnf_intra_inter(tmp_path):
+    import numpy as np
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    paths = []
+    for fi, f in enumerate(("gA", "gB")):
+        p = [0.4, 0.1, 0.1, 0.4] if fi == 0 else [0.1, 0.4, 0.4, 0.1]
+        path = str(tmp_path / (f + ".fasta"))
+        with open(path, "wb") as fh:
+            for i in range(3):
+                seq = bases[rng.choice(4, 5000, p=p)]
+                fh.write(b">%s_%d\n" % (f.encode(), i) + seq.tobytes() + b"\n")
+        paths.append(path)
+    ii = str(tmp_path / "ii.txt")
+    run_app("tnf_distance", ["--intra-inter-file", ii, "--window-size", "300",
+                             "--window-step", "150"] + paths)
+    rows = [l.split("\t") for l in open(ii).read().strip().splitlines()[1:]]
+    arr = np.array(rows, dtype=float)
+
+    def mean(col):
+        w = arr[:, col]
+        return (arr[:, 0] * w).sum() / max(w.sum(), 1)
+
+    assert mean(1) < mean(2)  # intra distances tighter than inter
