@@ -33,7 +33,8 @@ class _AsmOptions:
              "max-contig-length": int, "max-contigs-per-batch": int,
              "minimum-consensus": float, "minimum-coverage": float,
              "maximum-delta-ratio": float,
-             "match-max-positions-from-edge": int, "max-read-matches": int}
+             "match-max-positions-from-edge": int, "max-read-matches": int,
+             "mesh": int, "jax-platform": str}
 
     def __init__(self):
         self.contig_file = ""
@@ -45,6 +46,8 @@ class _AsmOptions:
         self.maximum_delta_ratio = 0.33
         self.match_max_positions_from_edge = 500
         self.max_read_matches = 10000
+        self.mesh = 0
+        self.jax_platform = ""
 
 
 def _subset(rs: ReadSet, indices) -> ReadSet:
@@ -88,10 +91,31 @@ def run(argv: List[str]) -> int:
                               min_quality=opts.min_quality_score)
         apply_artifact_filter(rs, filt)
 
-    index = KmerReadIndex(rs, kopts.kmer_size, sopts.min_depth,
-                          opts.min_quality_score,
-                          opts.fastq_output_base_quality,
-                          sopts.min_kmer_quality)
+    if asm.mesh:
+        # distributed matcher: index sharded over the device mesh, edge-kmer
+        # queries resolved collectively (the exchangeGlobalReads analogue)
+        if asm.jax_platform:
+            import jax
+            jax.config.update("jax_platforms", asm.jax_platform)
+        from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+        enable_compilation_cache()
+        from kmernator_tpu.parallel.mesh import make_mesh
+        from kmernator_tpu.parallel.dist_match import (MeshReadIndex,
+                                                       mesh_match_pools)
+        mesh = make_mesh(asm.mesh)
+        index = MeshReadIndex(mesh, rs, kopts.kmer_size, sopts.min_depth,
+                              opts.min_quality_score,
+                              opts.fastq_output_base_quality,
+                              sopts.min_kmer_quality)
+        pool_fn = lambda idx, ctg: mesh_match_pools(
+            idx, ctg, asm.match_max_positions_from_edge, asm.max_read_matches)
+    else:
+        index = KmerReadIndex(rs, kopts.kmer_size, sopts.min_depth,
+                              opts.min_quality_score,
+                              opts.fastq_output_base_quality,
+                              sopts.min_kmer_quality)
+        pool_fn = lambda idx, ctg: match_pools(
+            idx, ctg, asm.match_max_positions_from_edge, asm.max_read_matches)
     min_k, max_k, k_step = get_min_max_kmer_size(rs, kopts.kmer_size)
     max_extend = max_k
     params = ExtendParams(minimum_consensus=asm.minimum_consensus / 100.0,
@@ -110,8 +134,7 @@ def run(argv: List[str]) -> int:
         iteration += 1
         timer.reset("iteration-%d" % iteration)
         Log.verbose(1, "Iteration %d: %d contigs" % (iteration, contigs.n))
-        pools = match_pools(index, contigs, asm.match_max_positions_from_edge,
-                            asm.max_read_matches)
+        pools = pool_fn(index, contigs)
         timer.record("match")
         changed = ReadSet()
         changed.input_qual_base = rs.input_qual_base

@@ -48,3 +48,20 @@ def test_extension_consistency(tmp_path):
             grew += 1
             assert "-l" in name and "r" in name.rsplit("-l", 1)[1]
     assert grew >= 4, "expected most seeds to extend"
+
+
+def test_mesh_matches_host_assembly(tmp_path):
+    """--mesh 4 (distributed matcher over the virtual mesh) must produce
+    byte-identical contigs to the host matcher path."""
+    host_out = str(tmp_path / "host.fa")
+    mesh_out = str(tmp_path / "mesh.fa")
+    base = [sys.executable, "-m", "kmernator_tpu.apps.nucleating_assembler",
+            "--contig-file", REF + "/5.fa", "--max-iterations", "2",
+            "25", REF + "/1000.fastq"]
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    subprocess.run(base + ["--out", host_out], check=True, env=env,
+                   capture_output=True)
+    subprocess.run(base + ["--out", mesh_out, "--mesh", "4",
+                           "--jax-platform", "cpu"],
+                   check=True, env=env, capture_output=True)
+    assert open(mesh_out, "rb").read() == open(host_out, "rb").read()
