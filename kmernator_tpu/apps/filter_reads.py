@@ -157,10 +157,9 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
     woff = np.concatenate([[0], np.cumsum(nw)])
-    good2d = np.zeros((B, NW), dtype=bool)
-    read_has = np.flatnonzero(nw > 0)
-    for i in read_has:
-        good2d[i, :nw[i]] = exact_good[woff[i]:woff[i + 1]]
+    from kmernator_tpu.parallel.device_spectrum import (ragged_to_padded,
+                                                        padded_to_ragged)
+    good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
     good2d &= ~rs.discarded[:, None]
 
     pad = (-B) % n_devices
@@ -175,9 +174,7 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     if int(np.asarray(overflow).sum()):
         raise RuntimeError("mesh bucket overflow — raise capacity_factor")
     counts2d = np.asarray(counts2d)[:B]
-    counts = np.zeros(int(nw.sum()), dtype=np.int64)
-    for i in read_has:
-        counts[woff[i]:woff[i + 1]] = counts2d[i, :nw[i]]
+    counts = padded_to_ragged(counts2d, nw).astype(np.int64)
     return counts, woff
 
 

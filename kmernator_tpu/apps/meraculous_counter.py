@@ -123,17 +123,12 @@ def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
     exact_good = good_kmer_mask(w, min_kmer_quality)
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
-    woff = np.concatenate([[0], np.cumsum(nw)])
-    good2d = np.zeros((B, NW), dtype=bool)
-    ext_ok2d = np.zeros((B, L), dtype=bool)
+    from kmernator_tpu.parallel.device_spectrum import ragged_to_padded
+    good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
     phred = rs.phred()
-    hq = rs.has_quals
-    for i in range(B):
-        if nw[i] > 0:
-            good2d[i, :nw[i]] = exact_good[woff[i]:woff[i + 1]]
-        s, e = rs.offsets[i], rs.offsets[i + 1]
-        ok = (phred[s:e] >= EXT_MIN_QUALITY) | (not hq[i])
-        ext_ok2d[i, :e - s] = ok
+    read_id = np.repeat(np.arange(rs.n), lens)
+    ok_flat = (phred >= EXT_MIN_QUALITY) | ~rs.has_quals[read_id]
+    ext_ok2d = ragged_to_padded(ok_flat, lens, L, fill=False)
     good2d &= ~rs.discarded[:, None]
 
     pad = (-B) % n_devices

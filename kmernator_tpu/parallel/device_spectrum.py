@@ -311,3 +311,26 @@ def lookup_join(table_keys: jax.Array, table_counts: jax.Array,
     out = out.at[jnp.where(s_isq == 1, s_qidx, 0)].add(
         jnp.where(s_isq == 1, filled, 0))
     return out
+
+
+def ragged_to_padded(flat: np.ndarray, nw: np.ndarray, width: int,
+                     fill=0) -> np.ndarray:
+    """Vectorized scatter of ragged per-read values (read i owns
+    flat[woff[i]:woff[i]+nw[i]]) into a padded [B, width] matrix."""
+    B = len(nw)
+    out = np.full((B, width), fill, dtype=flat.dtype)
+    rows = np.repeat(np.arange(B), nw)
+    cols = np.arange(int(nw.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    out[rows, cols] = flat
+    return out
+
+
+def padded_to_ragged(padded: np.ndarray, nw: np.ndarray) -> np.ndarray:
+    """Inverse of ragged_to_padded: gather the first nw[i] entries of each
+    row back into one flat ragged array."""
+    B = len(nw)
+    rows = np.repeat(np.arange(B), nw)
+    cols = np.arange(int(nw.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    return padded[rows, cols]

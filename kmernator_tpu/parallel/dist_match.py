@@ -177,10 +177,8 @@ class MeshReadIndex:
         exact_good = good_kmer_mask(w, min_kmer_quality)
         lens = rs.lengths()
         nw = np.maximum(lens - k + 1, 0)
-        woff = np.concatenate([[0], np.cumsum(nw)])
-        good2d = np.zeros((B, NW), dtype=bool)
-        for i in np.flatnonzero(nw > 0):
-            good2d[i, :nw[i]] = exact_good[woff[i]:woff[i + 1]]
+        from kmernator_tpu.parallel.device_spectrum import ragged_to_padded
+        good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
         good2d &= ~rs.discarded[:, None]
         pad = (-B) % D
         if pad:
