@@ -90,3 +90,17 @@ def test_lookup_join(rs):
     lut = {tuple(k): c for k, c in zip(map(tuple, tkeys), tcounts)}
     want = np.array([lut.get(tuple(q), 0) for q in qkeys], np.int32)
     assert np.array_equal(got, want)
+
+
+def test_ragged_padded_roundtrip():
+    from kmernator_tpu.parallel.device_spectrum import (ragged_to_padded,
+                                                        padded_to_ragged)
+    rng = np.random.default_rng(3)
+    nw = np.array([3, 0, 5, 1, 0, 7])
+    flat = rng.integers(0, 100, int(nw.sum())).astype(np.int32)
+    padded = ragged_to_padded(flat, nw, 8, fill=-1)
+    assert padded.shape == (6, 8)
+    assert (padded[1] == -1).all() and (padded[0, 3:] == -1).all()
+    assert (padded[2, :5] == flat[3:8]).all()
+    back = padded_to_ragged(padded, nw)
+    assert (back == flat).all()
