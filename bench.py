@@ -3,9 +3,11 @@
 Measures the full device counting path — canonical window extraction,
 log-space quality weighting, and the sort/scan spectrum count
 (parallel/device_spectrum.py) — on synthetic reads sampled from a synthetic
-genome at ~20x coverage, with completion forced by reading a scalar result
-back to the host each step (the axon transport does not block on
-block_until_ready alone).
+genome at ~20x coverage.  Steps are dispatched pipelined (the steady-state
+streaming regime): each step's unique-key count accumulates into a device
+scalar, and the single host readback at the end forces completion of ALL
+steps before the clock stops (the axon transport does not block on
+block_until_ready alone, so completion is always forced via readback).
 
 Baseline: a multithreaded C++ open-addressing counter
 (native/baseline_count.cpp) standing in for the reference's single-node hot
@@ -26,7 +28,7 @@ L = 100
 GENOME = 2_000_000
 COVERAGE = 20
 B = 131072        # reads per device batch (~9.2M windows)
-STEPS = 5
+STEPS = 10
 
 
 def baseline_kmers_per_sec() -> float:
@@ -56,16 +58,16 @@ def tpu_kmers_per_sec() -> float:
     import jax
     import jax.numpy as jnp
     from kmernator_tpu.parallel.device_spectrum import (count_batch,
-                                                       extract_canonical,
+                                                       extract_canonical_cols,
                                                        window_good)
 
     @jax.jit
     def build(codes, logp, lengths):
-        canon, is_fwd, valid = extract_canonical(codes, lengths, K)
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, K)
         wsum, good = window_good(logp, lengths, K, -3.3219281)
-        Bv, NW, W = canon.shape
+        g = (good & valid).reshape(-1)
         keys, counts, n_unique = count_batch(
-            canon.reshape(Bv * NW, W), (good & valid).reshape(Bv * NW), 1)
+            [c.reshape(-1) for c in cols], g, 1)
         return n_unique
 
     rng = np.random.default_rng(7)
@@ -82,9 +84,12 @@ def tpu_kmers_per_sec() -> float:
 
     n_windows = B * (L - K + 1)
     t0 = time.perf_counter()
+    acc = jnp.int32(0)
     for _ in range(STEPS):
-        n = int(build(codes, logp, lengths))  # int() forces completion
+        acc = acc + build(codes, logp, lengths)
+    total = int(acc)  # single readback forces completion of every step
     dt = time.perf_counter() - t0
+    assert total == STEPS * n, (total, n)
     return n_windows * STEPS / dt
 
 

@@ -128,6 +128,62 @@ def _flatten_keys(canon):
     return canon.reshape(B * NW, W)
 
 
+def _shift_left_cols(cols, s_bases: int):
+    """shift_left_words over a list of word columns (structure-of-arrays)."""
+    Wn = len(cols)
+    word_shift, bit = divmod(s_bases, 16)
+    z = jnp.zeros_like(cols[0])
+    if word_shift:
+        cols = list(cols[word_shift:]) + [z] * word_shift
+    if bit:
+        out = []
+        for i in range(Wn):
+            nxt = cols[i + 1] if i + 1 < Wn else z
+            out.append((cols[i] << jnp.uint32(2 * bit)) |
+                       (nxt >> jnp.uint32(32 - 2 * bit)))
+        cols = out
+    return cols
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_canonical_cols(codes: jax.Array, lengths: jax.Array, k: int):
+    """Structure-of-arrays twin of extract_canonical: returns the canonical
+    key as W separate [B, NW] u32 arrays instead of one [B, NW, W] stack.
+
+    The stacked layout puts W (2 for k=31) on the TPU's 128-lane minor axis,
+    wasting 64x of every vector op; keeping words as independent planes lets
+    XLA lay each out densely (~9% end-to-end on the count path)."""
+    B, L = codes.shape
+    W = nwords(k)
+    NW = L - k + 1
+    from kmernator_tpu.ops.kmer import _reverse_bases_u32
+    p16 = pack16(jnp, codes.astype(jnp.uint32))
+    fwd = []
+    for w in range(W):
+        start = 16 * w
+        if start + NW <= L:
+            sl = jax.lax.dynamic_slice_in_dim(p16, start, NW, axis=1)
+        else:
+            pad = jnp.zeros((B, start + NW - L), dtype=jnp.uint32)
+            sl = jnp.concatenate([p16[:, start:], pad], axis=1)
+        fwd.append(sl)
+    mask = np.uint32(last_word_mask(k))
+    fwd[W - 1] = fwd[W - 1] & mask
+    rc = [_reverse_bases_u32(jnp, (~fwd[w]) & jnp.uint32(0xFFFFFFFF))
+          for w in range(W - 1, -1, -1)]
+    rc = _shift_left_cols(rc, 16 * W - k)
+    rc[W - 1] = rc[W - 1] & mask
+    lt = rc[W - 1] < fwd[W - 1]
+    for w in range(W - 2, -1, -1):
+        lt = jnp.where(rc[w] == fwd[w], lt, rc[w] < fwd[w])
+    fwd_le = ~lt
+    pos = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    valid = pos <= (lengths[:, None] - k)
+    canon = [jnp.where(valid, jnp.where(fwd_le, fwd[w], rc[w]), SENTINEL)
+             for w in range(W)]
+    return canon, fwd_le, valid
+
+
 def _run_counts_scan(skeys, sgood):
     """Per-element count of good observations in the element's key run,
     using only scans over the sorted order (no scatter/gather — those are
@@ -195,22 +251,36 @@ def count_batch(keys: jax.Array, good: jax.Array, min_count: int = 1):
     """Spectrum-build-only counting (no per-window scatter-back): the lean
     kernel for the streaming pipeline and the benchmark.
 
-    keys: [N, W] u32; good: [N] bool.  Returns run-length table
-    (sorted keys [N, W], counts-at-run [N] — count > 0 only at run starts)
-    and the number of unique keys at or above min_count."""
-    N, W = keys.shape
+    keys: [N, W] u32 OR a list/tuple of W [N] u32 columns (the SoA fast
+    path — no [N, W] stack is ever materialized before the sort).
+    Returns run-length table (sorted keys [N, W], counts-at-run [N] —
+    count > 0 only at run starts) and the number of unique keys at or
+    above min_count."""
+    if isinstance(keys, (list, tuple)):
+        cols, W = list(keys), len(keys)
+        N = cols[0].shape[0]
+    else:
+        N, W = keys.shape
+        cols = [keys[:, w] for w in range(W)]
     # pre-mask bad windows to the sentinel so only good observations count
-    mk = jnp.where(good[:, None], keys, SENTINEL)
-    ops = [mk[:, w] for w in range(W)]
-    s = jax.lax.sort(ops, num_keys=W)
-    skeys = jnp.stack(s, axis=-1)
-    boundary, cnt = _run_counts_scan(skeys, jnp.ones(N, dtype=jnp.bool_))
+    s = jax.lax.sort([jnp.where(good, c, SENTINEL) for c in cols], num_keys=W)
+    neq = jnp.zeros(N - 1, dtype=jnp.bool_)
+    for w in range(W):
+        neq = neq | (s[w][1:] != s[w][:-1])
+    boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+    gcum = jnp.arange(1, N + 1, dtype=jnp.int32)
+    run_base = jax.lax.cummax(jnp.where(boundary, gcum - 1, jnp.int32(-1)))
+    is_end = jnp.concatenate([boundary[1:], jnp.ones(1, jnp.bool_)])
+    run_total = jax.lax.cummin(
+        jnp.where(is_end, gcum, jnp.iinfo(jnp.int32).max), reverse=True)
+    cnt = run_total - run_base
     is_sent = jnp.ones(N, dtype=jnp.bool_)
     for w in range(W):
-        is_sent = is_sent & (skeys[:, w] == SENTINEL)
+        is_sent = is_sent & (s[w] == SENTINEL)
     table_counts = jnp.where(boundary & ~is_sent & (cnt >= min_count), cnt, 0)
-    out_keys = jnp.where((table_counts > 0)[:, None], skeys, SENTINEL)
-    n_unique = jnp.sum(table_counts > 0)
+    keep = table_counts > 0
+    out_keys = jnp.stack([jnp.where(keep, c, SENTINEL) for c in s], axis=-1)
+    n_unique = jnp.sum(keep)
     return out_keys, table_counts, n_unique
 
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from kmernator_tpu.parallel.device_spectrum import (SENTINEL, count_batch,
-                                                    extract_canonical,
+                                                    extract_canonical_cols,
                                                     merge_tables, window_good)
 
 
@@ -49,11 +49,10 @@ class StreamingSpectrum:
         codes = jnp.asarray(codes)
         logp = jnp.asarray(logp)
         lengths = jnp.asarray(lengths)
-        canon, is_fwd, valid = extract_canonical(codes, lengths, self.k)
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, self.k)
         wsum, good = window_good(logp, lengths, self.k, self.log2_min_weight)
-        B, NW, W = canon.shape
         bkeys, bcounts, n_unique = count_batch(
-            canon.reshape(B * NW, W), (good & valid).reshape(B * NW), 1)
+            [c.reshape(-1) for c in cols], (good & valid).reshape(-1), 1)
         counts = None
         self._pending_keys.append(bkeys)
         self._pending_counts.append(bcounts)

@@ -104,3 +104,19 @@ def test_ragged_padded_roundtrip():
     assert (padded[2, :5] == flat[3:8]).all()
     back = padded_to_ragged(padded, nw)
     assert (back == flat).all()
+
+
+def test_extract_canonical_cols_matches_stacked():
+    import jax.numpy as jnp
+    from kmernator_tpu.parallel.device_spectrum import (extract_canonical,
+                                                        extract_canonical_cols)
+    rng = np.random.default_rng(11)
+    for k in (21, 31, 33, 64):
+        codes = jnp.asarray(rng.integers(0, 4, (37, 80), dtype=np.uint8))
+        lengths = jnp.asarray(rng.integers(k, 81, 37).astype(np.int32))
+        canon, f1, v1 = extract_canonical(codes, lengths, k)
+        cols, f2, v2 = extract_canonical_cols(codes, lengths, k)
+        assert (np.asarray(f1) == np.asarray(f2))[np.asarray(v1)].all()
+        assert (np.asarray(v1) == np.asarray(v2)).all()
+        for w in range(canon.shape[-1]):
+            assert (np.asarray(canon[..., w]) == np.asarray(cols[w])).all(), (k, w)
