@@ -8,6 +8,7 @@ fixed device footprint.
 """
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Optional, Tuple
 
 import numpy as np
@@ -62,6 +63,8 @@ class StreamingSpectrum:
         self.total_windows += int(codes.shape[0]) * (codes.shape[1] - self.k + 1)
         return counts
 
+    purged_singletons: int = 0
+
     def _drain(self):
         if not self._pending_keys:
             return
@@ -69,8 +72,18 @@ class StreamingSpectrum:
         pc = jnp.concatenate([self.counts] + self._pending_counts)
         # merge_tables with an empty second input just sorts+reduces pk
         mk, mc = merge_tables(pk, pc, pk[:0], pc[:0])
-        self.keys = mk[:self.capacity]
-        self.counts = mc[:self.capacity]
+        kk, kc, n_real, n_solid = _purge_compact(mk, mc, self.capacity)
+        n_real, n_solid = int(n_real), int(n_solid)
+        if n_solid > self.capacity:
+            raise RuntimeError(
+                "streaming table overflow: %d kmers with count>=2 exceed "
+                "capacity %d — raise capacity" % (n_solid, self.capacity))
+        # singletons beyond capacity are purged, as the reference does under
+        # memory pressure (ref: KmerSpectrum.h:1794 purgeMinDepth(1) cycle);
+        # a re-observed purged kmer restarts at 1 (undercount by 1)
+        self.purged_singletons += max(0, n_real - self.capacity)
+        self.keys = kk
+        self.counts = kc
         self._pending_keys, self._pending_counts = [], []
         self._pending_rows = 0
 
@@ -80,6 +93,26 @@ class StreamingSpectrum:
         counts = np.asarray(self.counts)
         real = ~(keys == 0xFFFFFFFF).all(axis=1) & (counts >= min_depth)
         return keys[real], counts[real]
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _purge_compact(keys, counts, capacity: int):
+    """Keep count>=2 rows first, then singletons, up to `capacity` rows
+    (sorted by priority then key; sentinels last).  Returns the compacted
+    [capacity] table plus (n_real, n_solid) occupancy scalars."""
+    N, W = keys.shape
+    real = counts > 0
+    solid = counts >= 2
+    prio = jnp.where(solid, 0, jnp.where(real, 1, 2)).astype(jnp.int32)
+    ops = [prio] + [keys[:, w] for w in range(W)] + [counts]
+    s = jax.lax.sort(ops, num_keys=W + 1)
+    out_keys = jnp.stack(s[1:W + 1], axis=-1)[:capacity]
+    out_counts = s[W + 1][:capacity]
+    # rows beyond capacity are dropped: null out any that were padding anyway
+    kept_real = out_counts > 0
+    out_keys = jnp.where(kept_real[:, None], out_keys, SENTINEL)
+    return (out_keys, jnp.where(kept_real, out_counts, 0),
+            jnp.sum(real), jnp.sum(solid))
 
 
 def build_streaming(batches: Iterable, k: int, capacity: int,

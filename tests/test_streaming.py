@@ -43,3 +43,52 @@ def test_streaming_partitioned_union():
                               rank=r, size=3)
         parts += sum(int(l.sum()) for _, _, l in iter(st))
     assert parts == whole
+
+
+def test_streaming_singleton_purge_undercount_only():
+    """With capacity below the unique-kmer count, singletons are purged
+    under pressure (ref: KmerSpectrum.h periodic purge).  Purged-and-reseen
+    kmers may undercount, but counts must never exceed the true count and
+    reported keys must be a subset of the true table."""
+    from kmernator_tpu.ops.kmer import extract_kmers_flat
+    from kmernator_tpu.parallel.spectrum import pack_u64
+    from kmernator_tpu.parallel.pipeline import StreamingSpectrum
+
+    rng = np.random.default_rng(5)
+    L, B = 64, 256
+    genome = rng.integers(0, 4, 2000, dtype=np.uint8)
+    batches = []
+    for bi in range(12):
+        codes = rng.integers(0, 4, (B, L), dtype=np.uint8)  # singleton soup
+        # half the reads sample the genome (solid kmers)
+        starts = rng.integers(0, 2000 - L, B // 2)
+        codes[:B // 2] = genome[starts[:, None] + np.arange(L)[None, :]]
+        batches.append(codes)
+
+    true = {}
+    for codes in batches:
+        flat = codes.reshape(-1)
+        offs = np.arange(0, (B + 1) * L, L)
+        canon, _, _, _ = extract_kmers_flat(flat, offs, K)
+        for kk in pack_u64(canon).tolist():
+            true[kk] = true.get(kk, 0) + 1
+
+    sp = StreamingSpectrum(K, capacity=8192)
+    logp = np.full((B, L), np.float32(-0.000144), np.float32)
+    lengths = np.full(B, L, np.int32)
+    for codes in batches:
+        sp.add_batch(codes, logp, lengths)
+    keys, counts = sp.finalize(min_depth=2)
+    assert sp.purged_singletons > 0
+    keys64 = (keys[:, 0].astype(np.uint64) << np.uint64(32)) | keys[:, 1]
+    assert len(keys64) > 0
+    for kk, c in zip(keys64.tolist(), counts.tolist()):
+        assert kk in true and c <= true[kk]
+    # high-coverage kmers: undercount bounded by purge-resets (a purged
+    # singleton reseen restarts at 1), never by more than a few
+    got = dict(zip(keys64.tolist(), counts.tolist()))
+    solid_true = [(kk, c) for kk, c in true.items() if c >= 12]
+    assert len(solid_true) > 1000
+    devs = [c - got.get(kk, 0) for kk, c in solid_true]
+    assert all(0 <= d <= 5 for d in devs)
+    assert sum(1 for d in devs if d == 0) >= 0.9 * len(devs)
