@@ -72,18 +72,23 @@ class StreamingSpectrum:
         pc = jnp.concatenate([self.counts] + self._pending_counts)
         # merge_tables with an empty second input just sorts+reduces pk
         mk, mc = merge_tables(pk, pc, pk[:0], pc[:0])
-        kk, kc, n_real, n_solid = _purge_compact(mk, mc, self.capacity)
-        n_real, n_solid = int(n_real), int(n_solid)
+        n_real, n_solid = (int(x) for x in _occupancy(mc))
         if n_solid > self.capacity:
             raise RuntimeError(
                 "streaming table overflow: %d kmers with count>=2 exceed "
                 "capacity %d — raise capacity" % (n_solid, self.capacity))
-        # singletons beyond capacity are purged, as the reference does under
-        # memory pressure (ref: KmerSpectrum.h:1794 purgeMinDepth(1) cycle);
-        # a re-observed purged kmer restarts at 1 (undercount by 1)
-        self.purged_singletons += max(0, n_real - self.capacity)
-        self.keys = kk
-        self.counts = kc
+        if n_real > self.capacity:
+            # singletons beyond capacity are purged, as the reference does
+            # under memory pressure (ref: KmerSpectrum.h:1794 purge cycle);
+            # a re-observed purged kmer restarts at 1 (undercount by 1)
+            self.purged_singletons += n_real - self.capacity
+            kk, kc, _, _ = _purge_compact(mk, mc, self.capacity)
+            self.keys, self.counts = kk, kc
+        else:
+            # merge output is sorted with sentinel padding last: plain
+            # truncation keeps every real row
+            self.keys = mk[:self.capacity]
+            self.counts = mc[:self.capacity]
         self._pending_keys, self._pending_counts = [], []
         self._pending_rows = 0
 
@@ -93,6 +98,11 @@ class StreamingSpectrum:
         counts = np.asarray(self.counts)
         real = ~(keys == 0xFFFFFFFF).all(axis=1) & (counts >= min_depth)
         return keys[real], counts[real]
+
+
+@jax.jit
+def _occupancy(counts):
+    return jnp.sum(counts > 0), jnp.sum(counts >= 2)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
