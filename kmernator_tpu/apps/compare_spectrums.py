@@ -10,7 +10,7 @@ import numpy as np
 
 from kmernator_tpu.io.reads import ReadSet, load_reads, BASE_CODE
 from kmernator_tpu.ops.kmer import extract_kmers_flat
-from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_u64
+from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys
 from kmernator_tpu.utils.options import (GeneralOptions, KmerBaseOptions,
                                          KmerSpectrumOptions, compose)
 
@@ -33,7 +33,7 @@ def solid_spectrum(rs: ReadSet, k: int) -> KmerSpectrum:
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
     canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    keys = pack_u64(canon)
+    keys = pack_keys(canon)
     # markup windows still weigh 0 even for solid (weight 0 -> isDiscard when
     # min weight > 0; solid path via buildWeightedKmers zeroes markups)
     from kmernator_tpu.ops.weights import window_weights, good_kmer_mask

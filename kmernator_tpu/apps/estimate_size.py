@@ -17,7 +17,7 @@ import numpy as np
 from kmernator_tpu.io.reads import load_reads, open_maybe_gzip, extract_partition, BASE_CODE
 from kmernator_tpu.ops.kmer import extract_kmers_flat
 from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
-from kmernator_tpu.parallel.spectrum import pack_u64
+from kmernator_tpu.parallel.spectrum import pack_keys
 from kmernator_tpu.parallel.mesh import owner_hash
 from kmernator_tpu.utils.logging import Log
 from kmernator_tpu.utils.options import (GeneralOptions, KmerBaseOptions,
@@ -95,7 +95,7 @@ def run(argv: List[str]) -> int:
             markup = codes_raw == 4
             codes = np.where(markup, 0, codes_raw).astype(np.uint8)
             canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-            keys = pack_u64(canon)
+            keys = pack_keys(canon)
             p = rs.base_probabilities(opts.min_quality_score,
                                       opts.fastq_output_base_quality)
             w = window_weights(p, rs.offsets, markup, k)
@@ -129,9 +129,17 @@ def run(argv: List[str]) -> int:
 
 
 def owner_hash_np(keys: np.ndarray) -> np.ndarray:
+    """murmur-style mix over key words; u64 keys use the historical 2-word
+    form, wide ('S4W' byte) keys mix all W words."""
+    if keys.dtype != np.uint64:
+        W = keys.dtype.itemsize // 4
+        words = np.ascontiguousarray(keys).view(">u4").reshape(len(keys), W)
+        cols = [words[:, w].astype(np.uint32) for w in range(W)]
+    else:
+        cols = [((keys >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)]
     h = np.uint32(0x9E3779B9) * np.ones(len(keys), dtype=np.uint32)
-    for shift in (np.uint64(32), np.uint64(0)):
-        w = ((keys >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for w in cols:
         h = h ^ w
         h = h * np.uint32(0x85EBCA6B)
         h = h ^ (h >> np.uint32(13))

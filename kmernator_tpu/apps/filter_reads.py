@@ -23,7 +23,7 @@ from kmernator_tpu.ops.artifact import ArtifactFilter, apply_artifact_filter
 from kmernator_tpu.ops.kmer import extract_kmers_flat
 from kmernator_tpu.ops.trim import ReadTrims, score_and_trim, pick_all_passing
 from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
-from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_u64
+from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys
 from kmernator_tpu.utils.logging import Log
 from kmernator_tpu.utils.options import (
     GeneralOptions, KmerBaseOptions, KmerSpectrumOptions, ReadSelectorOptions,
@@ -74,7 +74,7 @@ def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
     canon, is_fwd, read_id, pos = extract_kmers_flat(codes, rs.offsets, k)
-    keys = pack_u64(canon)
+    keys = pack_keys(canon)
     if _keys_out is not None:
         _keys_out.append(keys)
     p = rs.base_probabilities(min_quality, output_base)
@@ -103,7 +103,7 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
     canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    keys = pack_u64(canon)
+    keys = pack_keys(canon)
     p = rs.base_probabilities(min_quality, output_base)
     w = window_weights(p, rs.offsets, markup, k)
     good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
@@ -186,7 +186,7 @@ def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int,
         codes_raw = BASE_CODE[rs.seq]
         codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
         canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-        keys = pack_u64(canon)
+        keys = pack_keys(canon)
     counts = spectrum.lookup_counts(keys)
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
@@ -290,7 +290,7 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
     src/ReadSelector.h:751-922), simplified to a single-threaded heap."""
     import heapq
     from kmernator_tpu.ops.trim import is_passing
-    from kmernator_tpu.parallel.spectrum import pack_u64
+    from kmernator_tpu.parallel.spectrum import pack_keys
     from kmernator_tpu.ops.kmer import extract_kmers_flat
 
     codes_raw = BASE_CODE[rs.seq]
@@ -305,7 +305,7 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
         s = rs.offsets[i]
         sub = codes[s + off:s + off + ln]
         canon, _, _, _ = extract_kmers_flat(sub, np.array([0, ln]), k)
-        return pack_u64(canon)
+        return pack_keys(canon)
 
     def rescore(i):
         """Returns (score, blocked); blocked if any kmer at max depth."""

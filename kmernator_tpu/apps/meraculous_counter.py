@@ -19,7 +19,7 @@ from kmernator_tpu.io.reads import ReadSet, load_reads, BASE_CODE
 from kmernator_tpu.ops.extensions import window_extensions, EXT_MIN_QUALITY
 from kmernator_tpu.ops.kmer import extract_kmers_flat, kmer_to_string, nwords, revcomp_words
 from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
-from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_u64, unpack_u64
+from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys, unpack_keys
 from kmernator_tpu.utils.logging import Log
 from kmernator_tpu.utils.options import (GeneralOptions, KmerBaseOptions,
                                          KmerSpectrumOptions, compose)
@@ -33,7 +33,7 @@ def build_extension_spectrum(rs: ReadSet, k: int, min_quality: int,
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
     canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    keys = pack_u64(canon)
+    keys = pack_keys(canon)
     p = rs.base_probabilities(min_quality, output_base)
     w = window_weights(p, rs.offsets, markup, k)
     good = good_kmer_mask(w, min_kmer_quality)
@@ -51,7 +51,7 @@ def kmer_strings(keys: np.ndarray, k: int):
     """Vectorized decode of u64 canonical keys + their reverse complements
     to byte strings [M, k]."""
     W = nwords(k)
-    words = unpack_u64(keys, W)
+    words = unpack_keys(keys, W)
     rc = revcomp_words(np, words, k)
 
     def decode(ws):
@@ -146,7 +146,7 @@ def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
     sk, sc, se = np.asarray(sk), np.asarray(sc), np.asarray(se)
     real = (sc > 0) & ~np.all(sk == 0xFFFFFFFF, axis=1)
     sp = KmerSpectrum(k=k)
-    keys = pack_u64(sk[real])
+    keys = pack_keys(sk[real])
     order = np.argsort(keys, kind="stable")
     sp.keys = keys[order]
     sp.counts = sc[real][order].astype(np.int64)

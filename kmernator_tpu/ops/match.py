@@ -21,7 +21,7 @@ import numpy as np
 from kmernator_tpu.io.reads import ReadSet, BASE_CODE
 from kmernator_tpu.ops.kmer import extract_kmers_flat
 from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
-from kmernator_tpu.parallel.spectrum import pack_u64
+from kmernator_tpu.parallel.spectrum import pack_keys
 
 
 class KmerReadIndex:
@@ -33,7 +33,7 @@ class KmerReadIndex:
         markup = codes_raw == 4
         codes = np.where(markup, 0, codes_raw).astype(np.uint8)
         canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-        keys = pack_u64(canon)
+        keys = pack_keys(canon)
         p = rs.base_probabilities(min_quality, output_base)
         w = window_weights(p, rs.offsets, markup, k)
         good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
@@ -67,7 +67,7 @@ class KmerReadIndex:
             return set()
         canon, _, _, _ = extract_kmers_flat(contig_codes,
                                             np.array([0, L]), k)
-        qkeys = pack_u64(canon)
+        qkeys = pack_keys(canon)
         nw = len(qkeys)
         max_kmers = max_positions_from_edge - k + 1
         pos = np.arange(nw)

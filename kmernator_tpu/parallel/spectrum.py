@@ -52,8 +52,22 @@ def unpack_u64(keys: np.ndarray, W: int) -> np.ndarray:
     return out
 
 
+def unpack_keys(keys: np.ndarray, W: int) -> np.ndarray:
+    """Inverse of pack_keys: scalar keys (u64 or 'S4W' bytes) -> [N, W] u32."""
+    if keys.dtype == np.uint64:
+        return unpack_u64(keys, W)
+    be = np.ascontiguousarray(keys).view(">u4").reshape(len(keys), W)
+    return be.astype(np.uint32)
+
+
+def _key_id(key):
+    """Hashable identity of a scalar key (int for u64, bytes for wide)."""
+    return int(key) if isinstance(key, (int, np.integer)) else bytes(key)
+
+
 def _hamming1_canonical(words: np.ndarray, k: int) -> np.ndarray:
-    """All canonical u64 keys at hamming distance 1 from the [1, W] kmer."""
+    """All canonical keys (pack_keys dtype) at hamming distance 1 from the
+    [1, W] kmer."""
     from kmernator_tpu.ops.kmer import revcomp_words, words_less
     out = []
     W = words.shape[1]
@@ -68,8 +82,8 @@ def _hamming1_canonical(words: np.ndarray, k: int) -> np.ndarray:
             mut[0, w] = (words[0, w] & ~(np.uint32(3) << shift)) | (np.uint32(nb) << shift)
             rc = revcomp_words(np, mut, k)
             canon = rc if words_less(np, rc, mut)[0] else mut
-            out.append(pack_u64(canon)[0])
-    return np.array(out, dtype=np.uint64)
+            out.append(pack_keys(canon)[0])
+    return np.array(out)
 
 
 @dataclass
@@ -266,7 +280,7 @@ class KmerSpectrum:
         header = "".join("depth\t%g" % (100.0 * gc / k) for gc in range(k + 1))
         if len(self.keys) == 0:
             return header + "\n"
-        words = unpack_u64(self.keys, W)
+        words = unpack_keys(self.keys, W)
         # GC count per key: count 01/10 2-bit groups
         gc = np.zeros(len(self.keys), dtype=np.int64)
         for w in range(W):
@@ -304,7 +318,7 @@ class KmerSpectrum:
         from kmernator_tpu.ops.kmer import nwords
         vals = (self.weighted if (use_weighted and self.weighted is not None)
                 else self.counts.astype(np.float64)).copy()
-        value_map = {int(k): i for i, k in enumerate(self.keys)}
+        value_map = {_key_id(k): i for i, k in enumerate(self.keys)}
         k = self.k
         W = nwords(k)
         order = np.argsort(-vals, kind="stable")
@@ -319,13 +333,12 @@ class KmerSpectrum:
                 if v > min_variant_kmer_depth * (20 ^ d):
                     break
                 d -= 1
-            key = int(self.keys[si])
-            words = unpack_u64(np.array([self.keys[si]], np.uint64), W)
+            words = unpack_keys(self.keys[si:si + 1], W)
             neighbors = _hamming1_canonical(words, k)
             for dist in range(1, d + 1):
                 thr = thr_base / (20 ^ (dist - 1))
                 for nk in neighbors:
-                    j = value_map.get(int(nk))
+                    j = value_map.get(_key_id(nk))
                     if j is not None and 0.0 < vals[j] < thr:
                         vals[j] = 0.0
                         self.counts[j] = 0
@@ -334,10 +347,10 @@ class KmerSpectrum:
                         purged += 1
                 if dist < d:
                     # expand to the next shell lazily
-                    words_n = unpack_u64(np.asarray(neighbors, np.uint64), W)
-                    nxt = set()
-                    for row in range(len(words_n)):
-                        nxt.update(_hamming1_canonical(words_n[row:row + 1], k))
-                    neighbors = np.fromiter(nxt, dtype=np.uint64)
+                    words_n = unpack_keys(np.asarray(neighbors), W)
+                    nxt = {_key_id(x) for row in range(len(words_n))
+                           for x in _hamming1_canonical(words_n[row:row + 1], k)}
+                    neighbors = np.array(sorted(nxt),
+                                         dtype=np.asarray(neighbors).dtype)
         self.purge_min_depth(min_depth)
         return purged
