@@ -32,6 +32,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                             "-o", _LIB, _SRC], check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
         lib.fastq_index.restype = ctypes.c_long
+        lib.fastq_index_mt.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None
@@ -42,9 +43,10 @@ def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
-def fastq_index(data: bytes):
-    """Single-pass FASTQ record index.  Returns dict of numpy offset arrays
-    or None if the native lib is unavailable / input malformed."""
+def fastq_index(data: bytes, n_threads: int = 0):
+    """FASTQ record index (multithreaded chunked scan with record-boundary
+    resync).  Returns dict of numpy offset arrays or None if the native lib
+    is unavailable / input malformed."""
     lib = get_lib()
     if lib is None:
         return None
@@ -53,10 +55,14 @@ def fastq_index(data: bytes):
             ("name_off", "name_len", "comment_off", "comment_len",
              "seq_off", "seq_len", "qual_off")}
     buf = np.frombuffer(data, dtype=np.uint8)
-    n = lib.fastq_index(_ptr(buf), ctypes.c_long(len(data)), ctypes.c_long(cap),
-                        *[_ptr(cols[c]) for c in
-                          ("name_off", "name_len", "comment_off", "comment_len",
-                           "seq_off", "seq_len", "qual_off")])
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    n = lib.fastq_index_mt(_ptr(buf), ctypes.c_long(len(data)),
+                           ctypes.c_long(cap),
+                           *[_ptr(cols[c]) for c in
+                             ("name_off", "name_len", "comment_off",
+                              "comment_len", "seq_off", "seq_len", "qual_off")],
+                           ctypes.c_int(n_threads))
     if n < 0:
         return None
     return {k: v[:n] for k, v in cols.items()}
@@ -74,8 +80,9 @@ def normalize_bases(seq: np.ndarray) -> np.ndarray:
 
 def pack_batch_idx(data: np.ndarray, seq_off: np.ndarray, qual_off: np.ndarray,
                    seq_len: np.ndarray, L: int, logp_table: np.ndarray,
-                   logp_floor: float = -1e30):
-    """Pack straight from the raw buffer via index arrays (fast path)."""
+                   logp_floor: float = -1e30, n_threads: int = 0):
+    """Pack straight from the raw buffer via index arrays (fast path;
+    multithreaded over reads when the batch is large)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -84,13 +91,16 @@ def pack_batch_idx(data: np.ndarray, seq_off: np.ndarray, qual_off: np.ndarray,
     logp = np.zeros((B, L), dtype=np.float32)
     lengths = np.zeros(B, dtype=np.int32)
     tab = np.ascontiguousarray(logp_table, dtype=np.float64)
-    lib.pack_batch_idx(_ptr(data),
-                       _ptr(np.ascontiguousarray(seq_off, np.int64)),
-                       _ptr(np.ascontiguousarray(qual_off, np.int64)),
-                       _ptr(np.ascontiguousarray(seq_len, np.int64)),
-                       ctypes.c_long(B), ctypes.c_long(L), _ptr(tab),
-                       ctypes.c_float(logp_floor),
-                       _ptr(codes), _ptr(logp), _ptr(lengths))
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.pack_batch_idx_mt(_ptr(data),
+                          _ptr(np.ascontiguousarray(seq_off, np.int64)),
+                          _ptr(np.ascontiguousarray(qual_off, np.int64)),
+                          _ptr(np.ascontiguousarray(seq_len, np.int64)),
+                          ctypes.c_long(B), ctypes.c_long(L), _ptr(tab),
+                          ctypes.c_float(logp_floor),
+                          _ptr(codes), _ptr(logp), _ptr(lengths),
+                          ctypes.c_int(n_threads))
     return codes, logp, lengths
 
 

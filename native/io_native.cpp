@@ -10,6 +10,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -163,6 +165,129 @@ void pack_batch_idx(const unsigned char* data,
       lrow[i] = logp_floor;
     }
   }
+}
+
+// Find the start of the next plausible FASTQ record at or after p
+// (line starting '@' whose +2 line starts '+' and whose qual length matches
+// the seq length) — the record-boundary resync the reference uses to split
+// one file across ranks (ref: src/ReadFileReader.h:657-740).
+static const char* next_record_start(const char* p, const char* end) {
+  while (p < end) {
+    if (*p == '@') {
+      const char* nl1 = (const char*)memchr(p, '\n', end - p);
+      if (!nl1) return end;
+      const char* seq = nl1 + 1;
+      const char* nl2 = (const char*)memchr(seq, '\n', end - seq);
+      if (!nl2) return end;
+      const char* plus = nl2 + 1;
+      if (plus < end && *plus == '+') {
+        const char* nl3 = (const char*)memchr(plus, '\n', end - plus);
+        if (!nl3) return end;
+        const char* qual = nl3 + 1;
+        const char* nl4 = (const char*)memchr(qual, '\n', end - qual);
+        const char* qe = nl4 ? nl4 : end;
+        if (qe - qual == nl2 - seq) return p;
+      }
+    }
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) return end;
+    p = nl + 1;
+  }
+  return end;
+}
+
+// Multithreaded index: chunk the buffer at validated record boundaries,
+// index each region into scratch vectors, then concatenate in order.
+long fastq_index_mt(const char* data, long size, long capacity,
+                    long* name_off, long* name_len,
+                    long* comment_off, long* comment_len,
+                    long* seq_off, long* seq_len, long* qual_off,
+                    int n_threads) {
+  if (n_threads <= 1 || size < (8L << 20)) {
+    return fastq_index(data, size, capacity, name_off, name_len,
+                       comment_off, comment_len, seq_off, seq_len, qual_off);
+  }
+  const char* end = data + size;
+  std::vector<const char*> starts(n_threads + 1);
+  starts[0] = data;
+  for (int t = 1; t < n_threads; t++) {
+    const char* guess = data + (size / n_threads) * t;
+    starts[t] = next_record_start(guess, end);
+  }
+  starts[n_threads] = end;
+  struct Cols { std::vector<long> a[7]; long n = 0; bool bad = false; };
+  std::vector<Cols> parts(n_threads);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++) {
+    ts.emplace_back([&, t]() {
+      const char* s = starts[t];
+      const char* e = starts[t + 1];
+      if (s >= e) return;
+      long lines = 0;  // exact line count -> tight scratch capacity
+      for (const char* q = s;
+           (q = (const char*)memchr(q, '\n', e - q)) != nullptr; q++) lines++;
+      long cap = lines / 4 + 2;
+      Cols& c = parts[t];
+      for (int i = 0; i < 7; i++) c.a[i].resize(cap);
+      long n = fastq_index(s, e - s, cap, c.a[0].data(), c.a[1].data(),
+                           c.a[2].data(), c.a[3].data(), c.a[4].data(),
+                           c.a[5].data(), c.a[6].data());
+      if (n < 0) { c.bad = true; return; }
+      c.n = n;
+      long base = s - data;  // offsets are region-relative; lengths are not
+      for (int i : {0, 2, 4, 6}) {
+        // comment_off of 0 means "no comment" — keep it 0
+        for (long j = 0; j < n; j++)
+          if (i != 2 || c.a[i][j] != 0) c.a[i][j] += base;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  long total = 0;
+  for (int t = 0; t < n_threads; t++) {
+    if (parts[t].bad) return -1;
+    total += parts[t].n;
+  }
+  if (total > capacity) return -1;
+  long* outs[7] = {name_off, name_len, comment_off, comment_len,
+                   seq_off, seq_len, qual_off};
+  long at = 0;
+  for (int t = 0; t < n_threads; t++) {
+    long n = parts[t].n;
+    for (int i = 0; i < 7; i++)
+      memcpy(outs[i] + at, parts[t].a[i].data(), n * sizeof(long));
+    at += n;
+  }
+  return total;
+}
+
+// Multithreaded pack: reads are independent rows, so split the batch
+// across worker threads (the reference's OpenMP read loop,
+// ref: src/KmerSpectrum.h:1932-2075, recast as a packer).
+void pack_batch_idx_mt(const unsigned char* data,
+                       const long* seq_off, const long* qual_off,
+                       const long* seq_len, long n_reads, long L,
+                       const double* logp_table, float logp_floor,
+                       unsigned char* codes_out, float* logp_out,
+                       int* lengths_out, int n_threads) {
+  if (n_threads <= 1 || n_reads < 4096) {
+    pack_batch_idx(data, seq_off, qual_off, seq_len, n_reads, L,
+                   logp_table, logp_floor, codes_out, logp_out, lengths_out);
+    return;
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk;
+    long e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      pack_batch_idx(data, seq_off + s, qual_off + s, seq_len + s, e - s, L,
+                     logp_table, logp_floor, codes_out + s * L,
+                     logp_out + s * L, lengths_out + s);
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"
