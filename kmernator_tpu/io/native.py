@@ -50,22 +50,34 @@ def fastq_index(data: bytes, n_threads: int = 0):
     lib = get_lib()
     if lib is None:
         return None
-    cap = max(data.count(b"\n") // 4 + 2, 16)
-    cols = {name: np.zeros(cap, dtype=np.int64) for name in
-            ("name_off", "name_len", "comment_off", "comment_len",
-             "seq_off", "seq_len", "qual_off")}
     buf = np.frombuffer(data, dtype=np.uint8)
     if n_threads <= 0:
         n_threads = os.cpu_count() or 1
-    n = lib.fastq_index_mt(_ptr(buf), ctypes.c_long(len(data)),
-                           ctypes.c_long(cap),
-                           *[_ptr(cols[c]) for c in
-                             ("name_off", "name_len", "comment_off",
-                              "comment_len", "seq_off", "seq_len", "qual_off")],
-                           ctypes.c_int(n_threads))
-    if n < 0:
-        return None
-    return {k: v[:n] for k, v in cols.items()}
+    # capacity: exact newline count for small inputs, sampled estimate with
+    # an exact-count retry for large ones (avoids a full pre-pass)
+    if len(buf) < (16 << 20):
+        caps = [int((buf == 10).sum()) // 4 + 2]
+    else:
+        sample = int((buf[:4 << 20] == 10).sum())
+        est = int(len(buf) * (max(sample, 1) / float(4 << 20)) / 4 * 1.15)
+        caps = [est + 1024, int((buf == 10).sum()) // 4 + 2]
+    for cap in caps:
+        cap = max(cap, 16)
+        cols = {name: np.zeros(cap, dtype=np.int64) for name in
+                ("name_off", "name_len", "comment_off", "comment_len",
+                 "seq_off", "seq_len", "qual_off")}
+        n = lib.fastq_index_mt(_ptr(buf), ctypes.c_long(len(buf)),
+                               ctypes.c_long(cap),
+                               *[_ptr(cols[c]) for c in
+                                 ("name_off", "name_len", "comment_off",
+                                  "comment_len", "seq_off", "seq_len",
+                                  "qual_off")],
+                               ctypes.c_int(n_threads))
+        if 0 <= n < cap - 1:  # n == cap-1/cap could be a silent truncation
+            return {k: v[:n] for k, v in cols.items()}
+    if n >= 0:
+        return {k: v[:n] for k, v in cols.items()}
+    return None
 
 
 def normalize_bases(seq: np.ndarray) -> np.ndarray:

@@ -416,11 +416,21 @@ def parse_fasta_bytes(data: bytes, comment_stored: bool = True,
     return names, comments, seq, qual, offsets, has_quals
 
 
-def open_maybe_gzip(path: str) -> bytes:
+def open_maybe_gzip(path: str, use_mmap: bool = False) -> bytes:
     if path.endswith(".gz"):
         import gzip
         with gzip.open(path, "rb") as f:
             return f.read()
+    if use_mmap:
+        # zero-copy view; page faults overlap with the (threaded) consumer
+        # instead of a blocking up-front read (the reference mmaps too,
+        # ref: src/ReadFileReader.h mmap path)
+        import mmap
+        f = open(path, "rb")
+        try:
+            return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        finally:
+            f.close()
     with open(path, "rb") as f:
         return f.read()
 

@@ -57,7 +57,7 @@ class FastqBatchStream:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         for path in self.paths:
-            data = open_maybe_gzip(path)
+            data = open_maybe_gzip(path, use_mmap=(self.size == 1))
             if self.size > 1:
                 data = extract_partition(data, self.rank, self.size)
             idx = native_io.fastq_index(data)
