@@ -43,17 +43,25 @@ def detect_input_base(qual_sample: np.ndarray, initial: int = 33) -> int:
 
 
 class FastqBatchStream:
-    """Iterate fixed-size padded batches from FASTQ file(s)."""
+    """Iterate fixed-size padded batches from FASTQ file(s).
+
+    raw_qual=True yields (codes u8, qual u8, lengths) — 1 byte/base on the
+    host->device link instead of a 4-byte float, with the logp table lookup
+    fused into the device count step (see StreamingSpectrum.add_batch); the
+    table for the conversion is exposed as .device_table after iteration
+    starts."""
 
     def __init__(self, paths, batch_reads: int = 8192, L: int = 0,
                  min_quality: int = 3, output_base: int = 33,
-                 rank: int = 0, size: int = 1):
+                 rank: int = 0, size: int = 1, raw_qual: bool = False):
         self.paths = list(paths)
         self.batch_reads = batch_reads
         self.L = L
         self.min_quality = min_quality
         self.output_base = output_base
         self.rank, self.size = rank, size
+        self.raw_qual = raw_qual
+        self.device_table = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         for path in self.paths:
@@ -72,20 +80,29 @@ class FastqBatchStream:
             input_base = detect_input_base(
                 buf[idx["qual_off"][0]:idx["qual_off"][0] + idx["seq_len"][0]])
             ltab = log2_table(self.min_quality, self.output_base, input_base)
+            self.device_table = ltab.astype(np.float32)
+            self.device_table[self.device_table < -1e29] = -1e30
             for s in range(0, n, self.batch_reads):
                 e = min(s + self.batch_reads, n)
-                packed = native_io.pack_batch_idx(
-                    buf, idx["seq_off"][s:e], idx["qual_off"][s:e],
-                    idx["seq_len"][s:e], L, ltab)
+                if self.raw_qual:
+                    packed = native_io.pack_batch_qual(
+                        buf, idx["seq_off"][s:e], idx["qual_off"][s:e],
+                        idx["seq_len"][s:e], L)
+                else:
+                    packed = native_io.pack_batch_idx(
+                        buf, idx["seq_off"][s:e], idx["qual_off"][s:e],
+                        idx["seq_len"][s:e], L, ltab)
                 if packed is None:
                     continue
-                codes, logp, lengths = packed
+                codes, q_or_lp, lengths = packed
                 if e - s < self.batch_reads:
                     pad = self.batch_reads - (e - s)
                     codes = np.concatenate([codes, np.zeros((pad, L), np.uint8)])
-                    logp = np.concatenate([logp, np.full((pad, L), -1e30, np.float32)])
+                    fill = (np.zeros((pad, L), np.uint8) if self.raw_qual else
+                            np.full((pad, L), -1e30, np.float32))
+                    q_or_lp = np.concatenate([q_or_lp, fill])
                     lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-                yield codes, logp, lengths
+                yield codes, q_or_lp, lengths
 
     def _python_batches(self, data: bytes):
         from kmernator_tpu.io.reads import parse_fastq_bytes, ReadSet

@@ -41,19 +41,28 @@ class StreamingSpectrum:
     _pending_counts: list = None
     _pending_rows: int = 0
 
-    def add_batch(self, codes, logp, lengths):
+    def add_batch(self, codes, logp, lengths, qual_table=None):
         """Count one batch and stage its compacted table; merges into the
         main table are amortized (one big sort per ~capacity staged rows
-        instead of per batch)."""
+        instead of per batch).
+
+        `logp` may instead be RAW quality bytes (uint8) with `qual_table`
+        a 256-entry f32 log2-probability table — the lookup then runs on
+        device, shrinking the host->device transfer 4x per base."""
         if self._pending_keys is None:
             self._pending_keys, self._pending_counts = [], []
         codes = jnp.asarray(codes)
-        logp = jnp.asarray(logp)
         lengths = jnp.asarray(lengths)
-        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, self.k)
-        wsum, good = window_good(logp, lengths, self.k, self.log2_min_weight)
-        bkeys, bcounts, n_unique = count_batch(
-            [c.reshape(-1) for c in cols], (good & valid).reshape(-1), 1)
+        if logp.dtype == np.uint8:
+            if qual_table is None:
+                raise ValueError("raw-qual batches need qual_table")
+            bkeys, bcounts, n_unique = _batch_table_from_qual(
+                codes, jnp.asarray(logp), lengths, jnp.asarray(qual_table),
+                self.k, self.log2_min_weight)
+        else:
+            bkeys, bcounts, n_unique = _batch_table(
+                codes, jnp.asarray(logp), lengths, self.k,
+                self.log2_min_weight)
         counts = None
         self._pending_keys.append(bkeys)
         self._pending_counts.append(bcounts)
@@ -100,6 +109,23 @@ class StreamingSpectrum:
         return keys[real], counts[real]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "log2_min_weight"))
+def _batch_table(codes, logp, lengths, k, log2_min_weight):
+    cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+    wsum, good = window_good(logp, lengths, k, log2_min_weight)
+    return count_batch([c.reshape(-1) for c in cols],
+                       (good & valid).reshape(-1), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "log2_min_weight"))
+def _batch_table_from_qual(codes, qual, lengths, table, k, log2_min_weight):
+    logp = table[qual]  # 256-entry gather, fused into the count step
+    cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+    wsum, good = window_good(logp, lengths, k, log2_min_weight)
+    return count_batch([c.reshape(-1) for c in cols],
+                       (good & valid).reshape(-1), 1)
+
+
 @jax.jit
 def _occupancy(counts):
     return jnp.sum(counts > 0), jnp.sum(counts >= 2)
@@ -134,8 +160,10 @@ def build_streaming(batches: Iterable, k: int, capacity: int,
     worker-thread split (ref: DistributedFunctions.h:376-382) recast as
     IO/compute overlap."""
     sp = StreamingSpectrum(k, capacity, min_weight)
+    src = batches  # raw-qual streams expose .device_table once iterating
     for codes, logp, lengths in _prefetched(batches, prefetch):
-        sp.add_batch(codes, logp, lengths)
+        sp.add_batch(codes, logp, lengths,
+                     qual_table=getattr(src, "device_table", None))
     return sp.finalize(min_depth)
 
 

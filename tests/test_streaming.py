@@ -16,14 +16,16 @@ def host_table(min_depth):
     return dict(zip(sp.keys.tolist(), sp.counts.tolist()))
 
 
-@pytest.mark.parametrize("batch_reads,capacity", [(128, 65536), (333, 16384)])
-def test_streaming_matches_host(batch_reads, capacity):
+@pytest.mark.parametrize("batch_reads,capacity,raw_qual",
+                         [(128, 65536, False), (333, 16384, False),
+                          (128, 65536, True)])
+def test_streaming_matches_host(batch_reads, capacity, raw_qual):
     from kmernator_tpu.io.stream import FastqBatchStream
     from kmernator_tpu.parallel.pipeline import build_streaming
 
     stream = FastqBatchStream([REF + "/1000.fastq"],
-                              batch_reads=batch_reads)
-    keys, counts = build_streaming(iter(stream), K, capacity, min_depth=2)
+                              batch_reads=batch_reads, raw_qual=raw_qual)
+    keys, counts = build_streaming(stream, K, capacity, min_depth=2)
     keys64 = (keys[:, 0].astype(np.uint64) << np.uint64(32)) | keys[:, 1]
     got = dict(zip(keys64.tolist(), counts.tolist()))
     want = host_table(2)
