@@ -312,23 +312,31 @@ def merge_tables(keys_a, counts_a, keys_b, counts_b):
     Output capacity = len(a) + len(b), caller may re-compact."""
     keys = jnp.concatenate([keys_a, keys_b])
     counts = jnp.concatenate([counts_a, counts_b])
-    W = keys.shape[1]
+    N, W = keys.shape
     ops = [keys[:, w] for w in range(W)] + [counts]
     s = jax.lax.sort(ops, num_keys=W)
-    skeys = jnp.stack(s[:W], axis=-1)
     scounts = s[W]
-    N = keys.shape[0]
     neq = jnp.zeros(N - 1, dtype=jnp.bool_)
     for w in range(W):
-        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+        neq = neq | (s[w][1:] != s[w][:-1])
     boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    seg_counts = jax.ops.segment_sum(scounts, seg, num_segments=N)
-    out_keys = jnp.where(boundary[:, None], skeys, SENTINEL)
-    out_counts = jnp.where(boundary, seg_counts[seg], 0)
+    is_end = jnp.concatenate([neq, jnp.ones(1, jnp.bool_)])
+    # per-run count totals via monotone scans (no segment_sum/gather —
+    # scatter/gather are the slow ops on TPU; see _run_counts_scan)
+    cum = jnp.cumsum(scounts)
+    excl = cum - scounts
+    base = jax.lax.cummax(jnp.where(boundary, excl, jnp.int32(-1)))
+    total = jax.lax.cummin(
+        jnp.where(is_end, cum, jnp.iinfo(jnp.int32).max), reverse=True)
+    run_total = (total - base).astype(counts.dtype)
+    sent = jnp.ones(N, dtype=jnp.bool_)
+    for w in range(W):
+        sent = sent & (s[w] == SENTINEL)
+    keep = boundary & ~sent
+    out_cols = [jnp.where(keep, c, SENTINEL) for c in s[:W]]
+    out_counts = jnp.where(keep, run_total, 0)
     # re-sort so unique rows lead and sentinels trail
-    ops2 = [out_keys[:, w] for w in range(W)] + [out_counts]
-    s2 = jax.lax.sort(ops2, num_keys=W)
+    s2 = jax.lax.sort(out_cols + [out_counts], num_keys=W)
     return jnp.stack(s2[:W], axis=-1), s2[W]
 
 
