@@ -141,6 +141,31 @@ def pack_batch_qual(data: np.ndarray, seq_off: np.ndarray,
     return codes, qual, lengths
 
 
+def pack_batch_2bit_qual(data: np.ndarray, seq_off: np.ndarray,
+                         qual_off: np.ndarray, seq_len: np.ndarray, L: int,
+                         n_threads: int = 0):
+    """2-bit packed codes (4 bases/byte — the reference wire format) + raw
+    qual bytes: the minimal host->device transfer encoding."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(seq_off)
+    Lb = (L + 3) // 4
+    codes2 = np.zeros((B, Lb), dtype=np.uint8)
+    qual = np.zeros((B, L), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.pack_batch_2bit_qual_mt(
+        _ptr(data),
+        _ptr(np.ascontiguousarray(seq_off, np.int64)),
+        _ptr(np.ascontiguousarray(qual_off, np.int64)),
+        _ptr(np.ascontiguousarray(seq_len, np.int64)),
+        ctypes.c_long(B), ctypes.c_long(L),
+        _ptr(codes2), _ptr(qual), _ptr(lengths), ctypes.c_int(n_threads))
+    return codes2, qual, lengths
+
+
 def pack_batch(seq: np.ndarray, qual: np.ndarray, offsets: np.ndarray,
                L: int, logp_table: np.ndarray, logp_floor: float = -1e30):
     """Dense [B, L] codes/logp/lengths from ragged reads (native scatter)."""

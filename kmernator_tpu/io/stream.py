@@ -53,14 +53,16 @@ class FastqBatchStream:
 
     def __init__(self, paths, batch_reads: int = 8192, L: int = 0,
                  min_quality: int = 3, output_base: int = 33,
-                 rank: int = 0, size: int = 1, raw_qual: bool = False):
+                 rank: int = 0, size: int = 1, raw_qual: bool = False,
+                 pack2: bool = False):
         self.paths = list(paths)
         self.batch_reads = batch_reads
         self.L = L
         self.min_quality = min_quality
         self.output_base = output_base
         self.rank, self.size = rank, size
-        self.raw_qual = raw_qual
+        self.raw_qual = raw_qual or pack2
+        self.pack2 = pack2
         self.device_table = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -84,7 +86,11 @@ class FastqBatchStream:
             self.device_table[self.device_table < -1e29] = -1e30
             for s in range(0, n, self.batch_reads):
                 e = min(s + self.batch_reads, n)
-                if self.raw_qual:
+                if self.pack2:
+                    packed = native_io.pack_batch_2bit_qual(
+                        buf, idx["seq_off"][s:e], idx["qual_off"][s:e],
+                        idx["seq_len"][s:e], L)
+                elif self.raw_qual:
                     packed = native_io.pack_batch_qual(
                         buf, idx["seq_off"][s:e], idx["qual_off"][s:e],
                         idx["seq_len"][s:e], L)
@@ -97,7 +103,8 @@ class FastqBatchStream:
                 codes, q_or_lp, lengths = packed
                 if e - s < self.batch_reads:
                     pad = self.batch_reads - (e - s)
-                    codes = np.concatenate([codes, np.zeros((pad, L), np.uint8)])
+                    codes = np.concatenate(
+                        [codes, np.zeros((pad, codes.shape[1]), np.uint8)])
                     fill = (np.zeros((pad, L), np.uint8) if self.raw_qual else
                             np.full((pad, L), -1e30, np.float32))
                     q_or_lp = np.concatenate([q_or_lp, fill])

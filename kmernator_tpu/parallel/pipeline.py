@@ -56,9 +56,15 @@ class StreamingSpectrum:
         if logp.dtype == np.uint8:
             if qual_table is None:
                 raise ValueError("raw-qual batches need qual_table")
-            bkeys, bcounts, n_unique = _batch_table_from_qual(
-                codes, jnp.asarray(logp), lengths, jnp.asarray(qual_table),
-                self.k, self.log2_min_weight)
+            L = logp.shape[1]  # qual carries the true padded length
+            if codes.shape[1] != L:  # 2-bit packed codes
+                bkeys, bcounts, n_unique = _batch_table_from_2bit(
+                    codes, jnp.asarray(logp), lengths,
+                    jnp.asarray(qual_table), self.k, self.log2_min_weight, L)
+            else:
+                bkeys, bcounts, n_unique = _batch_table_from_qual(
+                    codes, jnp.asarray(logp), lengths,
+                    jnp.asarray(qual_table), self.k, self.log2_min_weight)
         else:
             bkeys, bcounts, n_unique = _batch_table(
                 codes, jnp.asarray(logp), lengths, self.k,
@@ -69,7 +75,8 @@ class StreamingSpectrum:
         self._pending_rows += bkeys.shape[0]
         if self._pending_rows >= self.capacity:
             self._drain()
-        self.total_windows += int(codes.shape[0]) * (codes.shape[1] - self.k + 1)
+        L_eff = (logp.shape[1] if logp.dtype == np.uint8 else codes.shape[1])
+        self.total_windows += int(codes.shape[0]) * (L_eff - self.k + 1)
         return counts
 
     purged_singletons: int = 0
@@ -120,6 +127,24 @@ def _batch_table(codes, logp, lengths, k, log2_min_weight):
 @functools.partial(jax.jit, static_argnames=("k", "log2_min_weight"))
 def _batch_table_from_qual(codes, qual, lengths, table, k, log2_min_weight):
     logp = table[qual]  # 256-entry gather, fused into the count step
+    cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+    wsum, good = window_good(logp, lengths, k, log2_min_weight)
+    return count_batch([c.reshape(-1) for c in cols],
+                       (good & valid).reshape(-1), 1)
+
+
+def unpack_2bit(codes2, L: int):
+    """[B, ceil(L/4)] 2-bit packed -> [B, L] u8 codes (device)."""
+    planes = [(codes2 >> jnp.uint8(6 - 2 * j)) & jnp.uint8(3)
+              for j in range(4)]
+    return jnp.stack(planes, axis=-1).reshape(codes2.shape[0], -1)[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "log2_min_weight", "L"))
+def _batch_table_from_2bit(codes2, qual, lengths, table, k,
+                           log2_min_weight, L):
+    codes = unpack_2bit(codes2, L)
+    logp = table[qual]
     cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
     wsum, good = window_good(logp, lengths, k, log2_min_weight)
     return count_batch([c.reshape(-1) for c in cols],

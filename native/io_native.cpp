@@ -297,6 +297,70 @@ void pack_batch_qual(const unsigned char* data,
   }
 }
 
+// 2-bit packed codes (4 bases/byte, base j in bits 6-2*(j%4) — the
+// reference's TwoBitSequence wire format, ref: src/TwoBitSequence.h) +
+// raw qual bytes.  codes2 row stride is (L+3)/4.
+void pack_batch_2bit_qual(const unsigned char* data,
+                          const long* seq_off, const long* qual_off,
+                          const long* seq_len, long n_reads, long L,
+                          unsigned char* codes2_out, unsigned char* qual_out,
+                          int* lengths_out) {
+  static signed char code_table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) code_table[i] = -1;
+    code_table['A'] = 0; code_table['C'] = 1; code_table['G'] = 2;
+    code_table['T'] = 3;
+    code_table['a'] = 0; code_table['c'] = 1; code_table['g'] = 2;
+    code_table['t'] = 3;
+    init = true;
+  }
+  long Lb = (L + 3) / 4;
+  for (long r = 0; r < n_reads; r++) {
+    const unsigned char* seq = data + seq_off[r];
+    const unsigned char* qual = data + qual_off[r];
+    long len = seq_len[r];
+    if (len > L) len = L;
+    lengths_out[r] = (int)len;
+    unsigned char* crow = codes2_out + r * Lb;
+    unsigned char* qrow = qual_out + r * L;
+    memset(crow, 0, Lb);
+    for (long i = 0; i < len; i++) {
+      signed char c = code_table[seq[i]];
+      unsigned char cc = c < 0 ? 0 : (unsigned char)c;
+      crow[i >> 2] |= cc << (6 - 2 * (i & 3));
+      qrow[i] = c < 0 ? 0 : qual[i];
+    }
+    for (long i = len; i < L; i++) qrow[i] = 0;
+  }
+}
+
+void pack_batch_2bit_qual_mt(const unsigned char* data,
+                             const long* seq_off, const long* qual_off,
+                             const long* seq_len, long n_reads, long L,
+                             unsigned char* codes2_out, unsigned char* qual_out,
+                             int* lengths_out, int n_threads) {
+  if (n_threads <= 1 || n_reads < 4096) {
+    pack_batch_2bit_qual(data, seq_off, qual_off, seq_len, n_reads, L,
+                         codes2_out, qual_out, lengths_out);
+    return;
+  }
+  long Lb = (L + 3) / 4;
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk;
+    long e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      pack_batch_2bit_qual(data, seq_off + s, qual_off + s, seq_len + s,
+                           e - s, L, codes2_out + s * Lb, qual_out + s * L,
+                           lengths_out + s);
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
 void pack_batch_qual_mt(const unsigned char* data,
                         const long* seq_off, const long* qual_off,
                         const long* seq_len, long n_reads, long L,

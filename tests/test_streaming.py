@@ -16,15 +16,17 @@ def host_table(min_depth):
     return dict(zip(sp.keys.tolist(), sp.counts.tolist()))
 
 
-@pytest.mark.parametrize("batch_reads,capacity,raw_qual",
-                         [(128, 65536, False), (333, 16384, False),
-                          (128, 65536, True)])
-def test_streaming_matches_host(batch_reads, capacity, raw_qual):
+@pytest.mark.parametrize("batch_reads,capacity,mode",
+                         [(128, 65536, "logp"), (333, 16384, "logp"),
+                          (128, 65536, "raw_qual"), (128, 65536, "pack2")])
+def test_streaming_matches_host(batch_reads, capacity, mode):
     from kmernator_tpu.io.stream import FastqBatchStream
     from kmernator_tpu.parallel.pipeline import build_streaming
 
     stream = FastqBatchStream([REF + "/1000.fastq"],
-                              batch_reads=batch_reads, raw_qual=raw_qual)
+                              batch_reads=batch_reads,
+                              raw_qual=(mode == "raw_qual"),
+                              pack2=(mode == "pack2"))
     keys, counts = build_streaming(stream, K, capacity, min_depth=2)
     keys64 = (keys[:, 0].astype(np.uint64) << np.uint64(32)) | keys[:, 1]
     got = dict(zip(keys64.tolist(), counts.tolist()))
