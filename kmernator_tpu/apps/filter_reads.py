@@ -473,6 +473,8 @@ def run(argv: List[str]) -> int:
     compose([opts, kopts, sopts, ropts, aopts, dopts, fopts], argv,
             positional=["kmer-size", "input-file"])
     Log.verbose_level = opts.verbose
+    if getattr(opts, "log_file", ""):
+        Log.set_log_file(opts.log_file)
     Log.debug_level = opts.debug
 
     if not opts.input_file:

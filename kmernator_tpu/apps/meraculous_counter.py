@@ -174,6 +174,8 @@ def run(argv: List[str]) -> int:
         jax.config.update("jax_platforms", platform)
     compose([opts, kopts, sopts], argv, positional=["input-file"])
     Log.verbose_level = opts.verbose
+    if getattr(opts, "log_file", ""):
+        Log.set_log_file(opts.log_file)
 
     k = kopts.kmer_size
     if k == 0:

@@ -76,6 +76,8 @@ def run(argv: List[str]) -> int:
     compose([opts, kopts, sopts, aopts, asm], argv,
             positional=["kmer-size", "input-file"])
     Log.verbose_level = opts.verbose
+    if getattr(opts, "log_file", ""):
+        Log.set_log_file(opts.log_file)
     if not asm.contig_file:
         Log.error("you must specify the --contig-file")
         return 1

@@ -16,6 +16,19 @@ _t0 = time.time()
 class Log:
     verbose_level = 0
     debug_level = 0
+    _file = None
+
+    @classmethod
+    def set_log_file(cls, path: str):
+        """--log-file: tee all messages to a file (ref: Options.h log-file)."""
+        cls._file = open(path, "a") if path else None
+
+    @classmethod
+    def _emit(cls, line: str):
+        print(line, file=sys.stderr, flush=True)
+        if cls._file is not None:
+            cls._file.write(line + "\n")
+            cls._file.flush()
 
     @staticmethod
     def _stamp() -> str:
@@ -33,17 +46,17 @@ class Log:
     @classmethod
     def verbose(cls, level: int, msg: str):
         if cls.verbose_level >= level:
-            print("%s VERBOSE: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+            cls._emit("%s VERBOSE: %s" % (cls._stamp(), msg))
 
     @classmethod
     def debug(cls, level: int, msg: str):
         if cls.debug_level >= level:
-            print("%s DEBUG: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+            cls._emit("%s DEBUG: %s" % (cls._stamp(), msg))
 
     @classmethod
     def warn(cls, msg: str):
-        print("%s WARN: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+        cls._emit("%s WARN: %s" % (cls._stamp(), msg))
 
     @classmethod
     def error(cls, msg: str):
-        print("%s ERROR: %s" % (cls._stamp(), msg), file=sys.stderr, flush=True)
+        cls._emit("%s ERROR: %s" % (cls._stamp(), msg))

@@ -46,6 +46,10 @@ class GeneralOptions:
     mmap_input: bool = False
     batch_size: int = 100000
     temp_dir: str = "/tmp"
+    log_file: str = ""
+    gathered_logs: int = 0          # accepted for CLI parity (logs are
+    build_output_in_memory: int = 0  # already process-local / buffered)
+    keep_temp_dir: str = ""
 
     FLAGS = {
         "verbose": int, "debug": int, "threads": int,
@@ -53,7 +57,8 @@ class GeneralOptions:
         "keep-read-comment": _bool, "min-quality-score": int,
         "fastq-base-quality": int, "fastq-output-base-quality": int,
         "ignore-quality": _bool, "mmap-input": _bool, "batch-size": int,
-        "temp-dir": str,
+        "temp-dir": str, "log-file": str, "gathered-logs": int,
+        "build-output-in-memory": int, "keep-temp-dir": str,
     }
 
 
@@ -84,18 +89,25 @@ class KmerSpectrumOptions:
 
     FLAGS = {
         "min-kmer-quality": float, "min-depth": int,
+        "estimated-depth": float, "estimated-error-rate": float,
         "estimated-kmer-depth": float, "estimated-kmer-error-rate": float,
         "variant-sigmas": float, "min-variant-kmer-depth": int,
-        "variant-edit-distance": int, "save-kmer-mmap": int,
+        "variant-edit-distance": int, "variant-edit-disance": int,
+        "save-kmer-mmap": int,
         "load-kmer-mmap": str, "build-partitions": int,
         "kmer-subsample": int, "periodic-singleton-purge": int,
         "gc-heat-map": _bool,
     }
-    # flag -> attr where the spelling differs
+    # flag -> attr where the spelling differs.  The reference really does
+    # spell it "variant-edit-disance" (ref: src/KmerSpectrum.h:137) — both
+    # that exact spelling and the corrected one are accepted.
     ALIASES = {
+        "estimated-depth": "estimated_depth",
+        "estimated-error-rate": "estimated_error_rate",
         "estimated-kmer-depth": "estimated_depth",
         "estimated-kmer-error-rate": "estimated_error_rate",
         "variant-edit-distance": "variant_hamming_distance",
+        "variant-edit-disance": "variant_hamming_distance",
     }
 
 
