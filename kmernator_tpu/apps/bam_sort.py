@@ -45,6 +45,8 @@ def run(argv: List[str]) -> int:
     unmapped_reads = None
     unmapped_pairs = None
     keep_unmapped_paired = True
+    out_flag = None
+    in_flag: List[str] = []
     args = []
     i = 0
     while i < len(argv):
@@ -58,13 +60,25 @@ def run(argv: List[str]) -> int:
         elif a == "--keep-unmapped-paired-read":
             keep_unmapped_paired = argv[i + 1].lower() not in ("0", "false")
             i += 2
+        elif a == "--output-bam":
+            out_flag = argv[i + 1]
+            i += 2
+        elif a == "--input-bams":
+            in_flag.append(argv[i + 1])
+            i += 2
+        elif a == "--num-partitions":
+            i += 2  # MPI redistribution partition count — single-image sort
         else:
             args.append(a)
             i += 1
-    if len(args) < 2:
-        print("usage: bam_sort [options] output.bam input...", file=sys.stderr)
-        return 1
-    out_path, inputs = args[0], args[1:]
+    if out_flag is not None:
+        out_path, inputs = out_flag, in_flag + args
+    else:
+        if len(args) < 2:
+            print("usage: bam_sort [options] output.bam input...",
+                  file=sys.stderr)
+            return 1
+        out_path, inputs = args[0], args[1:]
 
     bd = merge([load_alignments(p) for p in inputs])
     unmapped = (bd.flag & FLAG_UNMAPPED) != 0

@@ -32,8 +32,13 @@ class _AsmOptions:
     FLAGS = {"contig-file": str, "max-iterations": int,
              "max-contig-length": int, "max-contigs-per-batch": int,
              "minimum-consensus": float, "minimum-coverage": float,
-             "maximum-delta-ratio": float,
+             "maximum-delta-ratio": float, "minimum-extension-factor": float,
              "match-max-positions-from-edge": int, "max-read-matches": int,
+             "max-read-depth-matches": int,
+             "include-mate": lambda v: str(v).lower() not in ("0", "false"),
+             "min-match-overlap": int, "min-identity-fraction": float,
+             "return-overlap-only":
+                 lambda v: str(v).lower() not in ("0", "false"),
              "mesh": int, "jax-platform": str}
 
     def __init__(self):
@@ -44,8 +49,15 @@ class _AsmOptions:
         self.minimum_consensus = 85.0
         self.minimum_coverage = 4.8
         self.maximum_delta_ratio = 0.33
+        self.minimum_extension_factor = 0.2  # ref: ContigExtender.h:93
         self.match_max_positions_from_edge = 500
-        self.max_read_matches = 10000
+        # MatcherInterface screening defaults (ref: MatcherInterface.h:66)
+        self.max_read_matches = 450
+        self.max_read_depth_matches = 0
+        self.include_mate = True
+        self.min_match_overlap = 51
+        self.min_identity_fraction = 0.986
+        self.return_overlap_only = True
         self.mesh = 0
         self.jax_platform = ""
 
@@ -57,6 +69,43 @@ def _subset(rs: ReadSet, indices) -> ReadSet:
         out.append_read(rs.names[i], rs.comments[i], rs.get_seq(i),
                         rs.get_phred(i) if rs.has_quals[i] else None)
         out.discarded[-1] = rs.discarded[i]
+    return out
+
+
+def screen_pools(rs: ReadSet, contigs: ReadSet, pools, asm, k: int,
+                 mate: dict):
+    """MatcherInterface match screening (ref: MatcherInterface.h:189-350):
+    keep reads that overlap-align to the contig (min-match-overlap +
+    min-identity-fraction), add their mates (include-mate), and subsample
+    to the read/depth caps."""
+    from kmernator_tpu.ops.align import KmerAligner
+    rng = np.random.default_rng(0)
+    lens = rs.lengths()
+    avg_len = float(lens.mean()) if rs.n else 76.0
+    out = []
+    for ci in range(contigs.n):
+        ids = pools[ci]
+        if asm.return_overlap_only and ids:
+            aligner = KmerAligner(contigs.get_seq(ci), k)
+            keep = set()
+            for r in ids:
+                a = aligner.align(rs.get_seq(r))
+                ov = a.overlap
+                if (ov >= asm.min_match_overlap and ov > 0 and
+                        (ov - a.mismatches) / ov >= asm.min_identity_fraction):
+                    keep.add(r)
+            ids = keep
+        if asm.include_mate:
+            ids = ids | {mate[r] for r in ids if r in mate}
+        max_reads = asm.max_read_matches
+        if asm.max_read_depth_matches > 0:
+            depth_cap = int(asm.max_read_depth_matches *
+                            len(contigs.get_seq(ci)) / max(avg_len, 1.0))
+            max_reads = max(max_reads, depth_cap)
+        if max_reads and len(ids) > 2 * max_reads:
+            frac = (2.0 * max_reads) / len(ids)
+            ids = {r for r in ids if rng.random() < frac}
+        out.append(ids)
     return out
 
 
@@ -110,20 +159,26 @@ def run(argv: List[str]) -> int:
                               opts.fastq_output_base_quality,
                               sopts.min_kmer_quality)
         pool_fn = lambda idx, ctg: mesh_match_pools(
-            idx, ctg, asm.match_max_positions_from_edge, asm.max_read_matches)
+            idx, ctg, asm.match_max_positions_from_edge, 0)
     else:
         index = KmerReadIndex(rs, kopts.kmer_size, sopts.min_depth,
                               opts.min_quality_score,
                               opts.fastq_output_base_quality,
                               sopts.min_kmer_quality)
         pool_fn = lambda idx, ctg: match_pools(
-            idx, ctg, asm.match_max_positions_from_edge, asm.max_read_matches)
+            idx, ctg, asm.match_max_positions_from_edge, 0)
     min_k, max_k, k_step = get_min_max_kmer_size(rs, kopts.kmer_size)
     max_extend = max_k
     params = ExtendParams(minimum_consensus=asm.minimum_consensus / 100.0,
                           minimum_coverage=asm.minimum_coverage,
                           maximum_delta_ratio=asm.maximum_delta_ratio,
                           max_extend=max_extend)
+
+    mate = {}
+    for p1, p2 in rs.pairs:
+        if p1 >= 0 and p2 >= 0:
+            mate[p1] = p2
+            mate[p2] = p1
 
     contigs = load_reads([asm.contig_file])
     final = ReadSet()
@@ -137,6 +192,7 @@ def run(argv: List[str]) -> int:
         timer.reset("iteration-%d" % iteration)
         Log.verbose(1, "Iteration %d: %d contigs" % (iteration, contigs.n))
         pools = pool_fn(index, contigs)
+        pools = screen_pools(rs, contigs, pools, asm, kopts.kmer_size, mate)
         timer.record("match")
         changed = ReadSet()
         changed.input_qual_base = rs.input_qual_base

@@ -20,10 +20,16 @@ from kmernator_tpu.io.reads import (open_maybe_gzip, extract_partition,
 from kmernator_tpu.utils.options import GeneralOptions, compose
 
 
+_bool = lambda v: str(v).lower() not in ("0", "false", "")
+
+
 class _SSOptions:
     FLAGS = {"num-files": int, "file-num": int, "second-dim": int,
              "split-file": str, "pipe-command": str,
-             "trim-pair-in-name": lambda v: str(v).lower() not in ("0", "false", "")}
+             "trim-pair-in-name": _bool,
+             "output-fifo": _bool, "extra-fifo": list, "fork-command": list,
+             "merge": list, "even-chunks": int, "min-read-length": int,
+             "min-bytes-per-record": int, "max-percent-for-fseek": int}
 
     def __init__(self):
         self.num_files = 1
@@ -32,6 +38,14 @@ class _SSOptions:
         self.split_file = ""
         self.pipe_command = ""
         self.trim_pair_in_name = False
+        self.output_fifo = False
+        self.extra_fifo = []
+        self.fork_command = []
+        self.merge = []
+        self.even_chunks = 1          # ordering knob; single-image output
+        self.min_read_length = 0      # is already contiguous per partition
+        self.min_bytes_per_record = 100   # partition-resync tuning knobs:
+        self.max_percent_for_fseek = 20   # accepted; resync is exact here
 
 
 def replace_keys(s: str, file_num: int, num_files: int, second_dim: int) -> str:
@@ -57,11 +71,34 @@ def run(argv: List[str]) -> int:
     compose([opts, sso], argv, positional=["input-file"])
 
     fn, nf, sd = sso.file_num, sso.num_files, sso.second_dim
+    import os
+    fifos = []
+    if sso.output_fifo:
+        for tpl in ([opts.output_file] if opts.output_file else []) + \
+                   ([sso.split_file] if sso.split_file else []):
+            path = replace_keys(tpl, fn, nf, sd)
+            if not os.path.exists(path):
+                os.mkfifo(path)
+            fifos.append(path)
+    for tpl in sso.extra_fifo:
+        path = replace_keys(tpl, fn, nf, sd)
+        if not os.path.exists(path):
+            os.mkfifo(path)
+        fifos.append(path)
+    forked = [subprocess.Popen(replace_keys(c, fn, nf, sd), shell=True)
+              for c in sso.fork_command]
     parts = []
     for path in opts.input_file:
         data = open_maybe_gzip(path)
         parts.append(extract_partition(data, fn, nf))
     payload = b"".join(parts)
+    if sso.min_read_length > 0 and payload[:1] == b"@":
+        recs = payload.split(b"\n")
+        kept = []
+        for i in range(0, len(recs) - 3, 4):
+            if len(recs[i + 1]) >= sso.min_read_length:
+                kept.append(b"\n".join(recs[i:i + 4]) + b"\n")
+        payload = b"".join(kept)
 
     if sso.split_file:
         # split interleaved pairs into two outputs (ref: OutputSplitFiles)
@@ -94,7 +131,22 @@ def run(argv: List[str]) -> int:
             f.write(payload)
     else:
         sys.stdout.buffer.write(payload)
-    return 0
+    rc = 0
+    for proc in forked:
+        rc = rc or proc.wait()
+    # --merge per-rank final: concatenate after forks complete
+    # (ref: SplitSequenceOnTheFly.cpp merge list)
+    m = [replace_keys(x, fn, nf, sd) for x in sso.merge]
+    for src, dst in zip(m[::2], m[1::2]):
+        with open(dst, "ab") as out_f, open(src, "rb") as in_f:
+            out_f.write(in_f.read())
+    if sso.output_fifo:
+        for path in fifos:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    return rc
 
 
 def main():

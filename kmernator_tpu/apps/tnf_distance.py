@@ -27,6 +27,9 @@ class _TnfOptions:
              "cluster-threshold-distance": float,
              "distance-formula": str, "min-sequence-length": int,
              "intra-inter-file": str, "window-size": int, "window-step": int,
+             "window2-size": int, "window2-step": int,
+             "include-intra-inter-data-file":
+                 lambda v: str(v).lower() not in ("0", "false", ""),
              "likelihood-bins": int, "max-samples": int}
 
     def __init__(self):
@@ -40,6 +43,9 @@ class _TnfOptions:
         self.intra_inter_file = ""
         self.window_size = 2000
         self.window_step = 1000
+        self.window2_size = -1
+        self.window2_step = 1000
+        self.include_intra_inter_data_file = False
         self.likelihood_bins = 250
         self.max_samples = 2_000_000
 
@@ -160,12 +166,19 @@ def intra_inter_likelihood(rs: ReadSet, tnfo, k: int) -> str:
     max_dist = np.sqrt(2.0) if tnfo.distance_formula == "EUCLIDEAN" else 1.0
     bins = tnfo.likelihood_bins
     edges = np.linspace(0.0, max_dist, bins + 1)
-    hists = {name: np.zeros(bins + 1, dtype=np.int64)
-             for name in ("intra", "inter", "intra_vs_whole", "inter_vs_whole")}
+    names = ["intra", "inter", "intra_vs_whole", "inter_vs_whole"]
+    use_w2 = tnfo.window2_size > 0
+    if use_w2:
+        names += ["intra_w1w2", "inter_w1w2"]
+    hists = {name: np.zeros(bins + 1, dtype=np.int64) for name in names}
+    raw = [] if tnfo.include_intra_inter_data_file else None
 
     def observe(name, d):
         idx = np.minimum((d / (max_dist / bins)).astype(np.int64), bins)
         np.add.at(hists[name], idx, 1)
+        if raw is not None:
+            for v in np.atleast_1d(d):
+                raw.append("%s\t%g" % (name, v))
 
     shreds = shred_windows(rs, tnfo.window_size, tnfo.window_step)
     tnfs, _ = tnf_vectors(shreds, k)
@@ -173,6 +186,12 @@ def intra_inter_likelihood(rs: ReadSet, tnfo, k: int) -> str:
     keep = tnfs.sum(axis=1) >= tnfo.window_size * 3 // 4
     tnfs = tnfs[keep]
     files = shreds.file_idx[keep]
+    if use_w2:
+        shreds2 = shred_windows(rs, tnfo.window2_size, tnfo.window2_step)
+        tnfs2, _ = tnf_vectors(shreds2, k)
+        keep2 = tnfs2.sum(axis=1) >= tnfo.window2_size * 3 // 4
+        tnfs2 = tnfs2[keep2]
+        files2 = shreds2.file_idx[keep2]
     whole, _ = tnf_vectors(rs, k)
     whole_by_file = np.zeros((int(rs.file_idx.max()) + 1, whole.shape[1]))
     np.add.at(whole_by_file, rs.file_idx, whole)
@@ -193,6 +212,15 @@ def intra_inter_likelihood(rs: ReadSet, tnfo, k: int) -> str:
         if len(vals) > max_intra:
             vals = rng.choice(vals, max_intra, replace=False)
         observe("intra", vals)
+        if use_w2:
+            sel2 = np.flatnonzero(files2 == fi)
+            if len(sel2):
+                dm12 = distances(np.concatenate([sub, tnfs2[sel2]]),
+                                 tnfo.distance_formula)[:len(sub), len(sub):]
+                v12 = dm12.reshape(-1)
+                if len(v12) > max_intra:
+                    v12 = rng.choice(v12, max_intra, replace=False)
+                observe("intra_w1w2", v12)
     # inter: across file pairs
     if n_files >= 2:
         max_inter = tnfo.max_samples // (n_files * (n_files - 1) // 2)
@@ -214,12 +242,29 @@ def intra_inter_likelihood(rs: ReadSet, tnfo, k: int) -> str:
                 observe("inter_vs_whole",
                         distances(np.concatenate([whole_by_file[fi:fi + 1], b]),
                                   tnfo.distance_formula)[0, 1:])
-    lines = ["BinStart\tIntra\tInter\tIntraVsWhole\tInterVsWhole"]
+                if use_w2:
+                    b2 = tnfs2[files2 == fj]
+                    if len(a) and len(b2):
+                        dm12 = distances(np.concatenate([a, b2]),
+                                         tnfo.distance_formula)[:len(a), len(a):]
+                        v12 = dm12.reshape(-1)
+                        if len(v12) > max_inter:
+                            v12 = rng.choice(v12, max_inter, replace=False)
+                        observe("inter_w1w2", v12)
+    header = ["BinStart", "Intra", "Inter", "IntraVsWhole", "InterVsWhole"]
+    cols = ["intra", "inter", "intra_vs_whole", "inter_vs_whole"]
+    if use_w2:
+        header += ["IntraW1W2", "InterW1W2"]
+        cols += ["intra_w1w2", "inter_w1w2"]
+    lines = ["\t".join(header)]
     for b in range(bins + 1):
-        lines.append("%g\t%d\t%d\t%d\t%d" % (
-            edges[min(b, bins)], hists["intra"][b], hists["inter"][b],
-            hists["intra_vs_whole"][b], hists["inter_vs_whole"][b]))
-    return "\n".join(lines) + "\n"
+        lines.append("\t".join(["%g" % edges[min(b, bins)]] +
+                                ["%d" % hists[c][b] for c in cols]))
+    table = "\n".join(lines) + "\n"
+    if raw is not None and tnfo.intra_inter_file:
+        with open(tnfo.intra_inter_file + ".data", "w") as f:
+            f.write("\n".join(raw) + "\n")
+    return table
 
 
 def run(argv: List[str]) -> int:

@@ -82,13 +82,36 @@ def _iter_fasta(path: str):
         yield name, b"".join(seq)
 
 
+class ExternalOptions:
+    """CLI options for the external assembler wrappers
+    (ref: src/Cap3.h:76, src/Newbler.h:90-95)."""
+    FLAGS = {"cap3-path": str, "newbler-path": str, "newbler-opts": str,
+             "newbler-ml": int, "newbler-mi": int, "newbler-l": int,
+             "newbler-scaffold":
+                 lambda v: str(v).lower() not in ("0", "false", "")}
+
+    def __init__(self):
+        self.cap3_path = ""
+        self.newbler_path = ""
+        self.newbler_opts = ""
+        self.newbler_ml = 40
+        self.newbler_mi = 90
+        self.newbler_l = 500
+        self.newbler_scaffold = False
+
+
 class Cap3(ExternalAssembler):
     """ref: src/Cap3.h."""
     name = "cap3"
     binary = "cap3"
 
+    def __init__(self, opts: "ExternalOptions" = None):
+        self.opts = opts or ExternalOptions()
+        if self.opts.cap3_path:
+            self.binary = os.path.join(self.opts.cap3_path, "cap3")
+
     def command(self, input_fasta, workdir):
-        return ["cap3", input_fasta]
+        return [self.binary, input_fasta]
 
     def output_contigs(self, input_fasta, workdir):
         return input_fasta + ".cap.contigs"
@@ -99,8 +122,22 @@ class Newbler(ExternalAssembler):
     name = "newbler"
     binary = "runAssembly"
 
+    def __init__(self, opts: "ExternalOptions" = None):
+        self.opts = opts or ExternalOptions()
+        if self.opts.newbler_path:
+            self.binary = os.path.join(self.opts.newbler_path, "runAssembly")
+
     def command(self, input_fasta, workdir):
-        return ["runAssembly", "-o", os.path.join(workdir, "asm"), input_fasta]
+        o = self.opts
+        cmd = [self.binary, "-o", os.path.join(workdir, "asm"),
+               "-ml", str(o.newbler_ml), "-mi", str(o.newbler_mi),
+               "-l", str(o.newbler_l)]
+        if o.newbler_scaffold:
+            cmd.append("-scaffold")
+        if o.newbler_opts:
+            cmd.extend(o.newbler_opts.split())
+        cmd.append(input_fasta)
+        return cmd
 
     def output_contigs(self, input_fasta, workdir):
         return os.path.join(workdir, "asm", "454AllContigs.fna")
