@@ -36,6 +36,7 @@ except Exception:  # pragma: no cover
 
 from kmernator_tpu.ops.kmer import nwords
 from kmernator_tpu.parallel.device_spectrum import (SENTINEL, extract_canonical,
+                                                    extract_canonical_cols,
                                                     window_good)
 
 
@@ -52,9 +53,13 @@ def owner_hash(keys: jax.Array) -> jax.Array:
     partition (ref: src/Kmer.h:183-268); outputs are decomposition-
     invariant so the hash need not match the reference's."""
     W = keys.shape[-1]
+    return owner_hash_cols([keys[..., w] for w in range(W)])
+
+
+def owner_hash_cols(key_cols) -> jax.Array:
     h = jnp.uint32(0x9E3779B9)
-    for w in range(W):
-        h = h ^ keys[..., w]
+    for col in key_cols:
+        h = h ^ col
         h = h * jnp.uint32(0x85EBCA6B)
         h = h ^ (h >> jnp.uint32(13))
         h = h * jnp.uint32(0xC2B2AE35)
@@ -69,6 +74,16 @@ def _bucket_scatter(keys, good, owner, D: int, C: int):
     flat slot each window landed in, or -1 if dropped on bucket overflow).
     """
     N, W = keys.shape
+    cols, send_good, win_slot, overflow = _bucket_scatter_cols(
+        [keys[:, w] for w in range(W)], good, owner, D, C)
+    return (jnp.stack(cols, axis=-1), send_good, win_slot, overflow)
+
+
+def _bucket_scatter_cols(key_cols, good, owner, D: int, C: int):
+    """SoA twin of _bucket_scatter: per-word [N] columns in, per-word
+    [D, C] send planes out (keeps every vector op off the tiny W minor
+    axis)."""
+    N = key_cols[0].shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
     # rank within each owner run (sorted): i - first_index_of(owner[i])
@@ -77,43 +92,59 @@ def _bucket_scatter(keys, good, owner, D: int, C: int):
     ok = pos_in_run < C
     slot = sowner * C + pos_in_run
     # extra dummy slot absorbs overflow writes
-    send_keys = jnp.full((D * C + 1, W), SENTINEL, dtype=jnp.uint32)
-    send_good = jnp.zeros(D * C + 1, dtype=jnp.int32)
     tgt = jnp.where(ok, slot, D * C)
-    send_keys = send_keys.at[tgt].set(jnp.where(ok[:, None], keys[sidx], SENTINEL))
-    send_good = send_good.at[tgt].max(jnp.where(ok, good[sidx].astype(jnp.int32), 0))
+    send_cols = []
+    for col in key_cols:
+        buf = jnp.full(D * C + 1, SENTINEL, dtype=jnp.uint32)
+        send_cols.append(
+            buf.at[tgt].set(jnp.where(ok, col[sidx], SENTINEL))[:D * C]
+            .reshape(D, C))
+    send_good = jnp.zeros(D * C + 1, dtype=jnp.int32)
+    send_good = send_good.at[tgt].max(
+        jnp.where(ok, good[sidx].astype(jnp.int32), 0))[:D * C].reshape(D, C)
     win_slot = jnp.full(N, -1, dtype=jnp.int32)
     win_slot = win_slot.at[sidx].set(jnp.where(ok, slot, -1))
     overflow = jnp.sum((~ok).astype(jnp.int32))
-    return (send_keys[:D * C].reshape(D, C, W),
-            send_good[:D * C].reshape(D, C), win_slot, overflow)
+    return send_cols, send_good, win_slot, overflow
 
 
 def _count_received(keys2d, good2d, min_count: int):
     """Count good observations per key over the received [DC] entries.
     Returns (count per received entry, run-length shard table)."""
     DC, W = keys2d.shape
+    return _count_received_cols([keys2d[:, w] for w in range(W)], good2d,
+                                min_count)
+
+
+def _count_received_cols(key_cols, good2d, min_count: int):
+    """SoA count over received entries using the gather-free monotone-scan
+    run totals (segment_sum/gather are the slow ops on TPU)."""
+    W = len(key_cols)
+    DC = key_cols[0].shape[0]
     idx = jnp.arange(DC, dtype=jnp.int32)
-    ops = [keys2d[:, w] for w in range(W)] + [good2d, idx]
-    s = jax.lax.sort(ops, num_keys=W)
-    skeys = jnp.stack(s[:W], axis=-1)
+    s = jax.lax.sort(list(key_cols) + [good2d, idx], num_keys=W)
     sgood, sidx = s[W], s[W + 1]
     neq = jnp.zeros(DC - 1, dtype=jnp.bool_)
     for w in range(W):
-        neq = neq | (skeys[1:, w] != skeys[:-1, w])
+        neq = neq | (s[w][1:] != s[w][:-1])
     boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    seg_counts = jax.ops.segment_sum(sgood, seg, num_segments=DC)
-    cnt = seg_counts[seg]
-    cnt = jnp.where(cnt >= min_count, cnt, 0)
-    out = jnp.zeros(DC, dtype=jnp.int32).at[sidx].set(cnt)
-    sent = jnp.ones(DC, dtype=jnp.bool_)
+    is_end = jnp.concatenate([neq, jnp.ones(1, jnp.bool_)])
+    gcum = jnp.cumsum(sgood.astype(jnp.int32))
+    gexcl = gcum - sgood.astype(jnp.int32)
+    base = jax.lax.cummax(jnp.where(boundary, gexcl, jnp.int32(-1)))
+    total = jax.lax.cummin(
+        jnp.where(is_end, gcum, jnp.iinfo(jnp.int32).max), reverse=True)
+    run_total = total - base
+    cnt = jnp.where(run_total >= min_count, run_total, 0)
+    sent_sorted = jnp.ones(DC, dtype=jnp.bool_)
     for w in range(W):
-        sent = sent & (keys2d[:, w] == SENTINEL)
-    out = jnp.where(sent, 0, out)
-    shard_keys = jnp.where(boundary[:, None] & ~sent[sidx][:, None] &
-                           (seg_counts[seg] > 0)[:, None], skeys, SENTINEL)
-    shard_counts = jnp.where(boundary, seg_counts[seg], 0)
+        sent_sorted = sent_sorted & (s[w] == SENTINEL)
+    out = jnp.zeros(DC, dtype=jnp.int32).at[sidx].set(
+        jnp.where(sent_sorted, 0, cnt))
+    keep = boundary & ~sent_sorted & (run_total > 0)
+    shard_keys = jnp.stack(
+        [jnp.where(keep, c, SENTINEL) for c in s[:W]], axis=-1)
+    shard_counts = jnp.where(boundary, run_total, 0)
     return out, shard_keys, shard_counts
 
 
@@ -132,24 +163,23 @@ def distributed_spectrum_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
     axis = mesh.axis_names[0]
 
     def step(codes, logp, lengths):
-        canon, is_fwd, valid = extract_canonical(codes, lengths, k)
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
         wsum, good = window_good(logp, lengths, k, log2_min_weight)
-        B, NW, W = canon.shape
+        B, NW = valid.shape
         N = B * NW
-        keys = canon.reshape(N, W)
+        key_cols = [c.reshape(N) for c in cols]
         g = good.reshape(N) & valid.reshape(N)
-        owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
         C = int(np.ceil(N / D * capacity_factor))
-        send_keys, send_good, win_slot, overflow = _bucket_scatter(
-            keys, g, owner, D, C)
-        recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
-                                       concat_axis=0)
-        recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
-                                       concat_axis=0)
-        cnt_recv, shard_keys, shard_counts = _count_received(
-            recv_keys.reshape(D * C, W), recv_good.reshape(D * C), min_count)
-        cnt_back = jax.lax.all_to_all(cnt_recv.reshape(D, C), axis,
-                                      split_axis=0, concat_axis=0)
+        send_cols, send_good, win_slot, overflow = _bucket_scatter_cols(
+            key_cols, g, owner, D, C)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
+                                           concat_axis=0)
+        recv_cols = [a2a(c).reshape(D * C) for c in send_cols]
+        recv_good = a2a(send_good)
+        cnt_recv, shard_keys, shard_counts = _count_received_cols(
+            recv_cols, recv_good.reshape(D * C), min_count)
+        cnt_back = a2a(cnt_recv.reshape(D, C))
         flat_back = cnt_back.reshape(D * C)
         counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
         counts = jnp.where(valid.reshape(N), counts, 0)
@@ -295,23 +325,22 @@ def distributed_count_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
     axis = mesh.axis_names[0]
 
     def step(codes, good_in, lengths):
-        canon, is_fwd, valid = extract_canonical(codes, lengths, k)
-        B, NW, W = canon.shape
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+        B, NW = valid.shape
         N = B * NW
-        keys = canon.reshape(N, W)
+        key_cols = [c.reshape(N) for c in cols]
         g = good_in.reshape(N) & valid.reshape(N)
-        owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
         C = int(np.ceil(N / D * capacity_factor))
-        send_keys, send_good, win_slot, overflow = _bucket_scatter(
-            keys, g, owner, D, C)
-        recv_keys = jax.lax.all_to_all(send_keys, axis, split_axis=0,
-                                       concat_axis=0)
-        recv_good = jax.lax.all_to_all(send_good, axis, split_axis=0,
-                                       concat_axis=0)
-        cnt_recv, shard_keys, shard_counts = _count_received(
-            recv_keys.reshape(D * C, W), recv_good.reshape(D * C), min_count)
-        cnt_back = jax.lax.all_to_all(cnt_recv.reshape(D, C), axis,
-                                      split_axis=0, concat_axis=0)
+        send_cols, send_good, win_slot, overflow = _bucket_scatter_cols(
+            key_cols, g, owner, D, C)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
+                                           concat_axis=0)
+        recv_cols = [a2a(c).reshape(D * C) for c in send_cols]
+        recv_good = a2a(send_good)
+        cnt_recv, shard_keys, shard_counts = _count_received_cols(
+            recv_cols, recv_good.reshape(D * C), min_count)
+        cnt_back = a2a(cnt_recv.reshape(D, C))
         flat_back = cnt_back.reshape(D * C)
         counts = jnp.where(win_slot >= 0, flat_back[jnp.maximum(win_slot, 0)], 0)
         counts = jnp.where(valid.reshape(N), counts, 0)
