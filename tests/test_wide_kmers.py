@@ -71,3 +71,24 @@ def test_match_index_wide():
     codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
     hits = idx.match_contig(codes, max_positions_from_edge=500)
     assert 0 in hits
+
+
+def test_meraculous_mesh_wide_matches_host(tmp_path):
+    """MeraculousCounter k=33: mesh extension spectrum == host table."""
+    env = dict(os.environ, PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    outs = {}
+    for tag, extra in (("host", []), ("mesh", ["--mesh", "4"])):
+        out = str(tmp_path / tag)
+        cmd = [sys.executable, "-m", "kmernator_tpu.apps.meraculous_counter",
+               "--jax-platform", "cpu", "--kmer-size", "33",
+               "--min-depth", "2", "--out", out] + extra + \
+              [os.path.join(REF, "1000.fastq")]
+        subprocess.run(cmd, check=True, env=env, capture_output=True)
+        outs[tag] = {
+            "count": sorted(open(out + ".mercount.m33").readlines()),
+            "graph": sorted(open(out + ".mergraph.m33.D2").readlines()),
+        }
+    assert outs["host"]["count"] == outs["mesh"]["count"]
+    assert outs["host"]["graph"] == outs["mesh"]["graph"]
+    assert len(outs["host"]["count"]) > 1000
