@@ -114,6 +114,8 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
     part = owner_hash_np(keys) % np.uint32(num_parts)
     spills = []
     tmpdir = tempfile.mkdtemp(prefix="kmtpu-parts-")
+    from kmernator_tpu.utils.cleanup import register_path, unregister_path
+    register_path(tmpdir)
     merged = None
     for pi in range(num_parts):
         sel = good & (part == pi)
@@ -128,6 +130,7 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
         merged = sp if merged is None else merged.merge(sp)
         os.unlink(path if os.path.exists(path) else path + ".npz")
     os.rmdir(tmpdir)
+    unregister_path(tmpdir)
     return merged
 
 

@@ -79,11 +79,15 @@ def run(argv: List[str]) -> int:
             path = replace_keys(tpl, fn, nf, sd)
             if not os.path.exists(path):
                 os.mkfifo(path)
+            from kmernator_tpu.utils.cleanup import register_path
+            register_path(path)
             fifos.append(path)
     for tpl in sso.extra_fifo:
         path = replace_keys(tpl, fn, nf, sd)
         if not os.path.exists(path):
             os.mkfifo(path)
+        from kmernator_tpu.utils.cleanup import register_path
+        register_path(path)
         fifos.append(path)
     forked = [subprocess.Popen(replace_keys(c, fn, nf, sd), shell=True)
               for c in sso.fork_command]
