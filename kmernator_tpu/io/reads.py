@@ -158,6 +158,38 @@ class ReadSet:
         self._phred = None
         self._lengths = None
 
+    def append_reads_batch(self, names: List[bytes], comments: List[bytes],
+                           seqs: List[bytes],
+                           phreds: List[Optional[np.ndarray]]):
+        """Append many reads with ONE concatenate per column (append_read
+        in a loop is O(total^2))."""
+        if not names:
+            return
+        self.names.extend(names)
+        self.comments.extend(comments)
+        svecs = [_BASE_NORM[np.frombuffer(s, dtype=np.uint8)] for s in seqs]
+        qvecs = []
+        hqs = np.zeros(len(names), dtype=bool)
+        for j, ph in enumerate(phreds):
+            if ph is None:
+                qvecs.append(np.full(len(svecs[j]), REF_QUAL, dtype=np.uint8))
+            else:
+                qvecs.append((np.asarray(ph, dtype=np.int16) +
+                              self.input_qual_base).astype(np.uint8))
+                hqs[j] = True
+        self.seq = np.concatenate([self.seq] + svecs)
+        self.qual = np.concatenate([self.qual] + qvecs)
+        new_lens = np.array([len(s) for s in svecs], dtype=np.int64)
+        self.offsets = np.concatenate(
+            [self.offsets, self.offsets[-1] + np.cumsum(new_lens)])
+        self.discarded = np.concatenate(
+            [self.discarded, np.zeros(len(names), dtype=bool)])
+        self.has_quals = np.concatenate([self.has_quals, hqs])
+        self.file_idx = np.concatenate(
+            [self.file_idx, np.zeros(len(names), dtype=np.int32)])
+        self._phred = None
+        self._lengths = None
+
     # ---------- quality-base autodetection ----------
     def detect_quality_base(self, initial_base: int, limit: int = 20000):
         """Replicates the per-read switch state machine of

@@ -395,6 +395,7 @@ def _slice_readset(rs: ReadSet, cs: int, ce: int) -> ReadSet:
     sub.input_qual_base = rs.input_qual_base
     sub.pairs = []
     sub._phred = None
+    sub._lengths = None
     return sub
 
 
@@ -507,6 +508,9 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
     if trim_which:
         rs.apply_trims(np.array(trim_off, np.int64), np.array(trim_len, np.int64),
                        np.array(trim_which, np.int64), trim_labels)
-    for name, comment, seq, ph in remnants:
-        rs.append_read(name, comment, seq, ph)
+    if remnants:
+        rs.append_reads_batch([r[0] for r in remnants],
+                              [r[1] for r in remnants],
+                              [r[2] for r in remnants],
+                              [r[3] for r in remnants])
     return out

@@ -195,17 +195,21 @@ def _filter(rs: ReadSet, nbases: int, mode: int, consensus: bool,
     if new_reads:
         sub = ReadSet()
         sub.input_qual_base = output_base
-        for name, fasta, quals in new_reads:
-            sub.append_read(name, b"", fasta, quals)
+        sub.append_reads_batch([r[0] for r in new_reads],
+                               [b""] * len(new_reads),
+                               [r[1] for r in new_reads],
+                               [r[2] for r in new_reads])
         sub.identify_pairs()
         if artifact_filter is not None:
             from kmernator_tpu.ops.artifact import apply_artifact_filter
             apply_artifact_filter(sub, artifact_filter)
         base = rs.n
-        for i in range(sub.n):
-            rs.append_read(sub.names[i], sub.comments[i], sub.get_seq(i),
-                           sub.get_phred(i) if sub.has_quals[i] else None)
-            rs.discarded[-1] = sub.discarded[i]
+        rs.append_reads_batch(
+            sub.names, sub.comments,
+            [sub.get_seq(i) for i in range(sub.n)],
+            [sub.get_phred(i) if sub.has_quals[i] else None
+             for i in range(sub.n)])
+        rs.discarded[base:] = sub.discarded
         # pair up appended consensus reads (identifyPairs on new reads,
         # ref: _buildConsensusPairedReads tail)
         if paired:
