@@ -56,12 +56,18 @@ def build_index_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0):
         rid = jnp.broadcast_to(read_global[:, None], (B, NW)).reshape(N)
         rid = jnp.where(g, rid, -1)
         owner = (owner_hash(keys) % jnp.uint32(D)).astype(jnp.int32)
+        # sentinel (masked) rows are dropped, not routed — they would all
+        # hash to one owner and overflow its bucket
+        sent = jnp.ones(N, dtype=jnp.bool_)
+        for w in range(W):
+            sent = sent & (keys[:, w] == SENTINEL)
+        owner = jnp.where(sent, jnp.int32(D), owner)
         C = int(np.ceil(N / D * capacity_factor))
         idx = jnp.arange(N, dtype=jnp.int32)
         sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
-        ok = pos_in_run < C
+        ok = (pos_in_run < C) & (sowner < D)
         slot = jnp.where(ok, sowner * C + pos_in_run, D * C)
 
         def scatter(col, fill):

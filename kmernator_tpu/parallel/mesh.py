@@ -82,14 +82,25 @@ def _bucket_scatter(keys, good, owner, D: int, C: int):
 def _bucket_scatter_cols(key_cols, good, owner, D: int, C: int):
     """SoA twin of _bucket_scatter: per-word [N] columns in, per-word
     [D, C] send planes out (keeps every vector op off the tiny W minor
-    axis)."""
+    axis).
+
+    Sentinel keys (invalid/pre-masked windows — e.g. every window of a
+    read shorter than k) are NOT routed: they would all hash to one owner
+    and overflow its bucket.  They are dropped here (win_slot -1 -> count
+    0) and do not count as overflow."""
     N = key_cols[0].shape[0]
+    sent = jnp.ones(N, dtype=jnp.bool_)
+    for col in key_cols:
+        sent = sent & (col == SENTINEL)
+    # sort dropped rows to the end of each owner run so real rows never
+    # overflow because of them
+    owner = jnp.where(sent, jnp.int32(D), owner)
     idx = jnp.arange(N, dtype=jnp.int32)
     sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
     # rank within each owner run (sorted): i - first_index_of(owner[i])
     first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
     pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
-    ok = pos_in_run < C
+    ok = (pos_in_run < C) & (sowner < D)
     slot = sowner * C + pos_in_run
     # extra dummy slot absorbs overflow writes
     tgt = jnp.where(ok, slot, D * C)
@@ -104,7 +115,7 @@ def _bucket_scatter_cols(key_cols, good, owner, D: int, C: int):
         jnp.where(ok, good[sidx].astype(jnp.int32), 0))[:D * C].reshape(D, C)
     win_slot = jnp.full(N, -1, dtype=jnp.int32)
     win_slot = win_slot.at[sidx].set(jnp.where(ok, slot, -1))
-    overflow = jnp.sum((~ok).astype(jnp.int32))
+    overflow = jnp.sum((~ok & (sowner < D)).astype(jnp.int32))
     return send_cols, send_good, win_slot, overflow
 
 
@@ -283,13 +294,18 @@ def distributed_extension_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
         C = int(np.ceil(N / D * capacity_factor))
         el_f = el.reshape(N)
         er_f = er.reshape(N)
-        # bucket-scatter keys + payload columns
+        # bucket-scatter keys + payload columns; sentinel (masked) rows are
+        # dropped instead of routed — they would all land on one owner
+        sent = jnp.ones(N, dtype=jnp.bool_)
+        for w in range(W):
+            sent = sent & (keys[:, w] == SENTINEL)
+        owner = jnp.where(sent, jnp.int32(D), owner)
         idx = jnp.arange(N, dtype=jnp.int32)
         sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
-        ok = pos_in_run < C
-        overflow = jnp.sum((~ok).astype(jnp.int32))
+        ok = (pos_in_run < C) & (sowner < D)
+        overflow = jnp.sum((~ok & (sowner < D)).astype(jnp.int32))
         slot = jnp.where(ok, sowner * C + pos_in_run, D * C)
 
         def scatter(col, fill):

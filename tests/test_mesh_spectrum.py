@@ -58,3 +58,30 @@ def test_distributed_counts_match_host(ndev):
     sp_all = host_counts(rs, K, 1)[2]
     want = dict(zip(sp_all.keys.tolist(), sp_all.counts.tolist()))
     assert got == want
+
+
+def test_sentinel_windows_not_routed():
+    """Reads shorter than k make every window sentinel; those rows must be
+    dropped, not routed (they'd all hash to one owner and overflow,
+    which is what happened with qtrim remnant reads at 100MB scale)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from kmernator_tpu.parallel.mesh import make_mesh, distributed_count_fn
+
+    rng = np.random.default_rng(2)
+    D, B, L = 8, 512, 64
+    codes = rng.integers(0, 4, (B, L), dtype=np.uint8)
+    lengths = np.full(B, L, np.int32)
+    lengths[rng.random(B) < 0.9] = 10  # 90% shorter than k -> all-sentinel
+    good = np.ones((B, L - K + 1), dtype=bool)
+    mesh = make_mesh(D)
+    # tight capacity: valid windows ~ 0.1*B*NW; sentinel rows ~0.9*B*NW
+    fn = distributed_count_fn(mesh, K, capacity_factor=0.5, min_count=1)
+    counts, overflow = fn(jnp.asarray(codes), jnp.asarray(good),
+                          jnp.asarray(lengths))
+    assert int(np.asarray(overflow).sum()) == 0
+    counts = np.asarray(counts)
+    # short reads have zero counts everywhere; full reads have counts >= 1
+    long_rows = lengths == L
+    assert (counts[~long_rows] == 0).all()
+    assert (counts[long_rows] >= 1).all()
