@@ -202,14 +202,12 @@ def first_markup_nor_x(rs: ReadSet) -> np.ndarray:
     (ref: TwoBitSequence::firstMarkupNorX)."""
     isnx = (rs.seq == ord("N")) | (rs.seq == ord("X"))
     out = np.zeros(rs.n, dtype=np.int64)
-    if not isnx.any():
+    pos = np.flatnonzero(isnx)
+    if not len(pos):
         return out
-    # simple per-read scan (vectorize later; N markups are rare)
-    for i in range(rs.n):
-        s, e = rs.offsets[i], rs.offsets[i + 1]
-        w = np.flatnonzero(isnx[s:e])
-        if len(w):
-            out[i] = int(w[0]) + 1
+    rid = np.searchsorted(rs.offsets, pos, side="right") - 1
+    uniq, first = np.unique(rid, return_index=True)
+    out[uniq] = pos[first] - rs.offsets[uniq] + 1
     return out
 
 
