@@ -97,5 +97,11 @@ def main():
     sys.exit(run(sys.argv[1:]))
 
 
+def main_qual():
+    """Fastq2FastaQual entry point: fasta + sibling .qual output
+    (ref: apps/Fastq2FastaQual.cpp)."""
+    sys.exit(run(["--write-qual", "1"] + sys.argv[1:]))
+
+
 if __name__ == "__main__":
     main()
