@@ -171,11 +171,20 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
         good2d = np.concatenate([good2d, np.zeros((pad, NW), bool)])
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
     mesh = make_mesh(n_devices)
-    fn = distributed_count_fn(mesh, k, min_count=max(min_depth, 2))
-    counts2d, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
-                            jnp.asarray(lengths))
-    if int(np.asarray(overflow).sum()):
-        raise RuntimeError("mesh bucket overflow — raise capacity_factor")
+    cap = 2.0
+    while True:
+        fn = distributed_count_fn(mesh, k, capacity_factor=cap,
+                                  min_count=max(min_depth, 2))
+        counts2d, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                                jnp.asarray(lengths))
+        if int(np.asarray(overflow).sum()) == 0:
+            break
+        # hash-skewed input (e.g. one dominant repeat kmer): retry with
+        # doubled per-owner bucket capacity
+        cap *= 2.0
+        if cap > 32.0:
+            raise RuntimeError("mesh bucket overflow even at capacity %g" % cap)
+        Log.warn("mesh bucket overflow — retrying with capacity_factor %g" % cap)
     counts2d = np.asarray(counts2d)[:B]
     counts = padded_to_ragged(counts2d, nw).astype(np.int64)
     return counts, woff

@@ -138,11 +138,20 @@ def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,
         ext_ok2d = np.concatenate([ext_ok2d, np.zeros((pad, L), bool)])
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
     mesh = make_mesh(n_devices)
-    fn = distributed_extension_fn(mesh, k, min_count=1)
-    sk, sc, se, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
-                              jnp.asarray(ext_ok2d), jnp.asarray(lengths))
-    if int(np.asarray(overflow).sum()):
-        raise RuntimeError("mesh bucket overflow — raise capacity_factor")
+    cap = 2.0
+    while True:
+        fn = distributed_extension_fn(mesh, k, capacity_factor=cap,
+                                      min_count=1)
+        sk, sc, se, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                                  jnp.asarray(ext_ok2d), jnp.asarray(lengths))
+        if int(np.asarray(overflow).sum()) == 0:
+            break
+        cap *= 2.0  # hash-skewed input: double per-owner bucket capacity
+        if cap > 32.0:
+            raise RuntimeError(
+                "mesh bucket overflow even at capacity %g" % cap)
+        Log.warn("mesh bucket overflow — retrying with capacity_factor %g"
+                 % cap)
     sk, sc, se = np.asarray(sk), np.asarray(sc), np.asarray(se)
     real = (sc > 0) & ~np.all(sk == 0xFFFFFFFF, axis=1)
     sp = KmerSpectrum(k=k)

@@ -68,6 +68,7 @@ def build_index_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0):
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
         ok = (pos_in_run < C) & (sowner < D)
+        overflow = jnp.sum((~ok & (sowner < D)).astype(jnp.int32))
         slot = jnp.where(ok, sowner * C + pos_in_run, D * C)
 
         def scatter(col, fill):
@@ -85,12 +86,12 @@ def build_index_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0):
         s = jax.lax.sort(ops, num_keys=W)
         skeys = jnp.stack(s[:W], axis=-1)
         srid = s[W]
-        return skeys, srid
+        return skeys, srid, overflow[None]
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
-        out_specs=(P(axis, None), P(axis)))
+        out_specs=(P(axis, None), P(axis), P(axis)))
     return jax.jit(smapped)
 
 
@@ -192,10 +193,18 @@ class MeshReadIndex:
             good2d = np.concatenate([good2d, np.zeros((pad, NW), bool)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
         read_global = np.arange(codes.shape[0], dtype=np.int32)
-        bfn = build_index_fn(mesh, k, capacity_factor)
-        self._ikeys, self._irid = bfn(
-            jnp.asarray(codes), jnp.asarray(good2d), jnp.asarray(lengths),
-            jnp.asarray(read_global))
+        cap = capacity_factor
+        while True:
+            bfn = build_index_fn(mesh, k, cap)
+            self._ikeys, self._irid, overflow = bfn(
+                jnp.asarray(codes), jnp.asarray(good2d),
+                jnp.asarray(lengths), jnp.asarray(read_global))
+            if int(np.asarray(overflow).sum()) == 0:
+                break
+            cap *= 2.0  # hash-skewed reads: double bucket capacity
+            if cap > 32.0:
+                raise RuntimeError("matcher index bucket overflow even at "
+                                   "capacity %g" % cap)
         self._mfn = match_fn(mesh, k, max_ids=max_ids, min_depth=min_depth)
         self.W = int(np.asarray(self._ikeys).shape[-1])
 

@@ -59,8 +59,10 @@ def test_dist_match_vs_host(ndev):
 
     mesh = make_mesh(ndev)
     bfn = build_index_fn(mesh, K)
-    ikeys, irid = bfn(jnp.asarray(codes), jnp.asarray(good2d),
-                      jnp.asarray(lengths), jnp.asarray(read_global))
+    ikeys, irid, overflow = bfn(jnp.asarray(codes), jnp.asarray(good2d),
+                                jnp.asarray(lengths),
+                                jnp.asarray(read_global))
+    assert int(np.asarray(overflow).sum()) == 0
 
     # queries: canonical kmers of the first window of 64 reads + 4 misses
     host = KmerReadIndex(rs, K, min_depth=1)
