@@ -161,3 +161,30 @@ def test_tnf_intra_inter(tmp_path):
         return (arr[:, 0] * w).sum() / max(w.sum(), 1)
 
     assert mean(1) < mean(2)  # intra distances tighter than inter
+
+
+def test_artifact_reference_file(tmp_path):
+    """--artifact-reference-file: user-supplied artifact sequences join the
+    24-mer filter table and reads containing them are discarded
+    (ref: FilterKnownOddities artifact-reference-file)."""
+    art = tmp_path / "myadapter.fasta"
+    adapter = "ACGTACGTTTGACCAGTCAGGACT"  # 24 bases
+    art.write_text(">custom\n%s\n" % adapter)
+    fq = tmp_path / "in.fastq"
+    bad = adapter + "A" * 52
+    goodr = ("ACCATGATTACGCCAAGCTTGCAT" + "GCCTGCAGGTCGACTCTAGAGGAT"
+             + "CCCCGGGTACCGAGCTCGAATTCA")[:76]
+    recs = []
+    for i in range(30):
+        seq = bad if i % 2 == 0 else goodr
+        recs.append("@r%d\n%s\n+\n%s\n" % (i, seq, "I" * len(seq)))
+    fq.write_text("".join(recs))
+    out = str(tmp_path / "o")
+    run_app("filter_reads",
+            ["--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+             "--artifact-edit-distance", "0",
+             "--artifact-reference-file", str(art),
+             "--min-read-length", "25", "--out", out, "21", str(fq)])
+    kept = open(out + "-MinDepth2-in.fastq").read()
+    assert "r1\n" in kept or "@r1" in kept   # clean reads survive
+    assert bad not in kept                    # adapter reads are gone
