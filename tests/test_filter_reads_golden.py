@@ -72,3 +72,29 @@ def test_save_load_spectrum(tmp_path):
     b = open(out2 + "-MinDepth2-1000.fastq", "rb").read()
     golden = open(os.path.join(REF, "1000-Filtered.fastq"), "rb").read()
     assert a == b == golden
+
+
+def test_subtract_file_removes_reference_kmers(tmp_path):
+    """--subtract-file: kmers abundant in the subtract set contribute no
+    counts, so reads made of them fail min-depth and are discarded
+    (ref: FilterReads-P.cpp subtract spectra)."""
+    out_plain = str(tmp_path / "plain")
+    out_sub = str(tmp_path / "sub")
+    base = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+            "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+            "--artifact-edit-distance", "1",
+            "--fastq-output-base-quality", "64", "--min-read-length", "25",
+            "31", os.path.join(REF, "1000.fastq")]
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    subprocess.run(base[:3] + ["--out", out_plain] + base[3:], check=True,
+                   env=env, capture_output=True)
+    # subtract the phiX genome itself: nearly every read is phiX-derived
+    phix = os.path.join(REPO, "kmernator_tpu/data/phix174.fasta")
+    subprocess.run(base[:3] + ["--out", out_sub, "--subtract-file", phix,
+                               "--min-depth", "1"] + base[3:],
+                   check=True, env=env, capture_output=True)
+    plain = open(out_plain + "-MinDepth2-1000.fastq", "rb").read()
+    sub = open(out_sub + "-MinDepth1-1000.fastq", "rb").read()
+    assert len(plain) > 100000
+    # with phiX subtracted, almost nothing passes
+    assert sub.count(b"\n") < plain.count(b"\n") // 4
