@@ -8,6 +8,8 @@ partitioning + pair-preserving resync for multi-host runs.
 """
 from __future__ import annotations
 
+import os
+
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -129,3 +131,36 @@ class FastqBatchStream:
                 lp = np.concatenate([lp, np.full((pad, L), -1e30, np.float32)])
                 ln = np.concatenate([ln, np.zeros(pad, np.int32)])
             yield c, lp, ln
+
+
+def estimate_raw_kmers(paths, k: int) -> int:
+    """Estimate the total kmer-window count from file sizes (used to size
+    streaming-table capacity; ref: KmerSpectrum::estimateRawKmers,
+    src/KmerSpectrum.h:546-585 estimates from partition byte sizes).
+
+    Samples the head of each file for bytes/record and read length, then
+    extrapolates by file size (gz inputs assume ~3x compression)."""
+    total = 0
+    for path in paths:
+        size = os.path.getsize(path)
+        if path.endswith(".gz"):
+            import gzip
+            with gzip.open(path, "rb") as f:
+                head = f.read(1 << 20)
+            size *= 3
+        else:
+            with open(path, "rb") as f:
+                head = f.read(1 << 20)
+        if not head:
+            continue
+        if head[:1] == b">":
+            # fasta: ~all bases; windows ~= bases (long sequences)
+            total += size
+            continue
+        recs = head.split(b"\n")
+        nrec = max(len(recs) // 4, 1)
+        rec_bytes = len(head) / nrec
+        rlen = max((len(recs[1]) if len(recs) > 1 else 100), 1)
+        nreads = size / max(rec_bytes, 1.0)
+        total += int(nreads * max(rlen - k + 1, 0))
+    return total

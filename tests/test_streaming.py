@@ -96,3 +96,9 @@ def test_streaming_singleton_purge_undercount_only():
     devs = [c - got.get(kk, 0) for kk, c in solid_true]
     assert all(0 <= d <= 5 for d in devs)
     assert sum(1 for d in devs if d == 0) >= 0.9 * len(devs)
+
+
+def test_estimate_raw_kmers():
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    est = estimate_raw_kmers([REF + "/1000.fastq"], K)
+    assert 40000 < est < 80000  # true: 1000 reads * 46 windows
