@@ -44,3 +44,23 @@ def test_mesh_golden_085(tmp_path):
     mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
     want = open(os.path.join(REF, "1000-Filtered-0.85.std.fastq"), "rb").read()
     assert mine == want
+
+
+def test_mesh_golden_pair_policy(tmp_path):
+    """Third config through the mesh path: min-read-length 1 +
+    min-passing-in-pair 2 (the pair-coupled selection policy)."""
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+           "--jax-platform", "cpu", "--mesh", "4",
+           "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+           "--artifact-edit-distance", "1",
+           "--fastq-output-base-quality", "64", "--min-read-length", "1",
+           "--min-passing-in-pair", "2",
+           "--out", out, "31", os.path.join(REF, "1000.fastq")]
+    subprocess.run(cmd, check=True, env=env, capture_output=True)
+    mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
+    want = open(os.path.join(REF, "1000-Filtered-readlength-both.fastq"),
+                "rb").read()
+    assert mine == want
