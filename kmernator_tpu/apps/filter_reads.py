@@ -136,19 +136,25 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
 
 def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
                              min_quality: int, output_base: int,
-                             min_kmer_quality: float, n_devices: int):
+                             min_kmer_quality: float, n_devices: int,
+                             batch_reads: int = 2048, capacity: int = 0):
     """Multi-chip spectrum counting (the FilterReads-P analogue): exact host
-    weights gate goodness, the mesh all_to_all path does the counting.
-    Returns the same ragged (counts, window_offsets) as the host path."""
+    weights gate goodness; reads stream through the mesh in bounded batches
+    — pass 1 builds persistent per-device shard tables via all_to_all
+    routing, pass 2 resolves per-window counts against them (the streaming
+    build + ReqResp lookup of ref: src/DistributedFunctions.h:333-458,
+    749-1062).  Returns the same ragged (counts, window_offsets) as the
+    host path."""
     from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
     enable_compilation_cache()
-    import jax
-    import jax.numpy as jnp
-    from kmernator_tpu.parallel.mesh import make_mesh, distributed_count_fn
-    from kmernator_tpu.parallel.device_spectrum import pack_readset
+    from kmernator_tpu.parallel.mesh import make_mesh
+    from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+    from kmernator_tpu.parallel.device_spectrum import (pack_readset,
+                                                        ragged_to_padded,
+                                                        padded_to_ragged)
 
     L = max(rs.max_length(), k)
-    codes, logp, lengths = pack_readset(rs, L, min_quality, output_base)
+    codes, _, lengths = pack_readset(rs, L, min_quality, output_base)
     B = codes.shape[0]
     NW = L - k + 1
     # exact good mask from the host recurrence
@@ -160,32 +166,37 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
     woff = np.concatenate([[0], np.cumsum(nw)])
-    from kmernator_tpu.parallel.device_spectrum import (ragged_to_padded,
-                                                        padded_to_ragged)
     good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
     good2d &= ~rs.discarded[:, None]
 
-    pad = (-B) % n_devices
-    if pad:
-        codes = np.concatenate([codes, np.zeros((pad, L), codes.dtype)])
-        good2d = np.concatenate([good2d, np.zeros((pad, NW), bool)])
-        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
     mesh = make_mesh(n_devices)
-    cap = 2.0
-    while True:
-        fn = distributed_count_fn(mesh, k, capacity_factor=cap,
-                                  min_count=max(min_depth, 2))
-        counts2d, overflow = fn(jnp.asarray(codes), jnp.asarray(good2d),
-                                jnp.asarray(lengths))
-        if int(np.asarray(overflow).sum()) == 0:
-            break
-        # hash-skewed input (e.g. one dominant repeat kmer): retry with
-        # doubled per-owner bucket capacity
-        cap *= 2.0
-        if cap > 32.0:
-            raise RuntimeError("mesh bucket overflow even at capacity %g" % cap)
-        Log.warn("mesh bucket overflow — retrying with capacity_factor %g" % cap)
-    counts2d = np.asarray(counts2d)[:B]
+    if capacity <= 0:
+        n_good = int(exact_good.sum())
+        capacity = max(int(np.ceil(n_good / n_devices * 1.25)), 4096)
+    # keep batch shapes constant so every batch reuses one compiled program
+    batch_reads = max((batch_reads // n_devices) * n_devices, n_devices)
+    sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
+    for s in range(0, B, batch_reads):
+        e = min(s + batch_reads, B)
+        bc, bg, bl = codes[s:e], good2d[s:e], lengths[s:e]
+        if e - s < batch_reads:  # pad the tail to the common batch shape
+            padn = batch_reads - (e - s)
+            bc = np.concatenate([bc, np.zeros((padn, L), bc.dtype)])
+            bg = np.concatenate([bg, np.zeros((padn, NW), bg.dtype)])
+            bl = np.concatenate([bl, np.zeros(padn, bl.dtype)])
+        sp.add_batch(bc, bg, bl)
+    allw = np.ones((batch_reads, NW), dtype=bool)
+    rows = []
+    for s in range(0, B, batch_reads):
+        e = min(s + batch_reads, B)
+        bc, bl = codes[s:e], lengths[s:e]
+        if e - s < batch_reads:
+            padn = batch_reads - (e - s)
+            bc = np.concatenate([bc, np.zeros((padn, L), bc.dtype)])
+            bl = np.concatenate([bl, np.zeros(padn, bl.dtype)])
+        c2d = sp.lookup_batch(bc, allw, bl, min_count=max(min_depth, 2))
+        rows.append(c2d[:e - s])
+    counts2d = np.concatenate(rows)[:B]
     counts = padded_to_ragged(counts2d, nw).astype(np.int64)
     return counts, woff
 
@@ -474,6 +485,11 @@ def run(argv: List[str]) -> int:
         i = argv.index("--mesh")
         mesh_devices = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    mesh_batch = 2048
+    if "--mesh-batch" in argv:
+        i = argv.index("--mesh-batch")
+        mesh_batch = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     if "--jax-platform" in argv:
         i = argv.index("--jax-platform")
         platform = argv[i + 1]
@@ -554,7 +570,7 @@ def run(argv: List[str]) -> int:
         counts, w_off = window_count_lookup_mesh(
             rs, k, sopts.min_depth, opts.min_quality_score,
             opts.fastq_output_base_quality, sopts.min_kmer_quality,
-            mesh_devices)
+            mesh_devices, batch_reads=mesh_batch)
         trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),
                                ropts.kmer_scoring_type, first_markup_nor_x(rs),
                                ropts.bimodal_sigmas)

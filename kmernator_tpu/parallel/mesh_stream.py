@@ -1,0 +1,381 @@
+"""Streaming sharded spectrum: batches -> persistent per-device shard tables.
+
+This composes the two halves that round 1 left separate: the all_to_all
+owner routing of parallel/mesh.py and the running-table sort-merge of
+parallel/pipeline.py.  It is the TPU-native form of the reference's
+streaming distributed build (ref: src/DistributedFunctions.h:333-458 —
+8192-read batches routed through MPI_Alltoallv and appended into per-rank
+maps) plus the ReqResp lookup RPC used for read scoring afterwards
+(ref: src/DistributedFunctions.h:749-1062, _batchKmerLookup :877-902).
+
+Design (all fixed-shape jitted shard_map programs over a 1-D mesh):
+
+  build batch:  mask non-good windows to the sentinel, bucket-scatter keys
+                by owner = hash % D, all_to_all; the received raw
+                observations (count=1 rows) are STAGED per device — no
+                per-batch sort at all.
+  drain:        when staged rows reach the shard capacity, one per-device
+                sort-merge folds (table + staged observations) into the
+                sorted shard table; singletons beyond capacity are purged,
+                exactly the reference's purge-under-memory-pressure policy
+                (ref: src/KmerSpectrum.h:1794) applied per shard.
+  lookup batch: route ALL valid query windows to owners, binary-search the
+                sorted shard table (log2(cap) probes over the key word
+                planes), counts ride the reverse all_to_all back to the
+                source windows.
+
+The shard tables live as [D, cap] arrays sharded P('d', None): they never
+leave device memory between batches, so arbitrarily large inputs stream
+through a bounded per-device footprint.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kmernator_tpu.ops.kmer import nwords
+from kmernator_tpu.parallel.device_spectrum import (SENTINEL,
+                                                    extract_canonical_cols)
+from kmernator_tpu.parallel.mesh import (shard_map, make_mesh,
+                                         owner_hash_cols,
+                                         _bucket_scatter_cols)
+
+
+# --------------------------------------------------------------------------
+# jitted steps (built per (mesh, k, shape) and cached)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _route_build_fn(mesh: Mesh, k: int, C: int):
+    """Batch route step for the streaming build: codes/good/lengths ->
+    received key planes (W x [D, C] per device, sentinel = no observation)
+    + overflow count.  Only good windows are routed (count=1 rows)."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def step(codes, good_in, lengths):
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+        B, NW = valid.shape
+        N = B * NW
+        g = good_in.reshape(N) & valid.reshape(N)
+        # pre-mask: non-good windows are dropped before routing (the build
+        # only counts good observations; ref: DistributedFunctions.h:429
+        # discards below-min-weight kmers before buffering)
+        key_cols = [jnp.where(g, c.reshape(N), SENTINEL) for c in cols]
+        owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
+        send_cols, _, _, overflow = _bucket_scatter_cols(
+            key_cols, g, owner, D, C)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
+                                           concat_axis=0)
+        recv = [a2a(c).reshape(1, D * C) for c in send_cols]
+        return tuple(recv) + (overflow[None],)
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=tuple([P(axis, None)] * nwords(k)) + (P(axis),))
+    return jax.jit(smapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
+    """Per-shard sort-merge of (table rows + staged observation rows) back
+    into a sorted [cap] table.  R = total input rows per device.
+
+    Returns (key planes [D, cap] x W, counts [D, cap], purged [D], the
+    number of singleton rows dropped under capacity pressure).
+    Output is KEY-SORTED with sentinels trailing, so the lookup step can
+    binary-search it directly."""
+    axis = mesh.axis_names[0]
+
+    def step(*args):
+        key_cols = [a.reshape(-1) for a in args[:W]]
+        counts = args[W].reshape(-1)
+        # 1) sort by key, run-total counts via monotone scans
+        s = jax.lax.sort(key_cols + [counts], num_keys=W)
+        sc = s[W]
+        neq = jnp.zeros(R - 1, dtype=jnp.bool_)
+        for w in range(W):
+            neq = neq | (s[w][1:] != s[w][:-1])
+        boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
+        is_end = jnp.concatenate([neq, jnp.ones(1, jnp.bool_)])
+        cum = jnp.cumsum(sc)
+        excl = cum - sc
+        base = jax.lax.cummax(jnp.where(boundary, excl, jnp.int32(-1)))
+        total = jax.lax.cummin(
+            jnp.where(is_end, cum, jnp.iinfo(jnp.int32).max), reverse=True)
+        run_total = total - base
+        sent = jnp.ones(R, dtype=jnp.bool_)
+        for w in range(W):
+            sent = sent & (s[w] == SENTINEL)
+        keep = boundary & ~sent
+        mk = [jnp.where(keep, c, SENTINEL) for c in s[:W]]
+        mc = jnp.where(keep, run_total, 0)
+        # 2) priority compaction to [cap]: solid (count>=2) rows first, then
+        # singletons; beyond-capacity singletons are purged (ref: the
+        # reference's periodic singleton purge under memory pressure)
+        prio = jnp.where(mc >= 2, 0, jnp.where(mc > 0, 1, 2)).astype(jnp.int32)
+        s2 = jax.lax.sort([prio] + mk + [mc], num_keys=1 + W)
+        kept_counts = s2[W + 1][:cap]
+        kept_real = kept_counts > 0
+        purged = jnp.sum((s2[W + 1] > 0).astype(jnp.int32)) - jnp.sum(
+            kept_real.astype(jnp.int32))
+        out_cols = [jnp.where(kept_real, c[:cap], SENTINEL) for c in s2[1:W + 1]]
+        # 3) re-sort by key so the table stays binary-searchable
+        s3 = jax.lax.sort(out_cols + [jnp.where(kept_real, kept_counts, 0)],
+                          num_keys=W)
+        return (tuple(a[None, :] for a in s3[:W])
+                + (s3[W][None, :], purged[None]))
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=tuple([P(axis, None)] * (W + 1)),
+        out_specs=tuple([P(axis, None)] * (W + 1)) + (P(axis),))
+    return jax.jit(smapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _lookup_fn(mesh: Mesh, k: int, C: int, cap: int, min_count: int):
+    """Sharded-table lookup (the ReqResp RPC analogue): every valid query
+    window routes to its owner, the owner binary-searches its sorted shard
+    table, counts ride the reverse all_to_all back.
+
+    Inputs:  codes [B, L], valid_q [B, NW] (which windows want counts),
+             lengths [B], table key planes [D, cap] x W, table counts [D, cap]
+    Outputs: counts [B, NW] i32 (0 if absent or below min_count), overflow.
+    """
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    W = nwords(k)
+    probes = int(np.ceil(np.log2(max(cap, 2)))) + 1
+
+    def step(codes, want, lengths, *table):
+        tk = [t.reshape(-1) for t in table[:W]]
+        tc = table[W].reshape(-1)
+        cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
+        B, NW = valid.shape
+        N = B * NW
+        q = want.reshape(N) & valid.reshape(N)
+        key_cols = [jnp.where(q, c.reshape(N), SENTINEL) for c in cols]
+        owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
+        send_cols, _, win_slot, overflow = _bucket_scatter_cols(
+            key_cols, q, owner, D, C)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
+                                           concat_axis=0)
+        recv = [a2a(c).reshape(D * C) for c in send_cols]
+        # lexicographic binary search of the received keys in the sorted
+        # shard table (generalizes dist_match.py:119-134 to SoA planes)
+        Q = D * C
+        lo = jnp.zeros(Q, dtype=jnp.int32)
+        hi = jnp.full(Q, cap, dtype=jnp.int32)
+        for _ in range(probes):
+            mid = (lo + hi) // 2
+            cmid = jnp.clip(mid, 0, cap - 1)
+            less = jnp.zeros(Q, dtype=jnp.bool_)
+            eq = jnp.ones(Q, dtype=jnp.bool_)
+            for w in range(W):
+                mk = tk[w][cmid]
+                less = less | (eq & (mk < recv[w]))
+                eq = eq & (mk == recv[w])
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        pos = jnp.clip(lo, 0, cap - 1)
+        hit = jnp.ones(Q, dtype=jnp.bool_)
+        for w in range(W):
+            hit = hit & (tk[w][pos] == recv[w])
+        sent = jnp.ones(Q, dtype=jnp.bool_)
+        for w in range(W):
+            sent = sent & (recv[w] == SENTINEL)
+        cnt = jnp.where(hit & ~sent, tc[pos], 0)
+        cnt = jnp.where(cnt >= min_count, cnt, 0)
+        cnt_back = a2a(cnt.reshape(D, C)).reshape(D * C)
+        counts = jnp.where(win_slot >= 0, cnt_back[jnp.maximum(win_slot, 0)], 0)
+        return counts.reshape(B, NW), overflow[None]
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis))
+        + tuple([P(axis, None)] * (W + 1)),
+        out_specs=(P(axis, None), P(axis)))
+    return jax.jit(smapped)
+
+
+# --------------------------------------------------------------------------
+# host-side driver
+# --------------------------------------------------------------------------
+
+class MeshStreamingSpectrum:
+    """Persistent hash-sharded spectrum built by streaming batches through
+    the mesh — the DistributedKmerSpectrum analogue
+    (ref: src/DistributedFunctions.h:102-747).
+
+    capacity = per-DEVICE shard table rows.  Batches must be padded to a
+    row count divisible by the mesh size (add_batch handles it).
+    """
+
+    def __init__(self, mesh: Mesh, k: int, capacity: int,
+                 capacity_factor: float = 2.0):
+        self.mesh = mesh
+        self.k = k
+        self.W = nwords(k)
+        self.cap = int(capacity)
+        self.capacity_factor = capacity_factor
+        D = mesh.devices.size
+        self.D = D
+        axis = mesh.axis_names[0]
+        shd = NamedSharding(mesh, P(axis, None))
+        self.table_cols = [
+            jax.device_put(np.full((D, self.cap), SENTINEL, np.uint32), shd)
+            for _ in range(self.W)]
+        self.table_counts = jax.device_put(
+            np.zeros((D, self.cap), np.int32), shd)
+        self._staged: List[Tuple] = []   # list of (W recv planes [D, C])
+        self._staged_rows = 0            # per-device staged row count
+        self.purged_singletons = 0
+        self.overflow_retries = 0
+        self.total_batches = 0
+
+    def _pad(self, codes, good2d, lengths):
+        B = codes.shape[0]
+        pad = (-B) % self.D
+        if pad:
+            codes = np.concatenate([codes, np.zeros((pad,) + codes.shape[1:],
+                                                    codes.dtype)])
+            good2d = np.concatenate(
+                [good2d, np.zeros((pad,) + good2d.shape[1:], good2d.dtype)])
+            lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
+        return codes, good2d, lengths
+
+    def add_batch(self, codes, good2d, lengths):
+        """codes [B, L] u8, good2d [B, NW] bool (exact goodness incl. the
+        min-weight discard), lengths [B] i32.  Routes + stages; drains when
+        the staged observations reach the shard capacity."""
+        codes, good2d, lengths = self._pad(np.asarray(codes),
+                                           np.asarray(good2d),
+                                           np.asarray(lengths))
+        B, L = codes.shape
+        NW = L - self.k + 1
+        N = B * NW // self.D
+        C = int(np.ceil(N / self.D * self.capacity_factor))
+        while True:
+            fn = _route_build_fn(self.mesh, self.k, C)
+            out = fn(jnp.asarray(codes), jnp.asarray(good2d),
+                     jnp.asarray(lengths))
+            recv, overflow = out[:self.W], out[self.W]
+            if int(np.asarray(overflow).sum()) == 0:
+                break
+            C *= 2
+            self.overflow_retries += 1
+            if C > 64 * N:
+                raise RuntimeError("mesh bucket overflow even at C=%d" % C)
+        self._staged.append(recv)  # W planes, each [D, D*C] sharded
+        self._staged_rows += self.D * C
+        self.total_batches += 1
+        if self._staged_rows >= self.cap:
+            self._drain()
+
+    def _drain(self):
+        if not self._staged:
+            return
+        cols = []
+        for w in range(self.W):
+            cols.append(jnp.concatenate(
+                [self.table_cols[w]] + [s[w] for s in self._staged], axis=1))
+        staged_counts = [jnp.ones(s[0].shape, jnp.int32) for s in self._staged]
+        counts = jnp.concatenate([self.table_counts] + staged_counts, axis=1)
+        R = self.cap + self._staged_rows
+        fn = _drain_fn(self.mesh, self.W, self.cap, R)
+        out = fn(*cols, counts)
+        self.table_cols = list(out[:self.W])
+        self.table_counts = out[self.W]
+        self.purged_singletons += int(np.asarray(out[self.W + 1]).sum())
+        self._staged = []
+        self._staged_rows = 0
+
+    # -------------------- lookup (pass 2) --------------------
+
+    def lookup_batch(self, codes, good2d, lengths, min_count: int = 2):
+        """Per-window counts for one padded batch against the built shard
+        tables.  good2d here marks which windows WANT counts (normally all
+        valid windows — counts return regardless of the window's own
+        build-goodness, matching host window_count_lookup)."""
+        self._drain()
+        codes, good2d, lengths = self._pad(np.asarray(codes),
+                                           np.asarray(good2d),
+                                           np.asarray(lengths))
+        B, L = codes.shape
+        NW = L - self.k + 1
+        N = B * NW // self.D
+        C = int(np.ceil(N / self.D * self.capacity_factor))
+        while True:
+            fn = _lookup_fn(self.mesh, self.k, C, self.cap, min_count)
+            counts2d, overflow = fn(
+                jnp.asarray(codes), jnp.asarray(good2d), jnp.asarray(lengths),
+                *self.table_cols, self.table_counts)
+            if int(np.asarray(overflow).sum()) == 0:
+                return np.asarray(counts2d)
+            C *= 2
+            self.overflow_retries += 1
+            if C > 64 * N:
+                raise RuntimeError("mesh lookup bucket overflow at C=%d" % C)
+
+    # -------------------- host extraction --------------------
+
+    def finalize(self, min_depth: int = 2):
+        """Gather shard tables to host: (keys [M, W] u32 sorted, counts)."""
+        self._drain()
+        ks = [np.asarray(c).reshape(-1) for c in self.table_cols]
+        cnt = np.asarray(self.table_counts).reshape(-1)
+        real = cnt >= min_depth
+        keys = np.stack([c[real] for c in ks], axis=-1)
+        counts = cnt[real]
+        from kmernator_tpu.parallel.spectrum import pack_keys
+        packed = pack_keys(keys)
+        order = np.argsort(packed, kind="stable")
+        return keys[order], counts[order].astype(np.int64)
+
+    def to_host_spectrum(self, min_depth: int = 2):
+        from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys
+        keys, counts = self.finalize(min_depth)
+        sp = KmerSpectrum(k=self.k)
+        sp.keys = pack_keys(keys) if len(keys) else np.zeros(0, np.uint64)
+        sp.counts = counts
+        return sp
+
+    def set_table(self, keys: np.ndarray, counts: np.ndarray):
+        """Replace the shard tables from a host (keys [M, W], counts [M])
+        table — used to push back a host-side transform (e.g. variant
+        purge) before the lookup pass.  Keys are re-sharded by owner hash
+        and re-sorted per shard."""
+        from kmernator_tpu.parallel.mesh import owner_hash
+        axis = self.mesh.axis_names[0]
+        shd = NamedSharding(self.mesh, P(axis, None))
+        D, cap, W = self.D, self.cap, self.W
+        kcols = np.full((W, D, cap), SENTINEL, np.uint32)
+        ccols = np.zeros((D, cap), np.int32)
+        if len(keys):
+            own = (owner_hash(jnp.asarray(keys)) % np.uint32(D))
+            own = np.asarray(own).astype(np.int64)
+            for d in range(D):
+                sel = np.flatnonzero(own == d)
+                if len(sel) > cap:
+                    raise RuntimeError("shard %d overflows capacity" % d)
+                kcols[:, d, :len(sel)] = keys[sel].T
+                ccols[d, :len(sel)] = counts[sel]
+            # per-shard key sort (host; tables are small vs the stream)
+            from kmernator_tpu.parallel.spectrum import pack_keys
+            for d in range(D):
+                packed = pack_keys(np.ascontiguousarray(kcols[:, d, :].T))
+                order = np.argsort(packed, kind="stable")
+                kcols[:, d, :] = kcols[:, d, order]
+                ccols[d, :] = ccols[d, order]
+        self.table_cols = [jax.device_put(kcols[w], shd) for w in range(W)]
+        self.table_counts = jax.device_put(ccols, shd)
+        self._staged = []
+        self._staged_rows = 0
