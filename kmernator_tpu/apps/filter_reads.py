@@ -147,13 +147,19 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     host path."""
     from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
     enable_compilation_cache()
+    import jax
     from kmernator_tpu.parallel.mesh import make_mesh
     from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+    from kmernator_tpu.parallel import multihost
     from kmernator_tpu.parallel.device_spectrum import (pack_readset,
                                                         ragged_to_padded,
                                                         padded_to_ragged)
 
+    multi = jax.process_count() > 1
     L = max(rs.max_length(), k)
+    if multi:
+        # all processes must agree on the padded read length
+        L = multihost.allreduce_max_int(L)
     codes, _, lengths = pack_readset(rs, L, min_quality, output_base)
     B = codes.shape[0]
     NW = L - k + 1
@@ -169,33 +175,50 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
     good2d &= ~rs.discarded[:, None]
 
-    mesh = make_mesh(n_devices)
-    if capacity <= 0:
+    if multi:
+        mesh = multihost.global_mesh()
+        D = mesh.devices.size
+        # sum good windows across processes for capacity sizing
+        from jax.experimental import multihost_utils
+        n_good = int(np.sum(multihost_utils.process_allgather(
+            np.array([int(exact_good.sum())], np.int64))))
+    else:
+        mesh = make_mesh(n_devices)
+        D = n_devices
         n_good = int(exact_good.sum())
-        capacity = max(int(np.ceil(n_good / n_devices * 1.25)), 4096)
-    # keep batch shapes constant so every batch reuses one compiled program
-    batch_reads = max((batch_reads // n_devices) * n_devices, n_devices)
+    if capacity <= 0:
+        capacity = max(int(np.ceil(n_good / D * 1.25)), 4096)
+    # keep batch shapes constant so every batch reuses one compiled program;
+    # every process must issue the same number of collective calls, so the
+    # trip count is the max over processes (short ranks feed empty batches)
+    D_local = max(D // jax.process_count(), 1)
+    batch_reads = max((batch_reads // D_local) * D_local, D_local)
+    n_batches = int(np.ceil(B / batch_reads)) if B else 0
+    if multi:
+        n_batches = multihost.allreduce_max_int(max(n_batches, 1))
+    else:
+        n_batches = max(n_batches, 1)
     sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
-    for s in range(0, B, batch_reads):
-        e = min(s + batch_reads, B)
-        bc, bg, bl = codes[s:e], good2d[s:e], lengths[s:e]
-        if e - s < batch_reads:  # pad the tail to the common batch shape
-            padn = batch_reads - (e - s)
-            bc = np.concatenate([bc, np.zeros((padn, L), bc.dtype)])
-            bg = np.concatenate([bg, np.zeros((padn, NW), bg.dtype)])
-            bl = np.concatenate([bl, np.zeros(padn, bl.dtype)])
-        sp.add_batch(bc, bg, bl)
-    allw = np.ones((batch_reads, NW), dtype=bool)
-    rows = []
-    for s in range(0, B, batch_reads):
-        e = min(s + batch_reads, B)
+
+    def batch_at(s, with_good):
+        e = max(min(s + batch_reads, B), s)
         bc, bl = codes[s:e], lengths[s:e]
+        bg = good2d[s:e] if with_good else np.ones((e - s, NW), bool)
         if e - s < batch_reads:
             padn = batch_reads - (e - s)
-            bc = np.concatenate([bc, np.zeros((padn, L), bc.dtype)])
-            bl = np.concatenate([bl, np.zeros(padn, bl.dtype)])
-        c2d = sp.lookup_batch(bc, allw, bl, min_count=max(min_depth, 2))
-        rows.append(c2d[:e - s])
+            bc = np.concatenate([bc, np.zeros((padn, L), codes.dtype)])
+            bg = np.concatenate([bg, np.zeros((padn, NW), bg.dtype)])
+            bl = np.concatenate([bl, np.zeros(padn, lengths.dtype)])
+        return bc, bg, bl, e - s
+
+    for bi in range(n_batches):
+        bc, bg, bl, _ = batch_at(bi * batch_reads, True)
+        sp.add_batch(bc, bg, bl)
+    rows = []
+    for bi in range(n_batches):
+        bc, bg, bl, nreal = batch_at(bi * batch_reads, False)
+        c2d = sp.lookup_batch(bc, bg, bl, min_count=max(min_depth, 2))
+        rows.append(c2d[:nreal])
     counts2d = np.concatenate(rows)[:B]
     counts = padded_to_ragged(counts2d, nw).astype(np.int64)
     return counts, woff
@@ -490,6 +513,21 @@ def run(argv: List[str]) -> int:
         i = argv.index("--mesh-batch")
         mesh_batch = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    # multi-process mode (the FilterReads-P mpirun analogue): every process
+    # runs this same command with its own --procid
+    dist_coord, dist_nprocs, dist_procid = None, 1, 0
+    if "--distributed" in argv:
+        i = argv.index("--distributed")
+        dist_coord = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--nprocs" in argv:
+        i = argv.index("--nprocs")
+        dist_nprocs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--procid" in argv:
+        i = argv.index("--procid")
+        dist_procid = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     if "--jax-platform" in argv:
         i = argv.index("--jax-platform")
         platform = argv[i + 1]
@@ -507,9 +545,22 @@ def run(argv: List[str]) -> int:
         Log.error("Please specify at least one input file")
         return 1
 
+    multi = dist_nprocs > 1
+    if multi:
+        from kmernator_tpu.parallel import multihost
+        multihost.initialize(dist_coord, dist_nprocs, dist_procid)
+        if mesh_devices == 0:
+            mesh_devices = -1  # distributed implies the mesh count path
+
     Log.verbose(1, "Reading input files")
-    rs = load_reads(opts.input_file, opts.fastq_base_quality,
-                    opts.fastq_output_base_quality, opts.keep_read_comment)
+    if multi:
+        from kmernator_tpu.parallel.multihost import load_partitioned_reads
+        rs = load_partitioned_reads(opts.input_file, opts.fastq_base_quality,
+                                    opts.fastq_output_base_quality,
+                                    opts.keep_read_comment)
+    else:
+        rs = load_reads(opts.input_file, opts.fastq_base_quality,
+                        opts.fastq_output_base_quality, opts.keep_read_comment)
     Log.verbose(1, "loaded %d reads" % rs.n)
     rs.identify_pairs()
 
@@ -543,13 +594,21 @@ def run(argv: List[str]) -> int:
                     opts.fastq_output_base_quality, 0, 1 << 30, False,
                     bool(rs.has_quals[i]), opts.keep_read_comment)
                 files.setdefault(key, []).append(rec)
-            for path, recs in files.items():
-                with open(path, "wb") as f:
-                    f.write(b"".join(recs))
+            if multi:
+                from kmernator_tpu.parallel.multihost import (
+                    allgather_strings, write_gathered)
+                for path in allgather_strings(list(files.keys())):
+                    write_gathered(path, b"".join(files.get(path, [])))
+            else:
+                for path, recs in files.items():
+                    with open(path, "wb") as f:
+                        f.write(b"".join(recs))
 
-        if aopts.phix_output and opts.output_file and out.phix_reads:
+        # multi: every rank must join the gathered write even with no picks
+        if aopts.phix_output and opts.output_file and (out.phix_reads or multi):
             _divert("-PhiX.fastq", [(i, b"") for i in out.phix_reads])
-        if aopts.filter_output and opts.output_file and out.artifact_reads:
+        if aopts.filter_output and opts.output_file and (out.artifact_reads
+                                                         or multi):
             _divert("-Artifact.fastq", out.artifact_reads)
 
     if dopts.dedup_mode > 0 and dopts.dedup_edit_distance != -1:
@@ -565,7 +624,7 @@ def run(argv: List[str]) -> int:
 
     k = kopts.kmer_size
     spectrum = None
-    if k > 0 and mesh_devices > 0 and not sopts.load_kmer_mmap:
+    if k > 0 and mesh_devices != 0 and not sopts.load_kmer_mmap:
         # FilterReads-P analogue: counting via the sharded device mesh
         counts, w_off = window_count_lookup_mesh(
             rs, k, sopts.min_depth, opts.min_quality_score,
@@ -636,10 +695,20 @@ def run(argv: List[str]) -> int:
     if opts.output_file:
         outputs = select_reads(rs, trims, spectrum, opts, kopts, sopts, ropts,
                                opts.input_file)
-        for path, data in outputs.items():
-            with open(path, "wb") as f:
-                f.write(data)
-            Log.verbose(1, "wrote %s (%d bytes)" % (path, len(data)))
+        if multi:
+            # rank-ordered gathered writes over the union of output keys
+            # (ref: DistributedOfstreamMap close, rank0-first append order,
+            # apps/FilterReads-P.cpp:190-197)
+            from kmernator_tpu.parallel.multihost import (allgather_strings,
+                                                          write_gathered)
+            for path in allgather_strings(list(outputs.keys())):
+                write_gathered(path, outputs.get(path, b""))
+                Log.verbose(1, "wrote %s (gathered)" % path)
+        else:
+            for path, data in outputs.items():
+                with open(path, "wb") as f:
+                    f.write(data)
+                Log.verbose(1, "wrote %s (%d bytes)" % (path, len(data)))
     return 0
 
 

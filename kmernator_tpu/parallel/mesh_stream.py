@@ -221,6 +221,8 @@ class MeshStreamingSpectrum:
 
     def __init__(self, mesh: Mesh, k: int, capacity: int,
                  capacity_factor: float = 2.0):
+        from kmernator_tpu.parallel import multihost as mh
+        self._mh = mh
         self.mesh = mesh
         self.k = k
         self.W = nwords(k)
@@ -228,13 +230,19 @@ class MeshStreamingSpectrum:
         self.capacity_factor = capacity_factor
         D = mesh.devices.size
         self.D = D
-        axis = mesh.axis_names[0]
-        shd = NamedSharding(mesh, P(axis, None))
+        # in multi-process runs each controller contributes only its local
+        # block of every global array (ref: per-rank table shards,
+        # src/DistributedFunctions.h:102-163)
+        self.D_local = sum(1 for d in mesh.devices.flat
+                           if d.process_index == jax.process_index())
+        self.axis = axis = mesh.axis_names[0]
         self.table_cols = [
-            jax.device_put(np.full((D, self.cap), SENTINEL, np.uint32), shd)
+            mh.to_global(mesh, P(axis, None),
+                         np.full((self.D_local, self.cap), SENTINEL,
+                                 np.uint32))
             for _ in range(self.W)]
-        self.table_counts = jax.device_put(
-            np.zeros((D, self.cap), np.int32), shd)
+        self.table_counts = mh.to_global(
+            mesh, P(axis, None), np.zeros((self.D_local, self.cap), np.int32))
         self._staged: List[Tuple] = []   # list of (W recv planes [D, C])
         self._staged_rows = 0            # per-device staged row count
         self.purged_singletons = 0
@@ -243,7 +251,7 @@ class MeshStreamingSpectrum:
 
     def _pad(self, codes, good2d, lengths):
         B = codes.shape[0]
-        pad = (-B) % self.D
+        pad = (-B) % self.D_local
         if pad:
             codes = np.concatenate([codes, np.zeros((pad,) + codes.shape[1:],
                                                     codes.dtype)])
@@ -255,20 +263,27 @@ class MeshStreamingSpectrum:
     def add_batch(self, codes, good2d, lengths):
         """codes [B, L] u8, good2d [B, NW] bool (exact goodness incl. the
         min-weight discard), lengths [B] i32.  Routes + stages; drains when
-        the staged observations reach the shard capacity."""
+        the staged observations reach the shard capacity.
+
+        In multi-process runs every process must call this the same number
+        of times with the same LOCAL batch shape (pad with empty batches —
+        see run_synced_batches)."""
+        mh = self._mh
         codes, good2d, lengths = self._pad(np.asarray(codes),
                                            np.asarray(good2d),
                                            np.asarray(lengths))
         B, L = codes.shape
         NW = L - self.k + 1
-        N = B * NW // self.D
+        N = B * NW // self.D_local   # per-device window count
         C = int(np.ceil(N / self.D * self.capacity_factor))
+        axis = self.axis
         while True:
             fn = _route_build_fn(self.mesh, self.k, C)
-            out = fn(jnp.asarray(codes), jnp.asarray(good2d),
-                     jnp.asarray(lengths))
+            out = fn(mh.to_global(self.mesh, P(axis, None), codes),
+                     mh.to_global(self.mesh, P(axis, None), good2d),
+                     mh.to_global(self.mesh, P(axis), lengths))
             recv, overflow = out[:self.W], out[self.W]
-            if int(np.asarray(overflow).sum()) == 0:
+            if int(mh.allgather_host(overflow).sum()) == 0:
                 break
             C *= 2
             self.overflow_retries += 1
@@ -294,7 +309,8 @@ class MeshStreamingSpectrum:
         out = fn(*cols, counts)
         self.table_cols = list(out[:self.W])
         self.table_counts = out[self.W]
-        self.purged_singletons += int(np.asarray(out[self.W + 1]).sum())
+        self.purged_singletons += int(
+            self._mh.allgather_host(out[self.W + 1]).sum())
         self._staged = []
         self._staged_rows = 0
 
@@ -306,20 +322,25 @@ class MeshStreamingSpectrum:
         valid windows — counts return regardless of the window's own
         build-goodness, matching host window_count_lookup)."""
         self._drain()
+        mh = self._mh
         codes, good2d, lengths = self._pad(np.asarray(codes),
                                            np.asarray(good2d),
                                            np.asarray(lengths))
         B, L = codes.shape
         NW = L - self.k + 1
-        N = B * NW // self.D
+        N = B * NW // self.D_local
         C = int(np.ceil(N / self.D * self.capacity_factor))
+        axis = self.axis
         while True:
             fn = _lookup_fn(self.mesh, self.k, C, self.cap, min_count)
             counts2d, overflow = fn(
-                jnp.asarray(codes), jnp.asarray(good2d), jnp.asarray(lengths),
+                mh.to_global(self.mesh, P(axis, None), codes),
+                mh.to_global(self.mesh, P(axis, None), good2d),
+                mh.to_global(self.mesh, P(axis), lengths),
                 *self.table_cols, self.table_counts)
-            if int(np.asarray(overflow).sum()) == 0:
-                return np.asarray(counts2d)
+            if int(mh.allgather_host(overflow).sum()) == 0:
+                # each process gets back the rows it fed (its local block)
+                return mh.to_local(self.mesh, P(axis, None), counts2d)
             C *= 2
             self.overflow_retries += 1
             if C > 64 * N:
@@ -328,10 +349,11 @@ class MeshStreamingSpectrum:
     # -------------------- host extraction --------------------
 
     def finalize(self, min_depth: int = 2):
-        """Gather shard tables to host: (keys [M, W] u32 sorted, counts)."""
+        """Gather shard tables to host: (keys [M, W] u32 sorted, counts).
+        In multi-process runs every process receives the full table."""
         self._drain()
-        ks = [np.asarray(c).reshape(-1) for c in self.table_cols]
-        cnt = np.asarray(self.table_counts).reshape(-1)
+        ks = [self._mh.allgather_host(c).reshape(-1) for c in self.table_cols]
+        cnt = self._mh.allgather_host(self.table_counts).reshape(-1)
         real = cnt >= min_depth
         keys = np.stack([c[real] for c in ks], axis=-1)
         counts = cnt[real]
@@ -352,10 +374,10 @@ class MeshStreamingSpectrum:
         """Replace the shard tables from a host (keys [M, W], counts [M])
         table — used to push back a host-side transform (e.g. variant
         purge) before the lookup pass.  Keys are re-sharded by owner hash
-        and re-sorted per shard."""
+        and re-sorted per shard.  In multi-process runs every process must
+        call this with the SAME (replicated) host table."""
         from kmernator_tpu.parallel.mesh import owner_hash
         axis = self.mesh.axis_names[0]
-        shd = NamedSharding(self.mesh, P(axis, None))
         D, cap, W = self.D, self.cap, self.W
         kcols = np.full((W, D, cap), SENTINEL, np.uint32)
         ccols = np.zeros((D, cap), np.int32)
@@ -375,7 +397,14 @@ class MeshStreamingSpectrum:
                 order = np.argsort(packed, kind="stable")
                 kcols[:, d, :] = kcols[:, d, order]
                 ccols[d, :] = ccols[d, order]
-        self.table_cols = [jax.device_put(kcols[w], shd) for w in range(W)]
-        self.table_counts = jax.device_put(ccols, shd)
+        # feed each process its local device rows of the global table
+        local = np.array([i for i, d in enumerate(self.mesh.devices.flat)
+                          if d.process_index == jax.process_index()])
+        mh = self._mh
+        self.table_cols = [
+            mh.to_global(self.mesh, P(axis, None), kcols[w][local])
+            for w in range(W)]
+        self.table_counts = mh.to_global(self.mesh, P(axis, None),
+                                         ccols[local])
         self._staged = []
         self._staged_rows = 0

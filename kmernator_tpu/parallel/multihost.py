@@ -60,6 +60,72 @@ def load_partitioned_reads(paths: List[str], fastq_base_quality: int = 33,
                       byte_range=(rank, size) if size > 1 else None)
 
 
+def to_global(mesh, spec, x):
+    """Process-local block -> global sharded array (identity-equivalent in
+    single-process runs).  The multi-controller input feed: every process
+    contributes its rows of the global batch
+    (ref: each MPI rank parsing its own file partition then exchanging,
+    src/DistributedFunctions.h:333-458)."""
+    import jax
+    if jax.process_count() == 1:
+        from jax.sharding import NamedSharding
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(x), mesh, spec)
+
+
+def to_local(mesh, spec, x):
+    """Global sharded array -> this process's local block (np)."""
+    import jax
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(
+        multihost_utils.global_array_to_host_local_array(x, mesh, spec))
+
+
+def allgather_host(x) -> np.ndarray:
+    """Full (replicated) host copy of a global sharded array."""
+    import jax
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def allreduce_max_int(v: int) -> int:
+    """Host-level max across processes (to agree on loop trip counts —
+    every process must issue the same collectives)."""
+    import jax
+    if jax.process_count() == 1:
+        return int(v)
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(np.array([v], np.int64))
+    return int(np.max(vals))
+
+
+def allgather_strings(items: List[str], max_bytes: int = 1 << 16) -> List[str]:
+    """Sorted union of string lists across processes (the reference's
+    getGlobalKeySet, ref: src/DistributedOfstreamMap.h:149-168) — so every
+    process opens the same output files in the same order."""
+    import jax
+    if jax.process_count() == 1:
+        return sorted(set(items))
+    from jax.experimental import multihost_utils
+    blob = "\n".join(items).encode()
+    if len(blob) > max_bytes:
+        raise ValueError("key set too large for allgather buffer")
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[:len(blob)] = np.frombuffer(blob, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    out = set()
+    for row in gathered.reshape(jax.process_count(), max_bytes):
+        s = row.tobytes().rstrip(b"\x00").decode()
+        out.update(p for p in s.split("\n") if p)
+    return sorted(out)
+
+
 def write_gathered(path: str, local_data: bytes):
     """Rank-ordered concatenated output: each process writes a rank temp
     file; process 0 concatenates in rank order (ref: DistributedOfstreamMap
