@@ -137,7 +137,10 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
 def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
                              min_quality: int, output_base: int,
                              min_kmer_quality: float, n_devices: int,
-                             batch_reads: int = 2048, capacity: int = 0):
+                             batch_reads: int = 2048, capacity: int = 0,
+                             variant_sigmas: float = 0.0,
+                             variant_hamming: int = 2,
+                             min_variant_depth: float = 512.0):
     """Multi-chip spectrum counting (the FilterReads-P analogue): exact host
     weights gate goodness; reads stream through the mesh in bounded batches
     — pass 1 builds persistent per-device shard tables via all_to_all
@@ -174,6 +177,7 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     woff = np.concatenate([[0], np.cumsum(nw)])
     good2d = ragged_to_padded(exact_good, nw, NW, fill=False)
     good2d &= ~rs.discarded[:, None]
+    weights2d = ragged_to_padded(w.astype(np.float32), nw, NW, fill=0.0)
 
     if multi:
         mesh = multihost.global_mesh()
@@ -204,19 +208,37 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
         e = max(min(s + batch_reads, B), s)
         bc, bl = codes[s:e], lengths[s:e]
         bg = good2d[s:e] if with_good else np.ones((e - s, NW), bool)
+        bw = weights2d[s:e]
         if e - s < batch_reads:
             padn = batch_reads - (e - s)
             bc = np.concatenate([bc, np.zeros((padn, L), codes.dtype)])
             bg = np.concatenate([bg, np.zeros((padn, NW), bg.dtype)])
             bl = np.concatenate([bl, np.zeros(padn, lengths.dtype)])
-        return bc, bg, bl, e - s
+            bw = np.concatenate([bw, np.zeros((padn, NW), np.float32)])
+        return bc, bg, bl, bw, e - s
 
     for bi in range(n_batches):
-        bc, bg, bl, _ = batch_at(bi * batch_reads, True)
-        sp.add_batch(bc, bg, bl)
+        bc, bg, bl, bw, _ = batch_at(bi * batch_reads, True)
+        sp.add_batch(bc, bg, bl, weights2d=bw)
+    if variant_sigmas > 0.0:
+        # distributed variant purge: gather the (small, compacted) table,
+        # run the vectorized weighted purge, push survivors back to the
+        # shards (ref: PurgeVariantKmerMessage alltoall,
+        # src/DistributedFunctions.h:607-747)
+        from kmernator_tpu.parallel.spectrum import unpack_keys
+        from kmernator_tpu.ops.kmer import nwords
+        hsp = sp.to_host_spectrum(min_depth=max(min_depth, 2))
+        purged = hsp.purge_variants(variant_sigmas, variant_hamming,
+                                    min_variant_depth,
+                                    min_depth=max(min_depth, 2))
+        Log.verbose(1, "Removed %d kmer-variants (mesh)" % purged)
+        sp.set_table(unpack_keys(hsp.keys, nwords(k)),
+                     hsp.counts.astype(np.int32),
+                     None if hsp.weighted is None
+                     else hsp.weighted.astype(np.float32))
     rows = []
     for bi in range(n_batches):
-        bc, bg, bl, nreal = batch_at(bi * batch_reads, False)
+        bc, bg, bl, _, nreal = batch_at(bi * batch_reads, False)
         c2d = sp.lookup_batch(bc, bg, bl, min_count=max(min_depth, 2))
         rows.append(c2d[:nreal])
     counts2d = np.concatenate(rows)[:B]
@@ -493,6 +515,122 @@ def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
     return {path: b"".join(recs) for path, recs in outputs.items()}
 
 
+def _chunk_table(rs: ReadSet, k: int, min_quality: int, output_base: int,
+                 min_kmer_quality: float, subtract_keys=None):
+    """Per-chunk unique (key words [N, W] u32, counts) from the bit-exact
+    host observation pipeline (the chunk contribution to the streaming
+    merge)."""
+    from kmernator_tpu.ops.kmer import nwords
+    from kmernator_tpu.parallel.spectrum import unpack_keys
+    sp = build_spectrum(rs, k, min_quality, output_base, min_kmer_quality,
+                        subtract_keys=subtract_keys)
+    return (unpack_keys(sp.keys, nwords(k)), sp.counts.astype(np.int32),
+            sp.raw_kmers, sp.raw_good_kmers)
+
+
+def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
+                  capacity: int) -> int:
+    """Memory-bounded host FilterReads: two passes over the input in
+    bounded chunks — pass 1 streams chunk tables into a running device
+    merge (ref: the reference's streaming spectrum build that never holds
+    the dataset, src/ReadSet.h:656 + src/KmerSpectrum.h:1932), pass 2
+    re-streams reads, scores them against the finalized table, and appends
+    output per chunk.  Peak RSS is O(chunk + table), not O(input).
+
+    Unsupported here (use the in-memory path): normalization
+    (--max-kmer-output-depth), dedup, save/load-kmer-mmap."""
+    from kmernator_tpu.io.chunked import stream_readsets
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    from kmernator_tpu.parallel.pipeline import StreamingSpectrum
+    from kmernator_tpu.parallel.spectrum import pack_keys
+
+    k = kopts.kmer_size
+    if ropts.max_kmer_output_depth > 0:
+        Log.error("--streaming does not support max-kmer-output-depth "
+                  "normalization (global state); use the in-memory path")
+        return 1
+    chunk_bytes = max(int(chunk_mb * (1 << 20)), 1 << 12)
+    filt = None
+    if not aopts.skip_artifact_filter:
+        filt = ArtifactFilter(
+            match_length=aopts.artifact_match_length,
+            edit_distance=aopts.artifact_edit_distance,
+            build_edits_in_filter=aopts.build_artifact_edits_in_filter,
+            mask_simple_repeats=aopts.mask_simple_repeats,
+            phix=aopts.phix_output,
+            extra_reference_files=aopts.artifact_reference_file,
+            min_quality=opts.min_quality_score,
+            min_read_length=ropts.min_read_length)
+
+    def chunks():
+        for rs in stream_readsets(opts.input_file, chunk_bytes,
+                                  opts.fastq_output_base_quality,
+                                  opts.keep_read_comment):
+            if filt is not None:
+                apply_artifact_filter(rs, filt)
+            yield rs
+
+    spectrum = None
+    if k > 0:
+        subtract_keys = build_subtract_keys(
+            fopts.reference_file, fopts.subtract_file, k,
+            opts.min_quality_score, opts.fastq_output_base_quality,
+            sopts.min_kmer_quality, sopts.min_depth)
+        if capacity <= 0:
+            est = estimate_raw_kmers(opts.input_file, k)
+            capacity = max(est // 3, 1 << 20)
+        ss = StreamingSpectrum(k, capacity)
+        raw = raw_good = 0
+        n_reads = 0
+        for rs in chunks():
+            kw, kc, r, g = _chunk_table(rs, k, opts.min_quality_score,
+                                        opts.fastq_output_base_quality,
+                                        sopts.min_kmer_quality, subtract_keys)
+            ss.add_table(kw, kc)
+            raw += r
+            raw_good += g
+            n_reads += rs.n
+        if ss.purged_singletons:
+            Log.warn("streaming table purged %d singletons under memory "
+                     "pressure — raise --streaming-capacity for exact "
+                     "counts" % ss.purged_singletons)
+        keys, counts = ss.finalize(min_depth=max(sopts.min_depth, 2))
+        spectrum = KmerSpectrum(k=k)
+        spectrum.keys = pack_keys(keys) if len(keys) else np.zeros(0, np.uint64)
+        spectrum.counts = counts
+        spectrum.raw_kmers, spectrum.raw_good_kmers = raw, raw_good
+        Log.verbose(1, "streamed %d reads; spectrum: %d unique kmers"
+                    % (n_reads, spectrum.n_unique))
+        if fopts.histogram_file:
+            with open(fopts.histogram_file, "w") as f:
+                f.write(spectrum.histogram_table())
+
+    if not opts.output_file:
+        return 0
+    written = set()
+    for rs in chunks():
+        rs.identify_pairs()
+        if k > 0:
+            counts, w_off = window_count_lookup(rs, spectrum, k)
+            trims = score_and_trim(rs, counts, w_off, k,
+                                   float(sopts.min_depth),
+                                   ropts.kmer_scoring_type,
+                                   first_markup_nor_x(rs),
+                                   ropts.bimodal_sigmas)
+        else:
+            trims = _trim_by_markup(rs)
+        outputs = select_reads(rs, trims, spectrum, opts, kopts, sopts,
+                               ropts, opts.input_file)
+        for path, data in outputs.items():
+            mode = "ab" if path in written else "wb"
+            written.add(path)
+            with open(path, mode) as f:
+                f.write(data)
+    for path in written:
+        Log.verbose(1, "wrote %s (%d bytes)" % (path, os.path.getsize(path)))
+    return 0
+
+
 def run(argv: List[str]) -> int:
     opts = GeneralOptions()
     kopts = KmerBaseOptions()
@@ -512,6 +650,20 @@ def run(argv: List[str]) -> int:
     if "--mesh-batch" in argv:
         i = argv.index("--mesh-batch")
         mesh_batch = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    streaming = False
+    streaming_chunk_mb = 32
+    streaming_capacity = 0
+    if "--streaming" in argv:
+        streaming = True
+        argv.remove("--streaming")
+    if "--streaming-chunk-mb" in argv:
+        i = argv.index("--streaming-chunk-mb")
+        streaming_chunk_mb = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--streaming-capacity" in argv:
+        i = argv.index("--streaming-capacity")
+        streaming_capacity = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     # multi-process mode (the FilterReads-P mpirun analogue): every process
     # runs this same command with its own --procid
@@ -544,6 +696,10 @@ def run(argv: List[str]) -> int:
     if not opts.input_file:
         Log.error("Please specify at least one input file")
         return 1
+
+    if streaming:
+        return run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
+                             streaming_chunk_mb, streaming_capacity)
 
     multi = dist_nprocs > 1
     if multi:
@@ -629,7 +785,10 @@ def run(argv: List[str]) -> int:
         counts, w_off = window_count_lookup_mesh(
             rs, k, sopts.min_depth, opts.min_quality_score,
             opts.fastq_output_base_quality, sopts.min_kmer_quality,
-            mesh_devices, batch_reads=mesh_batch)
+            mesh_devices, batch_reads=mesh_batch,
+            variant_sigmas=sopts.variant_sigmas,
+            variant_hamming=sopts.variant_hamming_distance,
+            min_variant_depth=sopts.min_variant_kmer_depth)
         trims = score_and_trim(rs, counts, w_off, k, float(sopts.min_depth),
                                ropts.kmer_scoring_type, first_markup_nor_x(rs),
                                ropts.bimodal_sigmas)

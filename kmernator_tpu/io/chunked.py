@@ -1,0 +1,51 @@
+"""Chunked ReadSet streaming: bounded-memory iteration over FASTQ files.
+
+The host-side analogue of the reference's ReadSetStream
+(ref: src/ReadSet.h:656-748): the file is mmap'd and consumed in
+chunk_bytes windows cut at pair-preserving record boundaries
+(ref: ReadFileReader::seekToNextRecord, src/ReadFileReader.h:657-740), so
+peak host memory is O(chunk) regardless of input size.  The quality base
+is detected once on the first chunk and forced for the rest (the reference
+examines only the first 20000 reads too, ref: src/ReadSet.h:171-209).
+
+gz inputs are decompressed whole (no random access) — the memory-bounded
+path is plain FASTQ; BGZF/gz streaming callers should decompress first.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+
+from kmernator_tpu.io.reads import (ReadSet, find_next_record, open_maybe_gzip,
+                                    parse_fastq_bytes)
+
+
+def stream_readsets(paths: List[str], chunk_bytes: int = 32 << 20,
+                    output_base_quality: int = 33,
+                    comment_stored: bool = True,
+                    forced_base: int = 0) -> Iterator[ReadSet]:
+    """Yield ReadSet chunks of ~chunk_bytes each, pairs kept intact.
+    Each yielded ReadSet carries .file_idx of its source path."""
+    base = forced_base or None
+    for fi, path in enumerate(paths):
+        data = open_maybe_gzip(path, use_mmap=not path.endswith(".gz"))
+        if bytes(data[:1]) == b">":
+            raise ValueError("stream_readsets supports FASTQ only; "
+                             "use load_reads for FASTA(+qual)")
+        size = len(data)
+        pos = 0
+        while pos < size:
+            end = min(pos + chunk_bytes, size)
+            if end < size:
+                end = find_next_record(data, end, by_pair=True)
+            chunk = bytes(data[pos:end])
+            rs = ReadSet()
+            rs.append_arrays(*parse_fastq_bytes(chunk, comment_stored),
+                             file_idx=fi)
+            if base is None:
+                base = rs.detect_quality_base(output_base_quality)
+            else:
+                rs.detect_quality_base(base, limit=0)  # force known base
+            yield rs
+            pos = end

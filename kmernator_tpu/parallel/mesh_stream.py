@@ -53,13 +53,17 @@ from kmernator_tpu.parallel.mesh import (shard_map, make_mesh,
 
 @functools.lru_cache(maxsize=None)
 def _route_build_fn(mesh: Mesh, k: int, C: int):
-    """Batch route step for the streaming build: codes/good/lengths ->
-    received key planes (W x [D, C] per device, sentinel = no observation)
-    + overflow count.  Only good windows are routed (count=1 rows)."""
+    """Batch route step for the streaming build: codes/good/lengths/weights
+    -> received key planes (W x [D, C] per device, sentinel = no
+    observation) + a received weight plane + overflow count.  Only good
+    windows are routed (count=1 rows); the float window weight rides along
+    so owners can accumulate weightedCount
+    (ref: StoreKmerMessageHeader carries the weight,
+    src/DistributedFunctions.h:274-303)."""
     D = mesh.devices.size
     axis = mesh.axis_names[0]
 
-    def step(codes, good_in, lengths):
+    def step(codes, good_in, lengths, wts):
         cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
         B, NW = valid.shape
         N = B * NW
@@ -69,17 +73,23 @@ def _route_build_fn(mesh: Mesh, k: int, C: int):
         # discards below-min-weight kmers before buffering)
         key_cols = [jnp.where(g, c.reshape(N), SENTINEL) for c in cols]
         owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
-        send_cols, _, _, overflow = _bucket_scatter_cols(
+        send_cols, _, win_slot, overflow = _bucket_scatter_cols(
             key_cols, g, owner, D, C)
+        wflat = wts.reshape(N).astype(jnp.float32)
+        tgt = jnp.where(win_slot >= 0, win_slot, D * C)
+        wbuf = jnp.zeros(D * C + 1, jnp.float32)
+        send_w = wbuf.at[tgt].set(
+            jnp.where(win_slot >= 0, wflat, 0.0))[:D * C].reshape(D, C)
         a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
                                            concat_axis=0)
         recv = [a2a(c).reshape(1, D * C) for c in send_cols]
-        return tuple(recv) + (overflow[None],)
+        recv_w = a2a(send_w).reshape(1, D * C)
+        return tuple(recv) + (recv_w, overflow[None])
 
     smapped = shard_map(
         step, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis)),
-        out_specs=tuple([P(axis, None)] * nwords(k)) + (P(axis),))
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None)),
+        out_specs=tuple([P(axis, None)] * (nwords(k) + 1)) + (P(axis),))
     return jax.jit(smapped)
 
 
@@ -88,18 +98,20 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
     """Per-shard sort-merge of (table rows + staged observation rows) back
     into a sorted [cap] table.  R = total input rows per device.
 
-    Returns (key planes [D, cap] x W, counts [D, cap], purged [D], the
-    number of singleton rows dropped under capacity pressure).
-    Output is KEY-SORTED with sentinels trailing, so the lookup step can
-    binary-search it directly."""
+    Returns (key planes [D, cap] x W, counts [D, cap], weights [D, cap],
+    purged [D] — the number of singleton rows dropped under capacity
+    pressure).  Output is KEY-SORTED with sentinels trailing, so the
+    lookup step can binary-search it directly."""
     axis = mesh.axis_names[0]
+    FMAX = jnp.float32(3.4e38)
 
     def step(*args):
         key_cols = [a.reshape(-1) for a in args[:W]]
         counts = args[W].reshape(-1)
-        # 1) sort by key, run-total counts via monotone scans
-        s = jax.lax.sort(key_cols + [counts], num_keys=W)
-        sc = s[W]
+        weights = args[W + 1].reshape(-1)
+        # 1) sort by key, run-total counts/weights via monotone scans
+        s = jax.lax.sort(key_cols + [counts, weights], num_keys=W)
+        sc, sw = s[W], s[W + 1]
         neq = jnp.zeros(R - 1, dtype=jnp.bool_)
         for w in range(W):
             neq = neq | (s[w][1:] != s[w][:-1])
@@ -111,32 +123,41 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
         total = jax.lax.cummin(
             jnp.where(is_end, cum, jnp.iinfo(jnp.int32).max), reverse=True)
         run_total = total - base
+        wcum = jnp.cumsum(sw)
+        wexcl = wcum - sw
+        wbase = jax.lax.cummax(jnp.where(boundary, wexcl, -FMAX))
+        wtotal = jax.lax.cummin(
+            jnp.where(is_end, wcum, FMAX), reverse=True)
+        wrun = wtotal - wbase
         sent = jnp.ones(R, dtype=jnp.bool_)
         for w in range(W):
             sent = sent & (s[w] == SENTINEL)
         keep = boundary & ~sent
         mk = [jnp.where(keep, c, SENTINEL) for c in s[:W]]
         mc = jnp.where(keep, run_total, 0)
+        mw = jnp.where(keep, wrun, 0.0)
         # 2) priority compaction to [cap]: solid (count>=2) rows first, then
         # singletons; beyond-capacity singletons are purged (ref: the
         # reference's periodic singleton purge under memory pressure)
         prio = jnp.where(mc >= 2, 0, jnp.where(mc > 0, 1, 2)).astype(jnp.int32)
-        s2 = jax.lax.sort([prio] + mk + [mc], num_keys=1 + W)
+        s2 = jax.lax.sort([prio] + mk + [mc, mw], num_keys=1 + W)
         kept_counts = s2[W + 1][:cap]
+        kept_w = s2[W + 2][:cap]
         kept_real = kept_counts > 0
         purged = jnp.sum((s2[W + 1] > 0).astype(jnp.int32)) - jnp.sum(
             kept_real.astype(jnp.int32))
         out_cols = [jnp.where(kept_real, c[:cap], SENTINEL) for c in s2[1:W + 1]]
         # 3) re-sort by key so the table stays binary-searchable
-        s3 = jax.lax.sort(out_cols + [jnp.where(kept_real, kept_counts, 0)],
+        s3 = jax.lax.sort(out_cols + [jnp.where(kept_real, kept_counts, 0),
+                                      jnp.where(kept_real, kept_w, 0.0)],
                           num_keys=W)
         return (tuple(a[None, :] for a in s3[:W])
-                + (s3[W][None, :], purged[None]))
+                + (s3[W][None, :], s3[W + 1][None, :], purged[None]))
 
     smapped = shard_map(
         step, mesh=mesh,
-        in_specs=tuple([P(axis, None)] * (W + 1)),
-        out_specs=tuple([P(axis, None)] * (W + 1)) + (P(axis),))
+        in_specs=tuple([P(axis, None)] * (W + 2)),
+        out_specs=tuple([P(axis, None)] * (W + 2)) + (P(axis),))
     return jax.jit(smapped)
 
 
@@ -243,6 +264,9 @@ class MeshStreamingSpectrum:
             for _ in range(self.W)]
         self.table_counts = mh.to_global(
             mesh, P(axis, None), np.zeros((self.D_local, self.cap), np.int32))
+        self.table_weights = mh.to_global(
+            mesh, P(axis, None), np.zeros((self.D_local, self.cap),
+                                          np.float32))
         self._staged: List[Tuple] = []   # list of (W recv planes [D, C])
         self._staged_rows = 0            # per-device staged row count
         self.purged_singletons = 0
@@ -260,20 +284,27 @@ class MeshStreamingSpectrum:
             lengths = np.concatenate([lengths, np.zeros(pad, lengths.dtype)])
         return codes, good2d, lengths
 
-    def add_batch(self, codes, good2d, lengths):
+    def add_batch(self, codes, good2d, lengths, weights2d=None):
         """codes [B, L] u8, good2d [B, NW] bool (exact goodness incl. the
-        min-weight discard), lengths [B] i32.  Routes + stages; drains when
-        the staged observations reach the shard capacity.
+        min-weight discard), lengths [B] i32, optional weights2d [B, NW]
+        f32 window weights (default 1.0 per good window).  Routes + stages;
+        drains when the staged observations reach the shard capacity.
 
         In multi-process runs every process must call this the same number
-        of times with the same LOCAL batch shape (pad with empty batches —
-        see run_synced_batches)."""
+        of times with the same LOCAL batch shape (pad with empty
+        batches)."""
         mh = self._mh
         codes, good2d, lengths = self._pad(np.asarray(codes),
                                            np.asarray(good2d),
                                            np.asarray(lengths))
         B, L = codes.shape
         NW = L - self.k + 1
+        if weights2d is None:
+            weights2d = good2d.astype(np.float32)
+        elif weights2d.shape[0] != B:
+            weights2d = np.concatenate(
+                [weights2d, np.zeros((B - weights2d.shape[0], NW),
+                                     np.float32)])
         N = B * NW // self.D_local   # per-device window count
         C = int(np.ceil(N / self.D * self.capacity_factor))
         axis = self.axis
@@ -281,15 +312,17 @@ class MeshStreamingSpectrum:
             fn = _route_build_fn(self.mesh, self.k, C)
             out = fn(mh.to_global(self.mesh, P(axis, None), codes),
                      mh.to_global(self.mesh, P(axis, None), good2d),
-                     mh.to_global(self.mesh, P(axis), lengths))
-            recv, overflow = out[:self.W], out[self.W]
+                     mh.to_global(self.mesh, P(axis), lengths),
+                     mh.to_global(self.mesh, P(axis, None),
+                                  weights2d.astype(np.float32)))
+            recv, overflow = out[:self.W + 1], out[self.W + 1]
             if int(mh.allgather_host(overflow).sum()) == 0:
                 break
             C *= 2
             self.overflow_retries += 1
             if C > 64 * N:
                 raise RuntimeError("mesh bucket overflow even at C=%d" % C)
-        self._staged.append(recv)  # W planes, each [D, D*C] sharded
+        self._staged.append(recv)  # W key planes + weight plane, [D, D*C]
         self._staged_rows += self.D * C
         self.total_batches += 1
         if self._staged_rows >= self.cap:
@@ -304,13 +337,16 @@ class MeshStreamingSpectrum:
                 [self.table_cols[w]] + [s[w] for s in self._staged], axis=1))
         staged_counts = [jnp.ones(s[0].shape, jnp.int32) for s in self._staged]
         counts = jnp.concatenate([self.table_counts] + staged_counts, axis=1)
+        weights = jnp.concatenate(
+            [self.table_weights] + [s[self.W] for s in self._staged], axis=1)
         R = self.cap + self._staged_rows
         fn = _drain_fn(self.mesh, self.W, self.cap, R)
-        out = fn(*cols, counts)
+        out = fn(*cols, counts, weights)
         self.table_cols = list(out[:self.W])
         self.table_counts = out[self.W]
+        self.table_weights = out[self.W + 1]
         self.purged_singletons += int(
-            self._mh.allgather_host(out[self.W + 1]).sum())
+            self._mh.allgather_host(out[self.W + 2]).sum())
         self._staged = []
         self._staged_rows = 0
 
@@ -348,29 +384,37 @@ class MeshStreamingSpectrum:
 
     # -------------------- host extraction --------------------
 
-    def finalize(self, min_depth: int = 2):
-        """Gather shard tables to host: (keys [M, W] u32 sorted, counts).
-        In multi-process runs every process receives the full table."""
+    def finalize(self, min_depth: int = 2, with_weights: bool = False):
+        """Gather shard tables to host: (keys [M, W] u32 sorted, counts
+        [, weights]).  In multi-process runs every process receives the
+        full table."""
         self._drain()
         ks = [self._mh.allgather_host(c).reshape(-1) for c in self.table_cols]
         cnt = self._mh.allgather_host(self.table_counts).reshape(-1)
+        wt = self._mh.allgather_host(self.table_weights).reshape(-1)
         real = cnt >= min_depth
         keys = np.stack([c[real] for c in ks], axis=-1)
         counts = cnt[real]
+        weights = wt[real]
         from kmernator_tpu.parallel.spectrum import pack_keys
         packed = pack_keys(keys)
         order = np.argsort(packed, kind="stable")
+        if with_weights:
+            return (keys[order], counts[order].astype(np.int64),
+                    weights[order].astype(np.float64))
         return keys[order], counts[order].astype(np.int64)
 
     def to_host_spectrum(self, min_depth: int = 2):
         from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys
-        keys, counts = self.finalize(min_depth)
+        keys, counts, weights = self.finalize(min_depth, with_weights=True)
         sp = KmerSpectrum(k=self.k)
         sp.keys = pack_keys(keys) if len(keys) else np.zeros(0, np.uint64)
         sp.counts = counts
+        sp.weighted = weights
         return sp
 
-    def set_table(self, keys: np.ndarray, counts: np.ndarray):
+    def set_table(self, keys: np.ndarray, counts: np.ndarray,
+                  weights: np.ndarray = None):
         """Replace the shard tables from a host (keys [M, W], counts [M])
         table — used to push back a host-side transform (e.g. variant
         purge) before the lookup pass.  Keys are re-sharded by owner hash
@@ -381,7 +425,10 @@ class MeshStreamingSpectrum:
         D, cap, W = self.D, self.cap, self.W
         kcols = np.full((W, D, cap), SENTINEL, np.uint32)
         ccols = np.zeros((D, cap), np.int32)
+        wcols = np.zeros((D, cap), np.float32)
         if len(keys):
+            if weights is None:
+                weights = counts.astype(np.float32)
             own = (owner_hash(jnp.asarray(keys)) % np.uint32(D))
             own = np.asarray(own).astype(np.int64)
             for d in range(D):
@@ -390,6 +437,7 @@ class MeshStreamingSpectrum:
                     raise RuntimeError("shard %d overflows capacity" % d)
                 kcols[:, d, :len(sel)] = keys[sel].T
                 ccols[d, :len(sel)] = counts[sel]
+                wcols[d, :len(sel)] = weights[sel]
             # per-shard key sort (host; tables are small vs the stream)
             from kmernator_tpu.parallel.spectrum import pack_keys
             for d in range(D):
@@ -397,6 +445,7 @@ class MeshStreamingSpectrum:
                 order = np.argsort(packed, kind="stable")
                 kcols[:, d, :] = kcols[:, d, order]
                 ccols[d, :] = ccols[d, order]
+                wcols[d, :] = wcols[d, order]
         # feed each process its local device rows of the global table
         local = np.array([i for i, d in enumerate(self.mesh.devices.flat)
                           if d.process_index == jax.process_index()])
@@ -406,5 +455,7 @@ class MeshStreamingSpectrum:
             for w in range(W)]
         self.table_counts = mh.to_global(self.mesh, P(axis, None),
                                          ccols[local])
+        self.table_weights = mh.to_global(self.mesh, P(axis, None),
+                                          wcols[local])
         self._staged = []
         self._staged_rows = 0

@@ -79,6 +79,26 @@ class StreamingSpectrum:
         self.total_windows += int(codes.shape[0]) * (L_eff - self.k + 1)
         return counts
 
+    def add_table(self, keys_words: np.ndarray, counts: np.ndarray):
+        """Stage a pre-counted host table (per-chunk unique keys [N, W] u32
+        + counts) into the running merge — the entry point for the chunked
+        host FilterReads path, whose goodness mask comes from the bit-exact
+        host weight recurrence.  Padded to powers of two so XLA compiles
+        O(log N) merge variants."""
+        if self._pending_keys is None:
+            self._pending_keys, self._pending_counts = [], []
+        N, W = keys_words.shape
+        Np = 1 << max(int(np.ceil(np.log2(max(N, 1)))), 6)
+        pk = np.full((Np, W), SENTINEL, np.uint32)
+        pk[:N] = keys_words
+        pc = np.zeros(Np, np.int32)
+        pc[:N] = counts
+        self._pending_keys.append(jnp.asarray(pk))
+        self._pending_counts.append(jnp.asarray(pc))
+        self._pending_rows += Np
+        if self._pending_rows >= self.capacity:
+            self._drain()
+
     purged_singletons: int = 0
 
     def _drain(self):

@@ -86,6 +86,27 @@ def _hamming1_canonical(words: np.ndarray, k: int) -> np.ndarray:
     return np.array(out)
 
 
+def hamming_shell_batch(words: np.ndarray, k: int) -> np.ndarray:
+    """[S, W] kmer words -> [S, 4k, W] canonical keys of every single-base
+    substitution (including the identity rows where the substituted base
+    equals the original — harmless: a source never tests below its own
+    threshold).  Vectorized over S; 4k small host loops only."""
+    from kmernator_tpu.ops.kmer import revcomp_words, words_less
+    S, W = words.shape
+    out = np.repeat(words[:, None, :], 4 * k, axis=1).copy()
+    for p in range(k):
+        w, o = divmod(p, 16)
+        shift = np.uint32(30 - 2 * o)
+        cleared = words[:, w] & ~(np.uint32(3) << shift)
+        for nb in range(4):
+            out[:, 4 * p + nb, w] = cleared | (np.uint32(nb) << shift)
+    flat = out.reshape(S * 4 * k, W)
+    rc = revcomp_words(np, flat, k)
+    less = words_less(np, rc, flat)
+    canon = np.where(less[:, None], rc, flat)
+    return canon.reshape(S, 4 * k, W)
+
+
 @dataclass
 class KmerSpectrum:
     """Sorted spectrum table (host representation)."""
@@ -310,47 +331,81 @@ class KmerSpectrum:
                        use_weighted: bool = True, min_depth: int = 2) -> int:
         """Purge hamming-neighbor kmers that are far less abundant than a
         strong kmer: threshold = (count - sigmas*sqrt(count)) / (20 XOR
-        (d-1)) (the reference's `^` is XOR — bug-compatible).  Sources are
-        processed in descending abundance (the reference uses bucket order);
-        purged kmers are skipped as sources.  Ends with purge_min_depth."""
+        (d-1)) (the reference's `^` is XOR — bug-compatible).
+
+        Vectorized: all sources' hamming shells are generated in batch and
+        resolved against the sorted table with searchsorted; the
+        purged-sources-don't-purge rule (a kmer purged by a more abundant
+        source no longer acts as a source, ref: the reference erasing
+        purged entries) is a downward fixpoint — iterate 'active sources ->
+        purge set' until stable.  Purgers are always strictly more abundant
+        than their victims, so this equals sequential descending-order
+        processing (the reference's bucket order is nondeterministic; ours
+        is the deterministic resolution).  Ends with purge_min_depth."""
         if variant_sigmas <= 0.0 or len(self.keys) == 0:
             return 0
-        from kmernator_tpu.ops.kmer import nwords
-        vals = (self.weighted if (use_weighted and self.weighted is not None)
-                else self.counts.astype(np.float64)).copy()
-        value_map = {_key_id(k): i for i, k in enumerate(self.keys)}
-        k = self.k
-        W = nwords(k)
-        order = np.argsort(-vals, kind="stable")
-        purged = 0
-        for si in order:
-            v = vals[si]
-            if v <= min_variant_kmer_depth:
+        vals0 = (self.weighted if (use_weighted and self.weighted is not None)
+                 else self.counts.astype(np.float64)).copy()
+        purged = np.zeros(len(self.keys), dtype=bool)
+        is_source0 = vals0 > min_variant_kmer_depth
+        for _ in range(32):
+            newly = self._purge_pass(vals0, is_source0 & ~purged,
+                                     variant_sigmas, edit_distance,
+                                     min_variant_kmer_depth)
+            if np.array_equal(newly, purged):
                 break
-            thr_base = v - np.sqrt(v) * variant_sigmas
-            d = edit_distance
-            while d > 1:
-                if v > min_variant_kmer_depth * (20 ^ d):
-                    break
-                d -= 1
-            words = unpack_keys(self.keys[si:si + 1], W)
-            neighbors = _hamming1_canonical(words, k)
-            for dist in range(1, d + 1):
-                thr = thr_base / (20 ^ (dist - 1))
-                for nk in neighbors:
-                    j = value_map.get(_key_id(nk))
-                    if j is not None and 0.0 < vals[j] < thr:
-                        vals[j] = 0.0
-                        self.counts[j] = 0
-                        if self.weighted is not None:
-                            self.weighted[j] = 0.0
-                        purged += 1
-                if dist < d:
-                    # expand to the next shell lazily
-                    words_n = unpack_keys(np.asarray(neighbors), W)
-                    nxt = {_key_id(x) for row in range(len(words_n))
-                           for x in _hamming1_canonical(words_n[row:row + 1], k)}
-                    neighbors = np.array(sorted(nxt),
-                                         dtype=np.asarray(neighbors).dtype)
+            purged = newly
+        n = int(purged.sum())
+        self.counts[purged] = 0
+        if self.weighted is not None:
+            self.weighted[purged] = 0.0
         self.purge_min_depth(min_depth)
-        return purged
+        return n
+
+    def _purge_pass(self, vals0: np.ndarray, active: np.ndarray,
+                    sigmas: float, edit_distance: int,
+                    min_var: float, chunk: int = 512) -> np.ndarray:
+        """One vectorized pass: the purge set induced by `active` sources
+        against original values."""
+        from kmernator_tpu.ops.kmer import nwords
+        k, W = self.k, nwords(self.k)
+        out = np.zeros(len(self.keys), dtype=bool)
+        src = np.flatnonzero(active)
+        for s in range(0, len(src), chunk):
+            si = src[s:s + chunk]
+            v = vals0[si]
+            thr_base = v - np.sqrt(v) * sigmas
+            # per-source max edit distance (ref: the d-shrink loop)
+            d = np.full(len(si), edit_distance, dtype=np.int64)
+            for _ in range(max(edit_distance - 1, 0)):
+                shrink = (d > 1) & ~(v > min_var * (20 ^ d))
+                d[shrink] -= 1
+            words = unpack_keys(self.keys[si], W)
+            # frontier rows: (source row, key words); dist-1 shell first
+            srow = np.repeat(np.arange(len(si)), 4 * k)
+            frontier = hamming_shell_batch(words, k).reshape(-1, W)
+            for dist in range(1, edit_distance + 1):
+                fkeys = pack_keys(frontier)
+                idx = np.searchsorted(self.keys, fkeys)
+                idx = np.clip(idx, 0, len(self.keys) - 1)
+                hit = self.keys[idx] == fkeys
+                thr = thr_base[srow] / (20 ^ (dist - 1))
+                ok = (hit & (d[srow] >= dist)
+                      & (vals0[idx] > 0.0) & (vals0[idx] < thr))
+                out[idx[ok]] = True
+                if dist < edit_distance and (d > dist).any():
+                    # expand to the next shell: dedup (source, key) first
+                    # (the reference's set-expansion, keeps the blowup at
+                    # O(unique) instead of O(4k)^d)
+                    order = np.lexsort((fkeys, srow))
+                    fs, fk = srow[order], fkeys[order]
+                    keep = np.concatenate(
+                        [[True], (fs[1:] != fs[:-1]) | (fk[1:] != fk[:-1])])
+                    sel = order[keep]
+                    base_words = unpack_keys(fkeys[sel], W)
+                    srow = np.repeat(srow[sel], 4 * k)
+                    frontier = hamming_shell_batch(base_words,
+                                                   k).reshape(-1, W)
+                else:
+                    break
+        return out
