@@ -595,6 +595,8 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                      "pressure — raise --streaming-capacity for exact "
                      "counts" % ss.purged_singletons)
         keys, counts = ss.finalize(min_depth=max(sopts.min_depth, 2))
+        ss.keys = ss.counts = None   # release the device table
+        del ss
         spectrum = KmerSpectrum(k=k)
         spectrum.keys = pack_keys(keys) if len(keys) else np.zeros(0, np.uint64)
         spectrum.counts = counts
@@ -652,7 +654,7 @@ def run(argv: List[str]) -> int:
         mesh_batch = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     streaming = False
-    streaming_chunk_mb = 32
+    streaming_chunk_mb = 16
     streaming_capacity = 0
     if "--streaming" in argv:
         streaming = True

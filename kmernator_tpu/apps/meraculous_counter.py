@@ -65,39 +65,99 @@ def kmer_strings(keys: np.ndarray, k: int):
     return decode(words), decode(rc)
 
 
+def _emit_lines(strands: np.ndarray, int_cols, col_sep: bytes,
+                tail: bytes) -> bytes:
+    """Vectorized formatter: every line is <kmer>\\t then each int column
+    followed by col_sep, then tail.  Digits are written straight into one
+    flat u8 buffer with per-row cursors (no per-row Python, no numpy 'S'
+    re-copying) — 10^7 lines format in ~1 s."""
+    M, k = strands.shape
+    nds = []
+    cols = []
+    for c in int_cols:
+        c = np.ascontiguousarray(c, np.int64)
+        mx = int(c.max()) if M else 0
+        # digit count via threshold compares (cheaper than divide loops)
+        nd = np.ones(M, np.int64)
+        t = 10
+        while t <= mx:
+            nd += c >= t
+            t *= 10
+        cols.append(c)
+        nds.append(nd)
+    sep_len = len(col_sep)
+    row_len = np.full(M, k + 1 + len(tail), np.int64)
+    for nd in nds:
+        row_len += nd + sep_len
+    off = np.concatenate([[0], np.cumsum(row_len)])
+    buf = np.empty(int(off[-1]), np.uint8)
+    cursor = off[:-1].copy()
+    for j in range(k):  # per-column scatter — no [M, k] index matrix
+        buf[cursor + j] = strands[:, j]
+    cursor += k
+    buf[cursor] = 9  # \t
+    cursor += 1
+    for c, nd in zip(cols, nds):
+        maxd = int(nd.max())
+        for j in range(maxd):  # digit j from the left, rows wide enough
+            m = nd > j
+            p = nd[m] - 1 - j
+            buf[cursor[m] + j] = 48 + ((c[m] // 10 ** p) % 10)
+        cursor += nd
+        for t, ch in enumerate(col_sep):
+            buf[cursor + t] = ch
+        cursor += sep_len
+    for t, ch in enumerate(tail):
+        buf[cursor + t] = ch
+    return buf.tobytes()
+
+
 def dump_counts(spectrum: KmerSpectrum, path: str, min_depth: int):
-    """ref: MeraculousDistributedKmerSpectrum::dumpCounts (Meraculous.h:107-120)."""
+    """ref: MeraculousDistributedKmerSpectrum::dumpCounts
+    (Meraculous.h:107-120).  The reference's per-kmer ostream loop becomes
+    one vectorized buffer fill; forward/revcomp lines interleave by
+    stacking rows before formatting."""
     keep = spectrum.counts >= min_depth
     keys = spectrum.keys[keep]
     counts = spectrum.counts[keep]
-    fwd, rc = kmer_strings(keys, spectrum.k)
+    from kmernator_tpu.io import native as native_io
+    cc = counts[:, None].astype(np.int64)
+    data = native_io.format_mer_lines(keys, cc, cc, spectrum.k,
+                                      tail_zero=False)
+    if data is None:  # wide-k or no native lib: numpy fallback
+        fwd, rc = kmer_strings(keys, spectrum.k)
+        M = len(keys)
+        strands = np.stack([fwd, rc], axis=1).reshape(2 * M, spectrum.k)
+        data = _emit_lines(strands, [np.repeat(counts, 2)], b"", b"\n")
     with open(path, "wb") as f:
-        for i in range(len(keys)):
-            c = b"%d" % counts[i]
-            f.write(fwd[i].tobytes() + b"\t" + c + b"\n")
-            f.write(rc[i].tobytes() + b"\t" + c + b"\n")
+        f.write(data)
 
 
 def dump_graphs(spectrum: KmerSpectrum, path: str, min_depth: int):
     """ref: dumpGraphs (Meraculous.h:121-133): 2x6 left/right extension
     counters + trailing 0; the revcomp line swaps directions and complements
-    bases (ExtensionTracking::getReverseComplement)."""
+    bases (ExtensionTracking::getReverseComplement).  Vectorized like
+    dump_counts."""
     keep = spectrum.counts >= min_depth
     keys = spectrum.keys[keep]
     ext = spectrum.extensions[keep]
-    fwd, rc = kmer_strings(keys, spectrum.k)
-    # reverse-complemented counters: revLeft[rc(b)] = right[b], revRight[rc(b)] = left[b]
-    perm = [3, 2, 1, 0, 4, 5]  # A<->T, C<->G, N, X
-    rev_ext = np.zeros_like(ext)
-    for b in range(6):
-        rev_ext[:, perm[b]] = ext[:, 6 + b]
-        rev_ext[:, 6 + perm[b]] = ext[:, b]
+    # reverse-complemented counters: revLeft[rc(b)] = right[b],
+    # revRight[rc(b)] = left[b]; as a single column permutation
+    # (perm [3,2,1,0,4,5] is an involution, so src[j] = 6+perm[j] | perm[j])
+    ext = np.ascontiguousarray(ext, np.int64)
+    rev_ext = ext[:, [9, 8, 7, 6, 10, 11, 3, 2, 1, 0, 4, 5]]
+    from kmernator_tpu.io import native as native_io
+    data = native_io.format_mer_lines(keys, ext, rev_ext, spectrum.k,
+                                      tail_zero=True)
+    if data is None:  # wide-k or no native lib: numpy fallback
+        fwd, rc = kmer_strings(keys, spectrum.k)
+        M = len(keys)
+        strands = np.stack([fwd, rc], axis=1).reshape(2 * M, spectrum.k)
+        both = np.stack([ext, rev_ext], axis=1).reshape(2 * M, 12)
+        data = _emit_lines(strands, [both[:, c] for c in range(12)],
+                           b" ", b"0\n")
     with open(path, "wb") as f:
-        for i in range(len(keys)):
-            vals = b" ".join(b"%d" % v for v in ext[i]) + b" 0"
-            rvals = b" ".join(b"%d" % v for v in rev_ext[i]) + b" 0"
-            f.write(fwd[i].tobytes() + b"\t" + vals + b"\n")
-            f.write(rc[i].tobytes() + b"\t" + rvals + b"\n")
+        f.write(data)
 
 
 def build_extension_spectrum_mesh(rs: ReadSet, k: int, min_quality: int,

@@ -33,6 +33,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB)
         lib.fastq_index.restype = ctypes.c_long
         lib.fastq_index_mt.restype = ctypes.c_long
+        if hasattr(lib, "format_mer_lines"):
+            lib.format_mer_lines.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None
@@ -182,3 +184,32 @@ def pack_batch(seq: np.ndarray, qual: np.ndarray, offsets: np.ndarray,
                    ctypes.c_long(L), _ptr(tab), ctypes.c_float(logp_floor),
                    _ptr(codes), _ptr(logp), _ptr(lengths))
     return codes, logp, lengths
+
+
+def format_mer_lines(keys: np.ndarray, cols_f: np.ndarray,
+                     cols_r: np.ndarray, k: int, tail_zero: bool,
+                     n_threads: int = 4) -> Optional[bytes]:
+    """Native Meraculous dump: keys [M] u64 canonical kmers, cols_f/cols_r
+    [M, ncols] int64 column values for the forward / revcomp lines.
+    Emits both strand lines per kmer.  None if the lib is unavailable or
+    keys are wide (k > 32 uses the numpy fallback)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "format_mer_lines") \
+            or keys.dtype != np.uint64:
+        return None
+    M = len(keys)
+    ncols = cols_f.shape[1]
+    keys = np.ascontiguousarray(keys)
+    cols_f = np.ascontiguousarray(cols_f, np.int64)
+    cols_r = np.ascontiguousarray(cols_r, np.int64)
+    dmax = len(str(int(max(cols_f.max(initial=0), cols_r.max(initial=0), 1))))
+    cap = 2 * M * (k + 3 + ncols * (dmax + 1)) + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.format_mer_lines(_ptr(keys), ctypes.c_long(M), ctypes.c_int(k),
+                             _ptr(cols_f), _ptr(cols_r),
+                             ctypes.c_int(ncols),
+                             ctypes.c_int(1 if tail_zero else 0), _ptr(out),
+                             ctypes.c_int(n_threads))
+    if n <= 0 or n > cap:
+        return None
+    return out[:n].tobytes()

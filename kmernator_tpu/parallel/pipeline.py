@@ -26,9 +26,14 @@ from kmernator_tpu.parallel.device_spectrum import (SENTINEL, count_batch,
 class StreamingSpectrum:
     """Running (keys, counts) device table built by merging batch tables."""
 
-    def __init__(self, k: int, capacity: int, min_weight: float = 0.10):
+    def __init__(self, k: int, capacity: int, min_weight: float = 0.10,
+                 drain_threshold: int = 0):
         self.k = k
         self.capacity = capacity
+        # staged rows before a merge: smaller = lower peak memory (the
+        # drain sorts capacity+staged rows), larger = fewer sorts.  The
+        # default caps the transient at 1.5x the table.
+        self.drain_threshold = drain_threshold or max(capacity // 2, 1 << 16)
         from kmernator_tpu.ops.kmer import nwords
         W = nwords(k)
         self.keys = jnp.full((capacity, W), SENTINEL, dtype=jnp.uint32)
@@ -73,7 +78,7 @@ class StreamingSpectrum:
         self._pending_keys.append(bkeys)
         self._pending_counts.append(bcounts)
         self._pending_rows += bkeys.shape[0]
-        if self._pending_rows >= self.capacity:
+        if self._pending_rows >= self.drain_threshold:
             self._drain()
         L_eff = (logp.shape[1] if logp.dtype == np.uint8 else codes.shape[1])
         self.total_windows += int(codes.shape[0]) * (L_eff - self.k + 1)
@@ -96,7 +101,7 @@ class StreamingSpectrum:
         self._pending_keys.append(jnp.asarray(pk))
         self._pending_counts.append(jnp.asarray(pc))
         self._pending_rows += Np
-        if self._pending_rows >= self.capacity:
+        if self._pending_rows >= self.drain_threshold:
             self._drain()
 
     purged_singletons: int = 0

@@ -415,3 +415,118 @@ void pack_batch_idx_mt(const unsigned char* data,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Meraculous dump formatter (ref: src/Meraculous.h:107-133): decodes the
+// canonical u64 key AND its reverse complement and emits both lines with a
+// single-pass itoa — the reference's per-kmer ostream loop, minus the
+// streams and the host-side string materialization.  Threaded via a length
+// pre-pass so each worker writes its own byte range.
+// ---------------------------------------------------------------------------
+
+static inline int u64_digits(unsigned long long v) {
+  int d = 1;
+  while (v >= 10) { v /= 10; d++; }
+  return d;
+}
+
+static inline unsigned char* write_u64(unsigned char* p, unsigned long long v) {
+  int d = u64_digits(v);
+  for (int i = d - 1; i >= 0; i--) { p[i] = '0' + (v % 10); v /= 10; }
+  return p + d;
+}
+
+static const char BASES[4] = {'A', 'C', 'G', 'T'};
+
+// base i of a canonical key packed like ops/kmer.py pack_u64:
+// code(i) = (key >> (62 - 2*i)) & 3
+static inline void decode_fwd(unsigned long long key, int k, unsigned char* b) {
+  for (int i = 0; i < k; i++) b[i] = BASES[(key >> (62 - 2 * i)) & 3];
+}
+
+static inline void decode_rc(unsigned long long key, int k, unsigned char* b) {
+  for (int i = 0; i < k; i++)
+    b[i] = BASES[3 - ((key >> (62 - 2 * (k - 1 - i))) & 3)];
+}
+
+// Writes, per kmer, the forward line with cols_f and the revcomp line with
+// cols_r (row-major [M, ncols] each).  tail_zero appends the mergraph
+// " ... 0" trailing counter.  Returns bytes written from start_byte.
+static long mer_range(const unsigned long long* keys, int k,
+                      const long long* cols_f, const long long* cols_r,
+                      int ncols, int tail_zero, unsigned char* out,
+                      long start_byte, long s, long e) {
+  unsigned char* p = out + start_byte;
+  for (long i = s; i < e; i++) {
+    for (int strand = 0; strand < 2; strand++) {
+      if (strand == 0) decode_fwd(keys[i], k, p);
+      else decode_rc(keys[i], k, p);
+      p += k;
+      *p++ = '\t';
+      const long long* cols = strand == 0 ? cols_f : cols_r;
+      for (int c = 0; c < ncols; c++) {
+        long long v = cols[i * ncols + c];
+        p = write_u64(p, (unsigned long long)(v < 0 ? 0 : v));
+        if (c + 1 < ncols || tail_zero) *p++ = ' ';
+      }
+      if (tail_zero) *p++ = '0';
+      *p++ = '\n';
+    }
+  }
+  return (long)(p - (out + start_byte));
+}
+
+static long mer_range_bytes(int k, const long long* cols_f,
+                            const long long* cols_r, int ncols,
+                            int tail_zero, long s, long e) {
+  long bytes = 0;
+  for (long i = s; i < e; i++) {
+    for (int strand = 0; strand < 2; strand++) {
+      const long long* cols = strand == 0 ? cols_f : cols_r;
+      bytes += k + 2 + (tail_zero ? 1 : 0);
+      for (int c = 0; c < ncols; c++) {
+        long long v = cols[i * ncols + c];
+        bytes += u64_digits((unsigned long long)(v < 0 ? 0 : v));
+        if (c + 1 < ncols || tail_zero) bytes++;
+      }
+    }
+  }
+  return bytes;
+}
+
+extern "C" {
+
+long format_mer_lines(const unsigned long long* keys, long M, int k,
+                      const long long* cols_f, const long long* cols_r,
+                      int ncols, int tail_zero, unsigned char* out,
+                      int n_threads) {
+  if (n_threads <= 1 || M < (1 << 15)) {
+    return mer_range(keys, k, cols_f, cols_r, ncols, tail_zero, out, 0, 0, M);
+  }
+  long chunk = (M + n_threads - 1) / n_threads;
+  std::vector<long> sizes(n_threads, 0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < M ? s + chunk : M;
+    if (s >= e) break;
+    ts.emplace_back([=, &sizes]() {
+      sizes[t] = mer_range_bytes(k, cols_f, cols_r, ncols, tail_zero, s, e);
+    });
+  }
+  for (auto& th : ts) th.join();
+  ts.clear();
+  std::vector<long> offs(n_threads + 1, 0);
+  for (int t = 0; t < n_threads; t++) offs[t + 1] = offs[t] + sizes[t];
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < M ? s + chunk : M;
+    if (s >= e) break;
+    long base = offs[t];
+    ts.emplace_back([=]() {
+      mer_range(keys, k, cols_f, cols_r, ncols, tail_zero, out, base, s, e);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return offs[n_threads];
+}
+
+}  // extern "C"

@@ -46,3 +46,24 @@ def test_mesh_decomposition_invariance(tmp_path):
             mine = sorted(open(out + "." + mine_name, "rb").read().splitlines())
             want = sorted(open(os.path.join(REF, golden_name), "rb").read().splitlines())
             assert mine == want, "%s differs at mesh=%d" % (golden_name, ndev)
+
+
+def test_dump_speed_1m():
+    """Vectorized/native dumps: 10^6-kmer mercount+mergraph in seconds,
+    not hours (the reference-scale dump path, VERDICT weak-#6)."""
+    import time
+    import numpy as np
+    import tempfile
+    from kmernator_tpu.parallel.spectrum import KmerSpectrum
+    from kmernator_tpu.apps.meraculous_counter import dump_counts, dump_graphs
+    rng = np.random.default_rng(0)
+    M = 1_000_000
+    sp = KmerSpectrum(k=21)
+    sp.keys = np.sort(rng.integers(0, 1 << 42, M, dtype=np.uint64))
+    sp.counts = rng.integers(1, 1000, M).astype(np.int64)
+    sp.extensions = rng.integers(0, 50, (M, 12)).astype(np.int64)
+    d = tempfile.mkdtemp()
+    t0 = time.time()
+    dump_counts(sp, d + "/c", 1)
+    dump_graphs(sp, d + "/g", 1)
+    assert time.time() - t0 < 30.0
