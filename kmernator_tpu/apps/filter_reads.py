@@ -353,7 +353,12 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
                         both_pass: bool) -> List[int]:
     """OPTIMAL normalization: greedy best-covering-subset with per-kmer
     picked-depth bookkeeping (ref: pickBestCoveringSubsetPairs/Reads,
-    src/ReadSelector.h:751-922), simplified to a single-threaded heap."""
+    src/ReadSelector.h:751-922), simplified to a single-threaded heap.
+
+    Vectorized: every read's trimmed-window kmers are extracted ONCE and
+    resolved to spectrum row indices up-front; rescore/account become numpy
+    ops over the cached per-read index slice against a picked-depth array
+    (no per-kmer Python, no dict)."""
     import heapq
     from kmernator_tpu.ops.trim import is_passing
     from kmernator_tpu.parallel.spectrum import pack_keys
@@ -361,35 +366,58 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
 
     codes_raw = BASE_CODE[rs.seq]
     codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
-    picked_depth: Dict[int, int] = {}
     dup_set = set()
 
-    def trimmed_kmers(i):
-        off, ln = int(trims.offset[i]), int(trims.length[i])
-        if ln < k:
-            return np.zeros(0, np.uint64)
-        s = rs.offsets[i]
-        sub = codes[s + off:s + off + ln]
-        canon, _, _, _ = extract_kmers_flat(sub, np.array([0, ln]), k)
-        return pack_keys(canon)
+    # one extraction over ALL reads; per-read trimmed slice via offsets
+    canon, _, _, _ = extract_kmers_flat(codes, rs.offsets, k)
+    all_keys = pack_keys(canon)
+    lens = rs.lengths()
+    nwin = np.maximum(lens - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nwin)])
+    tlen = np.where(trims.length >= k, trims.length - k + 1, 0).astype(np.int64)
+    toff = woff[:-1] + trims.offset  # window off of the trim start
+    M = len(spectrum.keys)
+    kidx_cache: Dict[int, np.ndarray] = {}
+    cnt_cache: Dict[int, np.ndarray] = {}
+    picked_depth = np.zeros(M, np.int64)
+
+    def trimmed_rows(i):
+        """(spectrum row idx or M for misses, counts) of read i's trimmed
+        kmers, cached."""
+        got = kidx_cache.get(i)
+        if got is not None:
+            return got, cnt_cache[i]
+        ks = all_keys[toff[i]:toff[i] + tlen[i]]
+        if M:
+            idx = np.searchsorted(spectrum.keys, ks)
+            idx = np.clip(idx, 0, M - 1)
+            hit = spectrum.keys[idx] == ks
+            cnt = np.where(hit, spectrum.counts[idx], 0)
+            idx = np.where(hit, idx, 0)
+        else:
+            idx = np.zeros(len(ks), np.int64)
+            cnt = np.zeros(len(ks), np.int64)
+        kidx_cache[i] = idx
+        cnt_cache[i] = cnt
+        return idx, cnt
 
     def rescore(i):
         """Returns (score, blocked); blocked if any kmer at max depth."""
-        ks = trimmed_kmers(i)
-        counts = spectrum.lookup_counts(ks)
-        score = 0.0
-        for key, c in zip(ks.tolist(), counts.tolist()):
-            if c <= 0:
-                continue
-            pd = picked_depth.get(key, 0)
-            if pd >= max_depth:
-                return -1.0, True
-            score += c * (max_depth - pd)
-        return score, False
+        idx, cnt = trimmed_rows(i)
+        present = cnt > 0
+        if not present.any():
+            return 0.0, False
+        pd = picked_depth[idx[present]]
+        if (pd >= max_depth).any():
+            return -1.0, True
+        return float(np.sum(cnt[present] * (max_depth - pd))), False
 
     def account(i):
-        for key in trimmed_kmers(i).tolist():
-            picked_depth[key] = picked_depth.get(key, 0) + 1
+        # only spectrum-present kmers are ever consulted by rescore, so
+        # absent keys need no bookkeeping (the reference's dict entries for
+        # absent keys are write-only)
+        idx, cnt = trimmed_rows(i)
+        np.add.at(picked_depth, idx[cnt > 0], 1)
 
     picks: List[int] = []
     by_pair = rs.has_pairs()
@@ -425,7 +453,9 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
         if ln <= 0 or blocked_any or score <= min_score:
             continue
         new_key = -(score / ln)
-        if new_key > negs * 1.0001 + 1e-12:  # score dropped: re-heap
+        # score dropped since it was queued: re-heap (keys are negative, so
+        # "dropped" = new_key strictly above the old key plus tolerance)
+        if new_key > negs + abs(negs) * 1e-4 + 1e-12:
             heapq.heappush(heap, (new_key, r1, r2))
             continue
         # pick (with duplicate-fragment suppression, ref: _addDup)
