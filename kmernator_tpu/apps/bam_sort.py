@@ -41,6 +41,70 @@ def to_fastq(bd: BamData, i: int) -> bytes:
     return b"@" + name + suffix + b"\n" + seq + b"\n+\n" + q + b"\n"
 
 
+def run_distributed(out_path, inputs, unmapped_reads, unmapped_pairs,
+                    keep_unmapped_paired) -> int:
+    """Multi-process BamSort-P: record-range partition, position-splitter
+    binning, one all_to_all record exchange, per-device local sorts, and a
+    rank-ordered gathered write of concatenated BGZF sections
+    (ref: apps/BamSort-P.cpp + MPIReadExchanger, src/SamUtils.h:1266-1421).
+    """
+    import gzip as _gz
+    import jax
+    from kmernator_tpu.io.bam import (bgzf_compress, header_bytes,
+                                      records_blob, parse_records_blob,
+                                      BGZF_EOF)
+    from kmernator_tpu.parallel import multihost as mh
+    from kmernator_tpu.parallel.bam_exchange import (sort_key,
+                                                     global_splitters,
+                                                     exchange_blobs)
+    rank, size = jax.process_index(), jax.process_count()
+    bd_all = merge([load_alignments(p) for p in inputs])
+    # deterministic record-range partition of the merged inputs (the
+    # reference byte-range-partitions each file; same coverage contract)
+    lo = rank * bd_all.n // size
+    hi = (rank + 1) * bd_all.n // size
+    sel = np.arange(lo, hi)
+    unmapped = (bd_all.flag[sel] & FLAG_UNMAPPED) != 0
+    placed = bd_all.ref_id[sel] >= 0
+    fastq_singles, fastq_pairs = [], []
+    keep = np.ones(len(sel), dtype=bool)
+    if unmapped_reads or unmapped_pairs:
+        for j in np.flatnonzero(unmapped):
+            rec = to_fastq(bd_all, int(sel[j]))
+            if unmapped_pairs and not placed[j]:
+                fastq_pairs.append(rec)
+            else:
+                fastq_singles.append(rec)
+        keep = ~unmapped | (placed & keep_unmapped_paired)
+    sel = sel[keep]
+
+    mesh = mh.global_mesh()
+    D = mesh.devices.size
+    keys = sort_key(bd_all)[sel]
+    splitters = global_splitters(keys, D)
+    dest = np.searchsorted(splitters, keys, side="right")
+    blobs = [records_blob(bd_all, sel[dest == d]) for d in range(D)]
+    received = exchange_blobs(blobs, mesh)
+    parts = []
+    for per_dev in received:  # local devices in order = ascending bins
+        bd = parse_records_blob(b"".join(per_dev), bd_all)
+        order = coordinate_sort_order(bd)
+        parts.append(records_blob(bd, order))
+    body = bgzf_compress(b"".join(parts), eof=False)
+    if rank == 0:
+        body = bgzf_compress(header_bytes(bd_all), eof=False) + body
+    if rank == size - 1:
+        body += BGZF_EOF
+    mh.write_gathered(out_path, body)
+    if unmapped_reads:
+        mh.write_gathered(unmapped_reads,
+                          _gz.compress(b"".join(fastq_singles)))
+    if unmapped_pairs:
+        mh.write_gathered(unmapped_pairs,
+                          _gz.compress(b"".join(fastq_pairs)))
+    return 0
+
+
 def run(argv: List[str]) -> int:
     unmapped_reads = None
     unmapped_pairs = None
@@ -48,10 +112,24 @@ def run(argv: List[str]) -> int:
     out_flag = None
     in_flag: List[str] = []
     args = []
+    dist_coord, dist_nprocs, dist_procid = None, 1, 0
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == "--unmapped-reads":
+        if a == "--distributed":
+            dist_coord = argv[i + 1]
+            i += 2
+        elif a == "--nprocs":
+            dist_nprocs = int(argv[i + 1])
+            i += 2
+        elif a == "--procid":
+            dist_procid = int(argv[i + 1])
+            i += 2
+        elif a == "--jax-platform":
+            import jax
+            jax.config.update("jax_platforms", argv[i + 1])
+            i += 2
+        elif a == "--unmapped-reads":
             unmapped_reads = argv[i + 1]
             i += 2
         elif a == "--unmapped-read-pairs":
@@ -79,6 +157,12 @@ def run(argv: List[str]) -> int:
                   file=sys.stderr)
             return 1
         out_path, inputs = args[0], args[1:]
+
+    if dist_nprocs > 1:
+        from kmernator_tpu.parallel import multihost
+        multihost.initialize(dist_coord, dist_nprocs, dist_procid)
+        return run_distributed(out_path, inputs, unmapped_reads,
+                               unmapped_pairs, keep_unmapped_paired)
 
     bd = merge([load_alignments(p) for p in inputs])
     unmapped = (bd.flag & FLAG_UNMAPPED) != 0

@@ -90,48 +90,54 @@ def build_spectrum(rs: ReadSet, k: int, min_quality: int, output_base: int,
         k, keys, good, weights=w.astype(np.float32), is_fwd=is_fwd)
 
 
+def _slice_observations(rs: ReadSet, s: int, e: int, k: int,
+                        min_quality: int, output_base: int,
+                        min_kmer_quality: float, subtract_keys=None):
+    """_chunk_observations over the read range [s, e) without copying the
+    ReadSet — the bounded extraction unit of the out-of-core build."""
+    off = rs.offsets[s:e + 1]
+    seq = rs.seq[off[0]:off[-1]]
+    loff = off - off[0]
+    codes_raw = BASE_CODE[seq]
+    markup = codes_raw == 4
+    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
+    canon, is_fwd, read_id, _ = extract_kmers_flat(codes, loff, k)
+    keys = pack_keys(canon)
+    from kmernator_tpu.ops.weights import phred_probability
+    ph = rs.phred()[off[0]:off[-1]]
+    p = phred_probability(ph, min_quality, output_base)
+    lens = np.diff(off)
+    hq = np.repeat(rs.has_quals[s:e], lens)
+    p = np.where(hq, p, 1.0)
+    w = window_weights(p, loff, markup, k)
+    good = (good_kmer_mask(w, min_kmer_quality)
+            & ~rs.discarded[s:e][read_id])
+    if subtract_keys is not None and len(subtract_keys):
+        idx = np.clip(np.searchsorted(subtract_keys, keys), 0,
+                      len(subtract_keys) - 1)
+        good = good & (subtract_keys[idx] != keys)
+    return keys, good, w.astype(np.float32)
+
+
 def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
                             output_base: int, min_kmer_quality: float,
                             num_parts: int, subtract_keys=None,
-                            spill_prefix: str = "") -> KmerSpectrum:
-    """Hash-range partitioned build with per-part spills and a final merge
-    (ref: buildKmerSpectrumInParts): each pass counts only the kmers whose
-    hash lands in part i, spills the partial table, then merges."""
-    import tempfile
-    from kmernator_tpu.apps.estimate_size import owner_hash_np
-    codes_raw = BASE_CODE[rs.seq]
-    markup = codes_raw == 4
-    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
-    canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    keys = pack_keys(canon)
-    p = rs.base_probabilities(min_quality, output_base)
-    w = window_weights(p, rs.offsets, markup, k)
-    good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
-    if subtract_keys is not None and len(subtract_keys):
-        idx = np.searchsorted(subtract_keys, keys)
-        idx = np.clip(idx, 0, len(subtract_keys) - 1)
-        good = good & (subtract_keys[idx] != keys)
-    part = owner_hash_np(keys) % np.uint32(num_parts)
-    spills = []
-    tmpdir = tempfile.mkdtemp(prefix="kmtpu-parts-")
-    from kmernator_tpu.utils.cleanup import register_path, unregister_path
-    register_path(tmpdir)
-    merged = None
-    for pi in range(num_parts):
-        sel = good & (part == pi)
-        sp = KmerSpectrum.from_observations(k, keys, sel,
-                                            weights=w.astype(np.float32),
-                                            is_fwd=is_fwd)
-        path = os.path.join(tmpdir, "part%d.npz" % pi)
-        sp.save(path)
-        spills.append(path)
-    for path in spills:
-        sp = KmerSpectrum.load(path if os.path.exists(path) else path + ".npz")
-        merged = sp if merged is None else merged.merge(sp)
-        os.unlink(path if os.path.exists(path) else path + ".npz")
-    os.rmdir(tmpdir)
-    unregister_path(tmpdir)
-    return merged
+                            spill_prefix: str = "",
+                            reads_per_slice: int = 65536) -> KmerSpectrum:
+    """Out-of-core hash-partitioned build (ref: buildKmerSpectrumInParts,
+    src/KmerSpectrum.h:1818-1902): reads are extracted in bounded slices
+    and every observation is spilled to its hash part's disk bucket; parts
+    are then counted independently — kmer-table peak memory is
+    O(slice + windows/parts), never O(all windows)."""
+    from kmernator_tpu.parallel.spill import SpillCounter
+    sc = SpillCounter(k, num_parts)
+    for s in range(0, rs.n, reads_per_slice):
+        e = min(s + reads_per_slice, rs.n)
+        keys, good, w = _slice_observations(rs, s, e, k, min_quality,
+                                            output_base, min_kmer_quality,
+                                            subtract_keys)
+        sc.add(keys, good, w)
+    return sc.finalize(min_depth=1)
 
 
 def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
@@ -545,27 +551,37 @@ def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
     return {path: b"".join(recs) for path, recs in outputs.items()}
 
 
-def _chunk_table(rs: ReadSet, k: int, min_quality: int, output_base: int,
-                 min_kmer_quality: float, subtract_keys=None):
-    """Per-chunk unique (key words [N, W] u32, counts) from the bit-exact
-    host observation pipeline (the chunk contribution to the streaming
-    merge)."""
-    from kmernator_tpu.ops.kmer import nwords
-    from kmernator_tpu.parallel.spectrum import unpack_keys
-    sp = build_spectrum(rs, k, min_quality, output_base, min_kmer_quality,
-                        subtract_keys=subtract_keys)
-    return (unpack_keys(sp.keys, nwords(k)), sp.counts.astype(np.int32),
-            sp.raw_kmers, sp.raw_good_kmers)
+def _chunk_observations(rs: ReadSet, k: int, min_quality: int,
+                        output_base: int, min_kmer_quality: float,
+                        subtract_keys=None):
+    """(scalar keys, good mask, f32 weights) of every window of the chunk —
+    the bit-exact host observation pipeline feeding the spill counter."""
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
+    canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+    from kmernator_tpu.parallel.spectrum import pack_keys
+    keys = pack_keys(canon)
+    p = rs.base_probabilities(min_quality, output_base)
+    w = window_weights(p, rs.offsets, markup, k)
+    good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
+    if subtract_keys is not None and len(subtract_keys):
+        idx = np.clip(np.searchsorted(subtract_keys, keys), 0,
+                      len(subtract_keys) - 1)
+        good = good & (subtract_keys[idx] != keys)
+    return keys, good, w.astype(np.float32)
 
 
 def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                   capacity: int) -> int:
     """Memory-bounded host FilterReads: two passes over the input in
-    bounded chunks — pass 1 streams chunk tables into a running device
-    merge (ref: the reference's streaming spectrum build that never holds
-    the dataset, src/ReadSet.h:656 + src/KmerSpectrum.h:1932), pass 2
-    re-streams reads, scores them against the finalized table, and appends
-    output per chunk.  Peak RSS is O(chunk + table), not O(input).
+    bounded chunks — pass 1 spills observations into hash-partitioned
+    disk buckets and merges them part by part (EXACT counts; the
+    reference's out-of-core buildKmerSpectrumInParts,
+    ref: src/KmerSpectrum.h:1818-1902), pass 2 re-streams reads, scores
+    them against the finalized table, and appends output per chunk.
+    Peak RSS is O(chunk + windows/parts + table), not O(input).
+    `capacity` > 0 overrides the spill part count (--streaming-parts).
 
     Unsupported here (use the in-memory path): normalization
     (--max-kmer-output-depth), dedup, save/load-kmer-mmap."""
@@ -602,40 +618,46 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
 
     spectrum = None
     if k > 0:
+        from kmernator_tpu.parallel.spill import SpillCounter, auto_parts
+        from kmernator_tpu.utils.memory import get_memory_usage
         subtract_keys = build_subtract_keys(
             fopts.reference_file, fopts.subtract_file, k,
             opts.min_quality_score, opts.fastq_output_base_quality,
             sopts.min_kmer_quality, sopts.min_depth)
-        if capacity <= 0:
-            est = estimate_raw_kmers(opts.input_file, k)
-            capacity = max(est // 3, 1 << 20)
-        ss = StreamingSpectrum(k, capacity)
-        raw = raw_good = 0
+        est = estimate_raw_kmers(opts.input_file, k)
+        num_parts = capacity if capacity > 0 else auto_parts(est)
+        # weights only matter for the weighted histogram / variant purge
+        track_w = bool(fopts.histogram_file) or sopts.variant_sigmas > 0.0
+        sc = SpillCounter(k, num_parts, track_weights=track_w)
         n_reads = 0
         for rs in chunks():
-            kw, kc, r, g = _chunk_table(rs, k, opts.min_quality_score,
-                                        opts.fastq_output_base_quality,
-                                        sopts.min_kmer_quality, subtract_keys)
-            ss.add_table(kw, kc)
-            raw += r
-            raw_good += g
+            keys, good, w = _chunk_observations(
+                rs, k, opts.min_quality_score,
+                opts.fastq_output_base_quality, sopts.min_kmer_quality,
+                subtract_keys)
+            sc.add(keys, good, w)
             n_reads += rs.n
-        if ss.purged_singletons:
-            Log.warn("streaming table purged %d singletons under memory "
-                     "pressure — raise --streaming-capacity for exact "
-                     "counts" % ss.purged_singletons)
-        keys, counts = ss.finalize(min_depth=max(sopts.min_depth, 2))
-        ss.keys = ss.counts = None   # release the device table
-        del ss
-        spectrum = KmerSpectrum(k=k)
-        spectrum.keys = pack_keys(keys) if len(keys) else np.zeros(0, np.uint64)
-        spectrum.counts = counts
-        spectrum.raw_kmers, spectrum.raw_good_kmers = raw, raw_good
-        Log.verbose(1, "streamed %d reads; spectrum: %d unique kmers"
-                    % (n_reads, spectrum.n_unique))
+            Log.debug(1, "chunk %d reads; %s" % (rs.n, get_memory_usage()))
+        spectrum = sc.finalize(min_depth=1)
+        Log.verbose(1, "streamed %d reads through %d spill parts; "
+                    "spectrum: %d unique kmers"
+                    % (n_reads, num_parts, spectrum.n_unique))
         if fopts.histogram_file:
             with open(fopts.histogram_file, "w") as f:
                 f.write(spectrum.histogram_table())
+        if fopts.size_history_file:
+            with open(fopts.size_history_file, "w") as f:
+                f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
+                f.write("%d\t%d\t%d\t%d\n" % (
+                    spectrum.raw_kmers, spectrum.raw_good_kmers,
+                    spectrum.n_unique, spectrum.singleton_count()))
+        spectrum.purge_min_depth(max(sopts.min_depth, 2))
+        if sopts.variant_sigmas > 0.0:
+            purged = spectrum.purge_variants(
+                sopts.variant_sigmas, sopts.variant_hamming_distance,
+                sopts.min_variant_kmer_depth,
+                min_depth=max(sopts.min_depth, 2))
+            Log.verbose(1, "Removed %d kmer-variants" % purged)
 
     if not opts.output_file:
         return 0
@@ -693,8 +715,8 @@ def run(argv: List[str]) -> int:
         i = argv.index("--streaming-chunk-mb")
         streaming_chunk_mb = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    if "--streaming-capacity" in argv:
-        i = argv.index("--streaming-capacity")
+    if "--streaming-parts" in argv:
+        i = argv.index("--streaming-parts")
         streaming_capacity = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     # multi-process mode (the FilterReads-P mpirun analogue): every process

@@ -28,8 +28,12 @@ def bgzf_decompress(data: bytes) -> bytes:
     return gzip.decompress(data)
 
 
-def bgzf_compress(data: bytes, level: int = 6) -> bytes:
-    """Compress into BGZF blocks (<=64KB payload each) + EOF marker."""
+def bgzf_compress(data: bytes, level: int = 6, eof: bool = True) -> bytes:
+    """Compress into BGZF blocks (<=64KB payload each) + EOF marker.
+    eof=False omits the terminator so per-rank compressed sections can be
+    concatenated (BGZF members concatenate into a valid stream — how the
+    distributed sort assembles one BAM from rank blocks,
+    ref: SamUtils::writePartialSortedBamVector, src/SamUtils.h:985)."""
     out = []
     MAXP = 0xFF00
     for i in range(0, len(data), MAXP):
@@ -41,10 +45,13 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes:
                              6) + b"BC" + struct.pack("<HH", 2, bsize - 1)
         out.append(header + comp +
                    struct.pack("<II", zlib.crc32(chunk), len(chunk)))
-    # EOF block
-    out.append(bytes.fromhex(
-        "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+    if eof:
+        out.append(BGZF_EOF)
     return b"".join(out)
+
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
 # ----------------------------- BAM model -----------------------------
@@ -141,6 +148,60 @@ def write_bam(bd: BamData, order: Optional[np.ndarray] = None) -> bytes:
         out.append(struct.pack("<i", len(body)))
         out.append(body)
     return bgzf_compress(b"".join(out))
+
+
+def header_bytes(bd: BamData) -> bytes:
+    """The uncompressed BAM header section (magic + text + refs)."""
+    out = [BAM_MAGIC]
+    text = bd.header_text
+    if text and not text.endswith(b"\n"):
+        text += b"\n"
+    out.append(struct.pack("<i", len(text)))
+    out.append(text)
+    out.append(struct.pack("<i", len(bd.ref_names)))
+    for nm, ln in zip(bd.ref_names, bd.ref_lens):
+        out.append(struct.pack("<i", len(nm) + 1))
+        out.append(nm + b"\x00")
+        out.append(struct.pack("<i", ln))
+    return b"".join(out)
+
+
+def records_blob(bd: BamData, order) -> bytes:
+    """Size-prefixed raw record bodies (the BAM record wire format, no
+    header) — the serialization unit of the record exchange
+    (ref: MPIReadExchanger packs idInfo+records the same way,
+    src/SamUtils.h:1266-1421)."""
+    out = []
+    for i in order:
+        body = bd.records[int(i)]
+        out.append(struct.pack("<i", len(body)))
+        out.append(body)
+    return b"".join(out)
+
+
+def parse_records_blob(blob: bytes, template: BamData) -> BamData:
+    """Inverse of records_blob; header/refs copied from template."""
+    bd = BamData(header_text=template.header_text,
+                 ref_names=list(template.ref_names),
+                 ref_lens=list(template.ref_lens))
+    off = 0
+    refs, poss, flags = [], [], []
+    N = len(blob)
+    while off + 4 <= N:
+        block_size = struct.unpack_from("<i", blob, off)[0]
+        off += 4
+        body = blob[off:off + block_size]
+        off += block_size
+        ref_id, pos = struct.unpack_from("<ii", body, 0)
+        flag = struct.unpack_from("<H", body, 14)[0]
+        bd.records.append(body)
+        refs.append(ref_id)
+        poss.append(pos)
+        flags.append(flag)
+    bd.ref_id = np.array(refs, np.int32)
+    bd.pos = np.array(poss, np.int32)
+    bd.flag = np.array(flags, np.int32)
+    return bd
 
 
 # ----------------------------- SAM -----------------------------

@@ -149,3 +149,47 @@ def test_two_process_primitives(tmp_path):
     codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
     canon, _, _, _ = extract_kmers_flat(codes, rs.offsets, 31)
     assert total == len(canon)
+
+
+def test_two_process_bam_sort(tmp_path):
+    """Distributed BamSort (record exchange over the device mesh) must
+    produce the same sorted record stream as the single-process sort on
+    10k.bam, plus matching unmapped extractions."""
+    single = str(tmp_path / "single.bam")
+    dist = str(tmp_path / "dist.bam")
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.bam_sort",
+         "--unmapped-reads", str(tmp_path / "s-un.fastq.gz"),
+         "--unmapped-read-pairs", str(tmp_path / "s-pairs.fastq.gz"),
+         single, REF + "/10k.bam"],
+        check=True, env=env, capture_output=True)
+
+    def argv(pid, port):
+        return [sys.executable, "-m", "kmernator_tpu.apps.bam_sort",
+                "--jax-platform", "cpu",
+                "--distributed", "127.0.0.1:%d" % port,
+                "--nprocs", "2", "--procid", str(pid),
+                "--unmapped-reads", str(tmp_path / "d-un.fastq.gz"),
+                "--unmapped-read-pairs", str(tmp_path / "d-pairs.fastq.gz"),
+                dist, REF + "/10k.bam"]
+
+    _spawn(2, argv, devs_per_proc=2)
+
+    from kmernator_tpu.io.bam import load_alignments
+    from kmernator_tpu.parallel.bam_exchange import sort_key
+    a = load_alignments(single)
+    b = load_alignments(dist)
+    assert a.header_text == b.header_text and a.ref_names == b.ref_names
+    assert a.n == b.n
+    # same record multiset, both in nondecreasing coordinate order
+    assert sorted(a.records) == sorted(b.records)
+    kb = sort_key(b)
+    assert (np.diff(kb) >= 0).all()
+    import gzip
+    for nm in ("un", "pairs"):
+        sa = sorted(l for l in gzip.open(
+            str(tmp_path / ("s-%s.fastq.gz" % nm))).read().split(b"\n") if l)
+        sb = sorted(l for l in gzip.open(
+            str(tmp_path / ("d-%s.fastq.gz" % nm))).read().split(b"\n") if l)
+        assert sa == sb
