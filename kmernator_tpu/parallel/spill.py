@@ -21,21 +21,25 @@ from kmernator_tpu.ops.kmer import nwords
 from kmernator_tpu.utils.cleanup import register_path, unregister_path
 
 
-def _part_of(keys: np.ndarray, num_parts: int) -> np.ndarray:
-    """Hash-range part id per key (matches the mesh owner hash family so
-    part loads stay balanced)."""
-    if keys.dtype == np.uint64:
-        h = keys
-        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        h = (h ^ (h >> np.uint64(33))) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        return (h % np.uint64(num_parts)).astype(np.int64)
-    # wide keys: fold the big-endian words
-    w = np.ascontiguousarray(keys).view(">u4").reshape(len(keys), -1)
-    acc = np.zeros(len(keys), np.uint64)
-    for c in range(w.shape[1]):
-        acc = (acc * np.uint64(0x100000001B3)
-               ^ w[:, c].astype(np.uint64)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    return (acc % np.uint64(num_parts)).astype(np.int64)
+def key_range_splitters(sample: np.ndarray, num_parts: int) -> np.ndarray:
+    """[num_parts-1] key-space splitters from a sorted-or-not key sample.
+
+    Range partition (not hash): because canonical key order is preserved
+    across parts, the per-part sorted outputs concatenate into the final
+    globally-sorted table with NO final merge sort — the same reason the
+    reference's buildKmerSpectrumInParts partitions by the hash's HIGH bits
+    (ref: src/KmerSpectrum.h:1840-1861, partitionIdx from msb) so part maps
+    append in order."""
+    s = np.sort(sample)
+    if len(s) == 0:
+        return s[:0].copy()
+    qi = (np.arange(1, num_parts) * len(s)) // num_parts
+    return s[qi]
+
+
+def _part_of(keys: np.ndarray, splitters: np.ndarray) -> np.ndarray:
+    """Range part id per key (equal keys always share a part)."""
+    return np.searchsorted(splitters, keys, side="right")
 
 
 class SpillCounter:
@@ -54,6 +58,7 @@ class SpillCounter:
         self.raw_kmers = 0
         self.raw_good_kmers = 0
         self.key_dtype = None
+        self.splitters: Optional[np.ndarray] = None
 
     def add(self, keys: np.ndarray, good: np.ndarray,
             weights: Optional[np.ndarray] = None):
@@ -65,7 +70,12 @@ class SpillCounter:
         if not len(gk):
             return
         self.key_dtype = gk.dtype
-        part = _part_of(gk, self.num_parts)
+        if self.splitters is None:
+            # first batch's keys approximate the global key distribution;
+            # skew only shifts per-part memory, never correctness
+            step = max(1, len(gk) // 65536)
+            self.splitters = key_range_splitters(gk[::step], self.num_parts)
+        part = _part_of(gk, self.splitters)
         order = np.argsort(part, kind="stable")
         sp = part[order]
         sk = gk[order]
@@ -111,26 +121,28 @@ class SpillCounter:
                 continue
             order = np.argsort(k_arr, kind="stable")
             sk = k_arr[order]
+            if w is not None:
+                w = w[order]
+            del k_arr, order
             boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
-            seg = np.cumsum(boundary) - 1
+            seg = (np.cumsum(boundary, dtype=np.int64) - 1)
             M = int(seg[-1]) + 1
             cnt = np.bincount(seg, minlength=M)
             keep = cnt >= min_depth
             keys_out.append(sk[boundary][keep])
             counts_out.append(cnt[keep].astype(np.int32))
             if w is not None:
-                ws = np.bincount(seg, weights=w[order].astype(np.float64),
+                ws = np.bincount(seg, weights=w.astype(np.float64),
                                  minlength=M)
                 weights_out.append(ws[keep])
         sp = KmerSpectrum(k=self.k)
         if keys_out:
-            keys = np.concatenate(keys_out)
-            counts = np.concatenate(counts_out)  # int32: counts fit easily
-            order = np.argsort(keys, kind="stable")
-            sp.keys = keys[order]
-            sp.counts = counts[order]
+            # range partition => parts in splitter order concatenate into
+            # the globally key-sorted table; no final merge sort needed
+            sp.keys = np.concatenate(keys_out)
+            sp.counts = np.concatenate(counts_out)  # int32: counts fit
             if weights_out:
-                sp.weighted = np.concatenate(weights_out)[order]
+                sp.weighted = np.concatenate(weights_out)
         sp.raw_kmers = self.raw_kmers
         sp.raw_good_kmers = self.raw_good_kmers
         try:
@@ -149,7 +161,7 @@ class SpillCounter:
         return key_item + (4 if self.track_weights else 0)
 
 
-def auto_parts(est_windows: int, budget_bytes: int = 96 << 20,
+def auto_parts(est_windows: int, budget_bytes: int = 48 << 20,
                rec_bytes: int = 12) -> int:
     """Part count so one bucket's observations fit the merge budget."""
     return max(4, int(np.ceil(est_windows * rec_bytes / budget_bytes)))
