@@ -572,16 +572,117 @@ def _chunk_observations(rs: ReadSet, k: int, min_quality: int,
     return keys, good, w.astype(np.float32)
 
 
+def _chunk_padded(rs: ReadSet, k: int, L: int, min_quality: int,
+                  output_base: int, min_kmer_quality: float,
+                  subtract_keys=None, track_weights: bool = False):
+    """One streamed chunk -> padded device-batch tensors: codes [B, L] u8,
+    good2d [B, NW] bool (exact host goodness recurrence), lengths [B] i32,
+    weights2d [B, NW] f32 or None.  Also returns (raw, good) window
+    totals for the size-history stats."""
+    from kmernator_tpu.parallel.device_spectrum import (pack_readset,
+                                                        ragged_to_padded)
+    NW = L - k + 1
+    codes, _, lengths = pack_readset(rs, L, min_quality, output_base)
+    codes_raw = BASE_CODE[rs.seq]
+    markup = codes_raw == 4
+    p = rs.base_probabilities(min_quality, output_base)
+    w = window_weights(p, rs.offsets, markup, k)
+    good = good_kmer_mask(w, min_kmer_quality)
+    if subtract_keys is not None and len(subtract_keys):
+        cds = np.where(markup, 0, codes_raw).astype(np.uint8)
+        canon, _, _, _ = extract_kmers_flat(cds, rs.offsets, k)
+        keys = pack_keys(canon)
+        idx = np.clip(np.searchsorted(subtract_keys, keys), 0,
+                      len(subtract_keys) - 1)
+        good = good & (subtract_keys[idx] != keys)
+    nw = np.maximum(rs.lengths() - k + 1, 0)
+    good2d = ragged_to_padded(good, nw, NW, fill=False)
+    good2d &= ~rs.discarded[:, None]
+    weights2d = None
+    if track_weights:
+        weights2d = ragged_to_padded(w.astype(np.float32), nw, NW, fill=0.0)
+    return codes, good2d, lengths, weights2d, int(nw.sum()), int(
+        (good & ~rs.discarded[np.repeat(np.arange(rs.n), nw)]).sum())
+
+
+def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
+                          min_kmer_quality, mesh_devices, batch_reads,
+                          capacity, subtract_keys, track_w) -> KmerSpectrum:
+    """Pass-1 counting engine of the streaming×mesh product: every chunk's
+    windows route through the sharded device mesh into persistent per-shard
+    tables (the reference's streaming MPI build,
+    ref: src/DistributedFunctions.h:333-458), so BOTH host and device
+    memory stay bounded — the host never sees more than one chunk, the
+    devices never more than their shard table plus one staged batch."""
+    from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    from kmernator_tpu.parallel.mesh import make_mesh
+    from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+    from kmernator_tpu.utils.memory import get_memory_usage
+
+    D = mesh_devices
+    mesh = make_mesh(D)
+    if capacity <= 0:
+        est = estimate_raw_kmers(input_files, k)
+        capacity = max(int(np.ceil(est / D)), 4096)
+    sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
+    raw = good_total = n_reads = 0
+    L = 0
+    for rs in chunks:
+        need = max(rs.max_length(), k)
+        if need > L:
+            L = -(-need // 32) * 32  # bucketed pad length: few recompiles
+        codes, good2d, lengths, weights2d, r, g = _chunk_padded(
+            rs, k, L, min_quality, output_base, min_kmer_quality,
+            subtract_keys, track_w)
+        raw += r
+        good_total += g
+        B = codes.shape[0]
+        for s in range(0, B, batch_reads):
+            e = min(s + batch_reads, B)
+            bc, bg, bl = codes[s:e], good2d[s:e], lengths[s:e]
+            bw = weights2d[s:e] if weights2d is not None else None
+            if e - s < batch_reads:
+                padn = batch_reads - (e - s)
+                bc = np.concatenate([bc, np.zeros((padn, L), bc.dtype)])
+                bg = np.concatenate(
+                    [bg, np.zeros((padn, bg.shape[1]), bg.dtype)])
+                bl = np.concatenate([bl, np.zeros(padn, bl.dtype)])
+                if bw is not None:
+                    bw = np.concatenate(
+                        [bw, np.zeros((padn, bw.shape[1]), np.float32)])
+            sp.add_batch(bc, bg, bl, weights2d=bw)
+        n_reads += rs.n
+        Log.debug(1, "mesh chunk %d reads; %s" % (rs.n, get_memory_usage()))
+    if sp.purged_singletons:
+        Log.warn("mesh streaming purged %d singletons under capacity "
+                 "pressure (counts may undercount by 1); raise "
+                 "--streaming-parts capacity" % sp.purged_singletons)
+    spectrum = sp.to_host_spectrum(min_depth=1)
+    spectrum.raw_kmers = raw
+    spectrum.raw_good_kmers = good_total
+    Log.verbose(1, "mesh-streamed %d reads over %d devices; spectrum: %d "
+                "unique kmers" % (n_reads, D, spectrum.n_unique))
+    return spectrum
+
+
 def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
-                  capacity: int) -> int:
-    """Memory-bounded host FilterReads: two passes over the input in
-    bounded chunks — pass 1 spills observations into hash-partitioned
-    disk buckets and merges them part by part (EXACT counts; the
-    reference's out-of-core buildKmerSpectrumInParts,
-    ref: src/KmerSpectrum.h:1818-1902), pass 2 re-streams reads, scores
-    them against the finalized table, and appends output per chunk.
-    Peak RSS is O(chunk + windows/parts + table), not O(input).
-    `capacity` > 0 overrides the spill part count (--streaming-parts).
+                  capacity: int, mesh_devices: int = 0,
+                  mesh_batch: int = 2048) -> int:
+    """Memory-bounded FilterReads: two passes over the input in bounded
+    chunks.  Pass 1 counts with one of two engines:
+      - host (default): observations spill into hash-partitioned disk
+        buckets, counted part by part (EXACT counts; the reference's
+        out-of-core buildKmerSpectrumInParts,
+        ref: src/KmerSpectrum.h:1818-1902);
+      - device mesh (`--mesh N` with `--streaming`): chunks route through
+        the sharded device spectrum (the reference's streaming MPI build,
+        ref: src/DistributedFunctions.h:333-458).
+    Pass 2 re-streams reads, scores them against the finalized table, and
+    appends output per chunk.  Peak RSS is O(chunk + table), not O(input).
+    `capacity` > 0 overrides the spill part count / mesh shard capacity
+    (--streaming-parts).
 
     Unsupported here (use the in-memory path): normalization
     (--max-kmer-output-depth), dedup, save/load-kmer-mmap."""
@@ -618,30 +719,36 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
 
     spectrum = None
     if k > 0:
-        from kmernator_tpu.parallel.spill import SpillCounter, auto_parts
-        from kmernator_tpu.utils.memory import get_memory_usage
+        # weights only matter for the weighted histogram / variant purge
+        track_w = bool(fopts.histogram_file) or sopts.variant_sigmas > 0.0
         subtract_keys = build_subtract_keys(
             fopts.reference_file, fopts.subtract_file, k,
             opts.min_quality_score, opts.fastq_output_base_quality,
             sopts.min_kmer_quality, sopts.min_depth)
-        est = estimate_raw_kmers(opts.input_file, k)
-        num_parts = capacity if capacity > 0 else auto_parts(est)
-        # weights only matter for the weighted histogram / variant purge
-        track_w = bool(fopts.histogram_file) or sopts.variant_sigmas > 0.0
-        sc = SpillCounter(k, num_parts, track_weights=track_w)
-        n_reads = 0
-        for rs in chunks():
-            keys, good, w = _chunk_observations(
-                rs, k, opts.min_quality_score,
+        if mesh_devices:
+            spectrum = _streaming_mesh_count(
+                chunks(), opts.input_file, k, opts.min_quality_score,
                 opts.fastq_output_base_quality, sopts.min_kmer_quality,
-                subtract_keys)
-            sc.add(keys, good, w)
-            n_reads += rs.n
-            Log.debug(1, "chunk %d reads; %s" % (rs.n, get_memory_usage()))
-        spectrum = sc.finalize(min_depth=1)
-        Log.verbose(1, "streamed %d reads through %d spill parts; "
-                    "spectrum: %d unique kmers"
-                    % (n_reads, num_parts, spectrum.n_unique))
+                mesh_devices, mesh_batch, capacity, subtract_keys, track_w)
+        else:
+            from kmernator_tpu.parallel.spill import SpillCounter, auto_parts
+            from kmernator_tpu.utils.memory import get_memory_usage
+            est = estimate_raw_kmers(opts.input_file, k)
+            num_parts = capacity if capacity > 0 else auto_parts(est)
+            sc = SpillCounter(k, num_parts, track_weights=track_w)
+            n_reads = 0
+            for rs in chunks():
+                keys, good, w = _chunk_observations(
+                    rs, k, opts.min_quality_score,
+                    opts.fastq_output_base_quality, sopts.min_kmer_quality,
+                    subtract_keys)
+                sc.add(keys, good, w)
+                n_reads += rs.n
+                Log.debug(1, "chunk %d reads; %s" % (rs.n, get_memory_usage()))
+            spectrum = sc.finalize(min_depth=1)
+            Log.verbose(1, "streamed %d reads through %d spill parts; "
+                        "spectrum: %d unique kmers"
+                        % (n_reads, num_parts, spectrum.n_unique))
         if fopts.histogram_file:
             with open(fopts.histogram_file, "w") as f:
                 f.write(spectrum.histogram_table())
@@ -752,8 +859,13 @@ def run(argv: List[str]) -> int:
         return 1
 
     if streaming:
+        if dist_nprocs > 1:
+            Log.error("--streaming does not compose with --distributed yet;"
+                      " use --mesh N for sharded streaming in one process")
+            return 1
         return run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
-                             streaming_chunk_mb, streaming_capacity)
+                             streaming_chunk_mb, streaming_capacity,
+                             mesh_devices=mesh_devices, mesh_batch=mesh_batch)
 
     multi = dist_nprocs > 1
     if multi:

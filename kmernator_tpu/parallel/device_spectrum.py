@@ -380,15 +380,18 @@ def lookup_join(table_keys: jax.Array, table_counts: jax.Array,
     for w in range(W):
         neq = neq | (skeys[1:, w] != skeys[:-1, w])
     boundary = jnp.concatenate([jnp.ones(1, jnp.bool_), neq])
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-    # per key-run the (unique) table row carries the count; queries carry 0
-    table_val = jnp.where(s_isq == 0, s_payload, 0)
-    seg_val = jax.ops.segment_max(table_val, seg, num_segments=N)
-    filled = seg_val[seg]
-    out = jnp.zeros(Q, dtype=jnp.int32)
-    out = out.at[jnp.where(s_isq == 1, s_qidx, 0)].add(
-        jnp.where(s_isq == 1, filled, 0))
-    return out
+    # Broadcast each key-run's first value forward with monotone scans
+    # (no scatter/gather — the repo's standard idiom; table keys are unique
+    # so the run's first row is its table row iff one exists, else a query
+    # carrying 0).  first_of_run[i] = A[i] - (A just before the run began).
+    P = jnp.where(s_isq == 0, s_payload, 0)
+    A = jnp.cumsum(P)
+    base = jax.lax.cummax(
+        jnp.where(boundary, A - P, jnp.iinfo(jnp.int32).min))
+    filled = A - base
+    # per-query counts in original order: queries lead, ordered by qidx
+    s4 = jax.lax.sort([1 - s_isq, s_qidx, filled], num_keys=2)
+    return s4[2][:Q]
 
 
 def ragged_to_padded(flat: np.ndarray, nw: np.ndarray, width: int,

@@ -75,3 +75,43 @@ def test_streaming_rejects_normalization(tmp_path):
     r = subprocess.run(cmd, env=ENV, capture_output=True)
     assert r.returncode == 1
     assert b"does not support" in r.stderr
+
+
+def test_streaming_mesh_spectrum_exact():
+    """Chunked --streaming --mesh counting == one-shot host spectrum."""
+    from kmernator_tpu.io.reads import load_reads
+    from kmernator_tpu.io.chunked import stream_readsets
+    from kmernator_tpu.apps.filter_reads import (build_spectrum,
+                                                 _streaming_mesh_count)
+
+    rs = load_reads([REF + "/1000.fastq"], 33, 64, True)
+    hsp = build_spectrum(rs, 31, 3, 64, 0.10)
+    chunks = stream_readsets([REF + "/1000.fastq"], 20 * 1024, 64)
+    msp = _streaming_mesh_count(chunks, [REF + "/1000.fastq"], 31, 3, 64,
+                                0.10, mesh_devices=3, batch_reads=64,
+                                capacity=0, subtract_keys=None, track_w=True)
+    assert np.array_equal(hsp.keys, msp.keys)
+    assert np.array_equal(hsp.counts, msp.counts)
+    # device weight accumulation is f32 (vs f64 on host): ~1e-4 relative
+    assert np.allclose(hsp.weighted, msp.weighted, rtol=2e-3)
+    assert msp.raw_kmers == hsp.raw_kmers
+    assert msp.raw_good_kmers == hsp.raw_good_kmers
+
+
+@pytest.mark.parametrize("mesh_n", [1, 4])
+def test_streaming_mesh_cli_golden(tmp_path, mesh_n):
+    """--streaming --mesh N multi-chunk output is byte-identical to the
+    golden at any device count (decomposition invariance)."""
+    out = str(tmp_path / "out")
+    cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+           "--jax-platform", "cpu", "--streaming",
+           "--mesh", str(mesh_n), "--mesh-batch", "96",
+           "--streaming-chunk-mb", "0.02",
+           "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+           "--artifact-edit-distance", "1",
+           "--fastq-output-base-quality", "64", "--min-read-length", "25",
+           "--out", out, "31", REF + "/1000.fastq"]
+    subprocess.run(cmd, check=True, env=ENV, capture_output=True)
+    mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
+    want = open(REF + "/1000-Filtered.fastq", "rb").read()
+    assert mine == want
