@@ -853,6 +853,7 @@ def run(argv: List[str]) -> int:
     if getattr(opts, "log_file", ""):
         Log.set_log_file(opts.log_file)
     Log.debug_level = opts.debug
+    Log.gathered = opts.gathered_logs > 0
 
     if not opts.input_file:
         Log.error("Please specify at least one input file")
@@ -863,9 +864,11 @@ def run(argv: List[str]) -> int:
             Log.error("--streaming does not compose with --distributed yet;"
                       " use --mesh N for sharded streaming in one process")
             return 1
-        return run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
-                             streaming_chunk_mb, streaming_capacity,
-                             mesh_devices=mesh_devices, mesh_batch=mesh_batch)
+        rc = run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
+                           streaming_chunk_mb, streaming_capacity,
+                           mesh_devices=mesh_devices, mesh_batch=mesh_batch)
+        Log.flush_gathered()
+        return rc
 
     multi = dist_nprocs > 1
     if multi:
@@ -1034,6 +1037,8 @@ def run(argv: List[str]) -> int:
                 with open(path, "wb") as f:
                     f.write(data)
                 Log.verbose(1, "wrote %s (%d bytes)" % (path, len(data)))
+    # collective when --gathered-logs: all ranks reach this point
+    Log.flush_gathered()
     return 0
 
 

@@ -68,11 +68,11 @@ def pack_readset(rs, L: int, min_quality: int, output_base: int):
     lp_flat = np.where(markup, np.float32(-1e30), lp_flat)
     dis = np.repeat(rs.discarded, rs.lengths())
     lp_flat = np.where(dis, np.float32(-1e30), lp_flat)
-    for i in range(B):
-        s, e = rs.offsets[i], rs.offsets[i + 1]
-        n = int(e - s)
-        codes[i, :n] = c_flat[s:e]
-        logp[i, :n] = lp_flat[s:e]
+    lens = np.diff(rs.offsets)
+    rows = np.repeat(np.arange(B), lens)
+    cols = np.arange(int(rs.offsets[-1])) - np.repeat(rs.offsets[:-1], lens)
+    codes[rows, cols] = c_flat
+    logp[rows, cols] = lp_flat
     return codes, logp, lengths
 
 

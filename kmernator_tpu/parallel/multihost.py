@@ -126,6 +126,27 @@ def allgather_strings(items: List[str], max_bytes: int = 1 << 16) -> List[str]:
     return sorted(out)
 
 
+def allgather_blobs(local: bytes, max_bytes: int = 1 << 20) -> List[bytes]:
+    """Every process's byte blob, rank-ordered, delivered to all processes
+    (a fixed-size allgather; oversized blobs keep their tail)."""
+    import jax
+    if jax.process_count() == 1:
+        return [local]
+    from jax.experimental import multihost_utils
+    if len(local) > max_bytes - 8:
+        local = local[-(max_bytes - 8):]
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[:8] = np.frombuffer(np.int64(len(local)).tobytes(), np.uint8)
+    buf[8:8 + len(local)] = np.frombuffer(local, np.uint8)
+    g = np.asarray(multihost_utils.process_allgather(buf)).reshape(
+        jax.process_count(), max_bytes)
+    out = []
+    for row in g:
+        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.append(row[8:8 + n].tobytes())
+    return out
+
+
 def write_gathered(path: str, local_data: bytes):
     """Rank-ordered concatenated output: each process writes a rank temp
     file; process 0 concatenates in rank order (ref: DistributedOfstreamMap

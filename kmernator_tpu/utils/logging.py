@@ -17,6 +17,8 @@ class Log:
     verbose_level = 0
     debug_level = 0
     _file = None
+    gathered = False
+    _buffer: list = []
 
     @classmethod
     def set_log_file(cls, path: str):
@@ -24,11 +26,35 @@ class Log:
         cls._file = open(path, "a") if path else None
 
     @classmethod
-    def _emit(cls, line: str):
+    def _emit(cls, line: str, force: bool = False):
+        if cls.gathered and not force:
+            cls._buffer.append(line)
+            return
         print(line, file=sys.stderr, flush=True)
         if cls._file is not None:
             cls._file.write(line + "\n")
             cls._file.flush()
+
+    @classmethod
+    def flush_gathered(cls):
+        """--gathered-logs: collect every process's buffered log lines and
+        emit them rank-ordered from process 0 only (ref: src/Log.h:79
+        gathered output to master, enabled by Options.h:382).  Collective —
+        every process must call it at the same point."""
+        if not cls.gathered:
+            return
+        blob = "\n".join(cls._buffer).encode()
+        cls._buffer = []
+        import jax
+        if jax.process_count() > 1:
+            from kmernator_tpu.parallel.multihost import allgather_blobs
+            blobs = allgather_blobs(blob)
+            if jax.process_index() != 0:
+                return
+            blob = b"\n".join(b for b in blobs if b)
+        for line in blob.decode().split("\n"):
+            if line:
+                cls._emit(line, force=True)
 
     @staticmethod
     def _stamp() -> str:
@@ -59,4 +85,6 @@ class Log:
 
     @classmethod
     def error(cls, msg: str):
-        cls._emit("%s ERROR: %s" % (cls._stamp(), msg))
+        # errors always print immediately on their own rank, even when
+        # logs are gathered (ref: LOG_ERROR is never deferred)
+        cls._emit("%s ERROR: %s" % (cls._stamp(), msg), force=True)

@@ -47,8 +47,8 @@ class GeneralOptions:
     batch_size: int = 100000
     temp_dir: str = "/tmp"
     log_file: str = ""
-    gathered_logs: int = 0          # accepted for CLI parity (logs are
-    build_output_in_memory: int = 0  # already process-local / buffered)
+    gathered_logs: int = 0          # buffer logs, emit rank-ordered on rank 0
+    build_output_in_memory: int = 0
     keep_temp_dir: str = ""
 
     FLAGS = {

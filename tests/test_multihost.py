@@ -193,3 +193,30 @@ def test_two_process_bam_sort(tmp_path):
         sb = sorted(l for l in gzip.open(
             str(tmp_path / ("d-%s.fastq.gz" % nm))).read().split(b"\n") if l)
         assert sa == sb
+
+
+def test_gathered_logs_two_process(tmp_path):
+    """--gathered-logs: every rank's buffered log lines are emitted
+    rank-ordered by process 0 only (ref: src/Log.h:79, Options.h:382)."""
+    out = str(tmp_path / "out")
+
+    def argv(pid, port):
+        return [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                "--jax-platform", "cpu",
+                "--distributed", "127.0.0.1:%d" % port,
+                "--nprocs", "2", "--procid", str(pid),
+                "--mesh-batch", "256", "--verbose", "1",
+                "--gathered-logs", "1",
+                "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+                "--artifact-edit-distance", "1",
+                "--fastq-output-base-quality", "64",
+                "--min-read-length", "25",
+                "--out", out, "31", os.path.join(REF, "1000.fastq")]
+
+    outs = _spawn(2, argv)
+    err0 = outs[0][2].decode()
+    err1 = outs[1][2].decode()
+    # both ranks' "loaded N reads" lines appear on rank 0, in rank order
+    assert err0.count("loaded") == 2
+    assert err0.index("[0]") < err0.index("[1]")
+    assert "VERBOSE" not in err1
