@@ -625,7 +625,10 @@ def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
     mesh = make_mesh(D)
     if capacity <= 0:
         est = estimate_raw_kmers(input_files, k)
-        capacity = max(int(np.ceil(est / D)), 4096)
+        # the raw-window estimate is an upper bound on uniques; clamp the
+        # auto capacity so drain sorts fit HBM — if the clamp is too small
+        # the singleton-purge warning below says to override it
+        capacity = min(max(int(np.ceil(est / D)), 4096), 64 << 20)
     sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
     raw = good_total = n_reads = 0
     L = 0

@@ -39,7 +39,14 @@ class _AsmOptions:
              "min-match-overlap": int, "min-identity-fraction": float,
              "return-overlap-only":
                  lambda v: str(v).lower() not in ("0", "false"),
-             "mesh": int, "jax-platform": str}
+             "mesh": int, "jax-platform": str,
+             # Vmatch backend knobs (ref: src/Vmatch.h:62-92); vmatch-path/
+             # index-path/preload are accepted for CLI parity but unused —
+             # the matcher is built in, no external binary or disk index
+             "vmatch-path": str, "vmatch-options": str,
+             "vmatch-index-path": str,
+             "vmatch-preload":
+                 lambda v: str(v).lower() not in ("0", "false")}
 
     def __init__(self):
         self.contig_file = ""
@@ -60,6 +67,10 @@ class _AsmOptions:
         self.return_overlap_only = True
         self.mesh = 0
         self.jax_platform = ""
+        self.vmatch_path = ""
+        self.vmatch_options = "-d -p -seedlength 10 -l 50 -e 3"
+        self.vmatch_index_path = "."
+        self.vmatch_preload = False
 
 
 def _subset(rs: ReadSet, indices) -> ReadSet:
@@ -130,9 +141,9 @@ def run(argv: List[str]) -> int:
     if not asm.contig_file:
         Log.error("you must specify the --contig-file")
         return 1
-    if kopts.kmer_size == 0:
-        Log.error("kmer-size required (Vmatch backend not supported)")
-        return 1
+    use_vmatch = kopts.kmer_size == 0  # ref: the assembler selects the
+    # Vmatch matcher iff --kmer-size is 0
+    # (apps/DistributedNucleatingAssembler.cpp:392-397)
 
     rs = load_reads(opts.input_file, opts.fastq_base_quality,
                     opts.fastq_output_base_quality, opts.keep_read_comment)
@@ -142,7 +153,18 @@ def run(argv: List[str]) -> int:
                               min_quality=opts.min_quality_score)
         apply_artifact_filter(rs, filt)
 
-    if asm.mesh:
+    if use_vmatch:
+        # Vmatch backend: local seed-and-verify substring index over the
+        # reads (ref: src/Vmatch.h:93-279). Built in-process — the reference
+        # forks the external vmatch binary per rank; vmatch-path/index-path
+        # are accepted but unused.
+        from kmernator_tpu.ops.vmatch import (SeedReadIndex,
+                                              parse_vmatch_options,
+                                              vmatch_pools)
+        seed, min_len, max_err = parse_vmatch_options(asm.vmatch_options)
+        index = SeedReadIndex(rs, seed, min_len, max_err)
+        pool_fn = lambda idx, ctg: vmatch_pools(idx, ctg)
+    elif asm.mesh:
         # distributed matcher: index sharded over the device mesh, edge-kmer
         # queries resolved collectively (the exchangeGlobalReads analogue)
         if asm.jax_platform:
@@ -168,6 +190,13 @@ def run(argv: List[str]) -> int:
         pool_fn = lambda idx, ctg: match_pools(
             idx, ctg, asm.match_max_positions_from_edge, 0)
     min_k, max_k, k_step = get_min_max_kmer_size(rs, kopts.kmer_size)
+    if min_k < 2:
+        # kmer-size 0 (Vmatch mode): the reference's k=0 spectrum is empty and
+        # extends nothing, so the first productive ladder rung is min+step
+        min_k += k_step
+    # overlap screening aligns with a kmer seed; with kmer-size 0 the
+    # reference's KmerAlign seed is degenerate — use the first extension k
+    align_k = kopts.kmer_size or min_k
     max_extend = max_k
     params = ExtendParams(minimum_consensus=asm.minimum_consensus / 100.0,
                           minimum_coverage=asm.minimum_coverage,
@@ -192,7 +221,7 @@ def run(argv: List[str]) -> int:
         timer.reset("iteration-%d" % iteration)
         Log.verbose(1, "Iteration %d: %d contigs" % (iteration, contigs.n))
         pools = pool_fn(index, contigs)
-        pools = screen_pools(rs, contigs, pools, asm, kopts.kmer_size, mate)
+        pools = screen_pools(rs, contigs, pools, asm, align_k, mate)
         timer.record("match")
         changed = ReadSet()
         changed.input_qual_base = rs.input_qual_base

@@ -241,14 +241,22 @@ class MeshStreamingSpectrum:
     """
 
     def __init__(self, mesh: Mesh, k: int, capacity: int,
-                 capacity_factor: float = 2.0):
+                 capacity_factor: float = 0.0, drain_threshold: int = 0):
         from kmernator_tpu.parallel import multihost as mh
         self._mh = mh
         self.mesh = mesh
         self.k = k
         self.W = nwords(k)
         self.cap = int(capacity)
+        # all_to_all bucket headroom over the balanced share: with a single
+        # device there is no hash imbalance at all, so buckets can be tight
+        if capacity_factor <= 0.0:
+            capacity_factor = 1.0 if mesh.devices.size == 1 else 2.0
         self.capacity_factor = capacity_factor
+        # staged rows per device that trigger a merge back into the table;
+        # smaller = smaller peak sort (the drain sorts cap+staged rows),
+        # larger = fewer sorts
+        self.drain_threshold = int(drain_threshold) or self.cap // 2
         D = mesh.devices.size
         self.D = D
         # in multi-process runs each controller contributes only its local
@@ -325,7 +333,7 @@ class MeshStreamingSpectrum:
         self._staged.append(recv)  # W key planes + weight plane, [D, D*C]
         self._staged_rows += self.D * C
         self.total_batches += 1
-        if self._staged_rows >= self.cap:
+        if self._staged_rows >= self.drain_threshold:
             self._drain()
 
     def _drain(self):
