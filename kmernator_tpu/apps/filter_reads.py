@@ -712,12 +712,33 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
             min_quality=opts.min_quality_score,
             min_read_length=ropts.min_read_length)
 
-    def chunks():
-        for rs in stream_readsets(opts.input_file, chunk_bytes,
-                                  opts.fastq_output_base_quality,
-                                  opts.keep_read_comment):
+    # the artifact scan is deterministic per chunk, so pass 1 spills its
+    # per-read scan arrays to disk (~40 B/read) and pass 2 replays them
+    # instead of rescanning (the scan dominates two-pass filter cost)
+    scan_dir = None
+    if filt is not None and opts.output_file:
+        import tempfile
+        from kmernator_tpu.utils.cleanup import register_path
+        scan_dir = tempfile.mkdtemp(prefix="kmtpu-afscan-")
+        register_path(scan_dir)
+
+    def chunks(replay: bool = False):
+        for ci, rs in enumerate(stream_readsets(
+                opts.input_file, chunk_bytes,
+                opts.fastq_output_base_quality, opts.keep_read_comment)):
             if filt is not None:
-                apply_artifact_filter(rs, filt)
+                pre = None
+                path = (os.path.join(scan_dir, "%06d.npz" % ci)
+                        if scan_dir else None)
+                if replay and path and os.path.exists(path):
+                    with np.load(path) as z:
+                        pre = tuple(z[f] for f in
+                                    ("sv", "smn", "smx", "sso", "ssl", "sph"))
+                o = apply_artifact_filter(rs, filt, precomputed=pre)
+                if not replay and path:
+                    sv, smn, smx, sso, ssl, sph = o.scan
+                    np.savez(path, sv=sv, smn=smn, smx=smx, sso=sso,
+                             ssl=ssl, sph=sph)
             yield rs
 
     spectrum = None
@@ -772,7 +793,7 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     if not opts.output_file:
         return 0
     written = set()
-    for rs in chunks():
+    for rs in chunks(replay=True):
         rs.identify_pairs()
         if k > 0:
             counts, w_off = window_count_lookup(rs, spectrum, k)

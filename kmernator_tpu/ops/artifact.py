@@ -275,12 +275,13 @@ class ArtifactFilter:
         # --- quality runs (best & second best) ---
         L = int(lens.max()) if n else 0
         good = np.zeros((n, L), dtype=bool)
-        for i in range(n):
-            s, e = rs.offsets[i], rs.offsets[i + 1]
-            if rs.has_quals[i]:
-                good[i, :e - s] = phred[s:e] >= self.min_quality
-            else:
-                good[i, :e - s] = True
+        base = int(rs.offsets[0]) if n else 0
+        if n and L:
+            rows = np.repeat(np.arange(n), lens)
+            cols = np.arange(int(lens.sum())) - np.repeat(
+                rs.offsets[:-1].astype(np.int64) - base, lens)
+            flat_good = phred[base:int(rs.offsets[-1])] >= self.min_quality
+            good[rows, cols] = flat_good | ~rs.has_quals[rows]
         col = np.arange(L)[None, :]
         in_read = col < lens[:, None]
         good &= in_read
@@ -315,25 +316,33 @@ class ArtifactFilter:
         # scan over padded rows: Lp = 4*ceil(L/4) pad bases read as 'A'
         Lp = 4 * ((L + 3) // 4)
         codes = np.zeros((n, Lp), dtype=np.uint8)
-        craw = BASE_CODE[rs.seq]
-        cnorm = np.where(craw == 4, 0, craw).astype(np.uint8)
-        for i in range(n):
-            s, e = rs.offsets[i], rs.offsets[i + 1]
-            codes[i, :e - s] = cnorm[s:e]
+        if n and L:
+            craw = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
+            codes[rows, cols] = np.where(craw == 4, 0, craw).astype(np.uint8)
         if Lp >= k and n:
-            from kmernator_tpu.ops.kmer import extract_kmers_batch
-            canon, _, _ = extract_kmers_batch(np, codes,
-                                              np.full(n, Lp, np.int64), k)
+            from kmernator_tpu.ops.kmer import last_word_mask, pack16
             NWp = Lp - k + 1
-            hops = np.arange(0, Lp // 4)[None, :]  # byte positions
+            H = Lp // 4
+            W = nwords(k)
+            # the scan only probes byte-aligned windows (every 4th base,
+            # ref: applyFilterToRead :446-490) — build canonical words at
+            # those positions directly rather than extracting every window
+            # then keeping every 4th (4x less pack/revcomp work)
+            p16 = pack16(np, codes)  # [n, Lp]
+            fwd = np.zeros((n, H, W), dtype=np.uint32)
+            for w in range(W):
+                sl = p16[:, 16 * w::4][:, :H]
+                fwd[:, :sl.shape[1], w] = sl
+            fwd[:, :, W - 1] &= np.uint32(last_word_mask(k))
+            rc = revcomp_words(np, fwd, k)
+            fwd_le = ~words_less(np, rc, fwd)
+            canon = np.where(fwd_le[..., None], fwd, rc)
+            hops = np.arange(H)[None, :]  # byte positions
             pos = hops * 4
             active = ((hops >= start_hop[:, None]) & (hops <= byte_hops[:, None])
                       & (pos < NWp) & (lens[:, None] >= k)
                       & (byte_hops[:, None] >= start_hop[:, None]))
-            sel_pos = np.where(active, pos, 0)
-            keys = _canonical_ints(
-                canon[np.repeat(np.arange(n), sel_pos.shape[1]),
-                      sel_pos.reshape(-1)].reshape(-1, canon.shape[-1]))
+            keys = _canonical_ints(canon.reshape(-1, W))
             vals = self.lookup(keys).reshape(n, -1)
             vals = np.where(active, vals, 0)
             hit = vals > 0
@@ -407,13 +416,19 @@ class FilterOutcome:
     phix_reads: List[int] = field(default_factory=list)
     # (read_idx, label) of non-phix discards, for --filter-output
     artifact_reads: List[Tuple[int, bytes]] = field(default_factory=list)
+    # per-read scan arrays (value, min/max pass, second off/len, phix) —
+    # deterministic for a given ReadSet, so two-pass streaming callers can
+    # replay them instead of rescanning (the scan dominates filter cost)
+    scan: Optional[Tuple[np.ndarray, ...]] = None
 
 
-def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
+def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter,
+                          precomputed=None) -> FilterOutcome:
     """ref: FilterKnownOddities::applyFilter (:663-732) +
     recordAffectedRead (:551-661).  Mutates rs in place: trims reads
     (AFTrim labels appended to comments), marks discards, appends -qtrim
-    remnant reads."""
+    remnant reads.  `precomputed` replays a prior FilterOutcome.scan for
+    an identical ReadSet (pass 2 of the streaming app)."""
     out = FilterOutcome()
     by_pair = rs.has_pairs()
     n = rs.n
@@ -451,20 +466,24 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter) -> FilterOutcome:
             out.trimmed += 1
         return True
 
-    # vectorized whole-set scan (chunked to bound memory)
-    CH = 65536
-    sv = np.zeros(n, np.int64)
-    smn = np.zeros(n, np.int64)
-    smx = np.zeros(n, np.int64)
-    sso = np.zeros(n, np.int64)
-    ssl = np.zeros(n, np.int64)
-    sph = np.zeros(n, bool)
-    for cs in range(0, n, CH):
-        ce = min(cs + CH, n)
-        sub = _slice_readset(rs, cs, ce)
-        v, mn, mx, so, sl, wp = filt.scan_all(sub)
-        sv[cs:ce], smn[cs:ce], smx[cs:ce] = v, mn, mx
-        sso[cs:ce], ssl[cs:ce], sph[cs:ce] = so, sl, wp
+    if precomputed is not None:
+        sv, smn, smx, sso, ssl, sph = precomputed
+    else:
+        # vectorized whole-set scan (chunked to bound memory)
+        CH = 65536
+        sv = np.zeros(n, np.int64)
+        smn = np.zeros(n, np.int64)
+        smx = np.zeros(n, np.int64)
+        sso = np.zeros(n, np.int64)
+        ssl = np.zeros(n, np.int64)
+        sph = np.zeros(n, bool)
+        for cs in range(0, n, CH):
+            ce = min(cs + CH, n)
+            sub = _slice_readset(rs, cs, ce)
+            v, mn, mx, so, sl, wp = filt.scan_all(sub)
+            sv[cs:ce], smn[cs:ce], smx[cs:ce] = v, mn, mx
+            sso[cs:ce], ssl[cs:ce], sph[cs:ce] = so, sl, wp
+    out.scan = (sv, smn, smx, sso, ssl, sph)
 
     def scan_and_rescue(i):
         value, min_pass, max_pass = int(sv[i]), int(smn[i]), int(smx[i])
