@@ -18,7 +18,8 @@ from typing import Dict, List
 
 import numpy as np
 
-from kmernator_tpu.io.reads import ReadSet, load_reads, format_read, BASE_CODE
+from kmernator_tpu.io.reads import (ReadSet, load_reads, format_read,
+                                    format_reads_batch, BASE_CODE)
 from kmernator_tpu.ops.artifact import ArtifactFilter, apply_artifact_filter
 from kmernator_tpu.ops.kmer import extract_kmers_flat
 from kmernator_tpu.ops.trim import ReadTrims, score_and_trim, pick_all_passing
@@ -285,23 +286,25 @@ def first_markup_nor_x(rs: ReadSet) -> np.ndarray:
 def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
                  suffix: str, opts, ropts, input_files,
                  outputs: Dict[str, List[bytes]]):
-    phred = rs.phred()
-    for i in picks:
-        if i < 0 or i >= rs.n:
-            continue
-        key = ""
-        if ropts.separate_outputs:
-            key = "-" + file_prefix(input_files[rs.file_idx[i]])
-        path = out_name + key + suffix
-        rec = format_read(
-            rs.names[i], rs.comments[i],
-            rs.seq[rs.offsets[i]:rs.offsets[i + 1]].tobytes(),
-            phred[rs.offsets[i]:rs.offsets[i + 1]],
-            trims.label[i], opts.format_output, opts.fastq_output_base_quality,
-            int(trims.offset[i]), int(trims.length[i]),
-            bool(rs.discarded[i]), bool(rs.has_quals[i]),
+    pk = np.asarray(list(picks), dtype=np.int64)
+    pk = pk[(pk >= 0) & (pk < rs.n)]
+    if not len(pk):
+        return
+    if ropts.separate_outputs:
+        groups = {}
+        for i in pk:
+            groups.setdefault(int(rs.file_idx[i]), []).append(i)
+        groups = {("-" + file_prefix(input_files[fi])): np.asarray(g, np.int64)
+                  for fi, g in groups.items()}
+    else:
+        groups = {"": pk}
+    for key, g in groups.items():
+        rec = format_reads_batch(
+            rs, g, [trims.label[i] for i in g],
+            trims.offset[g], trims.length[g],
+            opts.format_output, opts.fastq_output_base_quality,
             comment_stored=opts.keep_read_comment)
-        outputs.setdefault(path, []).append(rec)
+        outputs.setdefault(out_name + key + suffix, []).append(rec)
 
 
 def _pick_coverage_normalized(rs: ReadSet, trims: ReadTrims, target_depth: int,

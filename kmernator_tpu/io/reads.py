@@ -222,44 +222,99 @@ class ReadSet:
         return B
 
     # ---------- pairing ----------
+    def _read_nums_vec(self) -> np.ndarray:
+        """Vectorized read_num over all reads (1/2 for paired, 0 otherwise)."""
+        n = self.n
+        rn = np.zeros(n, dtype=np.int8)
+        if n == 0:
+            return rn
+        nm = np.array(self.names, dtype=bytes)
+        w = nm.dtype.itemsize
+        if w >= 2:
+            ch = nm.view(np.uint8).reshape(n, w)
+            ln = (ch != 0).argmin(axis=1)
+            ln[ch[:, -1] != 0] = w  # full-width names have no NUL pad
+            has2 = ln >= 2
+            last = ch[np.arange(n), np.maximum(ln - 1, 0)]
+            slash = np.zeros(n, dtype=bool)
+            slash[has2] = ch[np.flatnonzero(has2), ln[has2] - 2] == 0x2f
+            rn = np.where(slash & np.isin(last, (0x31, 0x41, 0x46)), 1, rn)
+            rn = np.where(slash & np.isin(last, (0x32, 0x42, 0x52)), 2, rn)
+        cm = np.array(self.comments, dtype=bytes)
+        cw = cm.dtype.itemsize
+        if cw >= 6:
+            cc = cm.view(np.uint8).reshape(n, cw)
+            cas = ((cc[:, 1] == 0x3a) & (cc[:, 3] == 0x3a) & (cc[:, 5] == 0x3a)
+                   & ((cc[:, 0] == 0x31) | (cc[:, 0] == 0x32))
+                   & ((cc[:, 2] == 0x59) | (cc[:, 2] == 0x4e)))
+            rn = np.where(cas, np.where(cc[:, 0] == 0x32, 2, 1), rn)
+        return rn.astype(np.int64)
+
     def identify_pairs(self) -> int:
         """ref: src/ReadSet.cpp:186-260 identifyPairs()."""
         pairs: List[List[int]] = []
-        paired = np.zeros(self.n, dtype=bool)
-        # sequential fast path
-        prev_name = None
-        prev_comment = None
-        for i in range(self.n):
-            name, comment = self.names[i], self.comments[i]
-            if read_num(name, comment) == 0:
-                prev_name = None
-                continue
-            if prev_name is not None and self._is_pair(prev_name, prev_comment, name, comment):
-                pairs.append([i - 1, i])
-                paired[i - 1] = paired[i] = True
-                prev_name = None
-            else:
-                prev_name, prev_comment = name, comment
+        n = self.n
+        paired = np.zeros(n, dtype=bool)
+        # sequential fast path, vectorized: consecutive reads (i-1, i) are
+        # pair candidates when both have nonzero read numbers that differ
+        # and their common names match; the loop's prev-reset semantics are
+        # exactly "alternating selection within each run of candidates"
+        rn = self._read_nums_vec()
+        if n >= 2:
+            nm = np.array(self.names, dtype=bytes)
+            w = nm.dtype.itemsize
+            ch = nm.view(np.uint8).reshape(n, w) if w else \
+                np.zeros((n, 0), np.uint8)
+            ln = (ch != 0).argmin(axis=1) if w else np.zeros(n, np.int64)
+            if w:
+                ln[ch[:, -1] != 0] = w
+            # common_name: drop trailing char when name[-2] == '/'
+            slash = np.zeros(n, dtype=bool)
+            if w >= 2:
+                has2 = ln >= 2
+                slash[has2] = ch[np.flatnonzero(has2), ln[has2] - 2] == 0x2f
+                # reference keeps names of length <= 2 whole
+                slash &= ln > 2
+            cln = np.where(slash, ln - 1, ln)
+            prefix_eq = np.zeros(n, dtype=bool)  # name i-1 vs i
+            if w:
+                mask = np.arange(w)[None, :] < cln[:, None]
+                eq = (ch[:-1] == ch[1:]) | ~mask[1:]
+                prefix_eq[1:] = eq.all(axis=1) & (cln[:-1] == cln[1:])
+            cand = np.zeros(n, dtype=bool)
+            cand[1:] = (rn[1:] != 0) & (rn[:-1] != 0) & (rn[1:] != rn[:-1])
+            cand &= prefix_eq
+            # alternating selection within runs of consecutive candidates
+            run_pos = np.zeros(n, dtype=np.int64)
+            c = cand
+            idx = np.flatnonzero(c)
+            if len(idx):
+                grp_start = np.concatenate([[True], np.diff(idx) != 1])
+                run_pos[idx] = np.arange(len(idx)) - \
+                    np.maximum.accumulate(np.where(grp_start,
+                                                   np.arange(len(idx)), -1))
+                sel = idx[run_pos[idx] % 2 == 0]
+                pairs = [[int(i) - 1, int(i)] for i in sel]
+                paired[sel] = True
+                paired[sel - 1] = True
         # name-matching path for the rest
         unmatched = {}
-        for i in range(self.n):
-            if paired[i]:
-                continue
-            name, comment = self.names[i], self.comments[i]
-            rn = read_num(name, comment)
-            cn = common_name(name)
-            if rn and cn in unmatched:
+        for i in np.flatnonzero(~paired):
+            i = int(i)
+            rni = int(rn[i])
+            cn = common_name(self.names[i])
+            if rni and cn in unmatched:
                 p = pairs[unmatched.pop(cn)]
-                if rn == 2 and p[1] == -1:
+                if rni == 2 and p[1] == -1:
                     p[1] = i
-                elif rn == 1 and p[0] == -1:
+                elif rni == 1 and p[0] == -1:
                     p[0] = i
                 else:
-                    pairs.append([i, -1] if rn != 2 else [-1, i])
+                    pairs.append([i, -1] if rni != 2 else [-1, i])
                 continue
             idx = len(pairs)
-            pairs.append([-1, i] if rn == 2 else [i, -1])
-            if rn:
+            pairs.append([-1, i] if rni == 2 else [i, -1])
+            if rni:
                 unmatched[cn] = idx
         self.pairs = [(p[0], p[1]) for p in pairs]
         return len(self.pairs)
@@ -377,16 +432,26 @@ def parse_fastq_bytes(data: bytes, comment_stored: bool = True):
     qual = buf[_ragged_indices(qual_s, (qual_e - qual_s).astype(np.int64))]
     if len(qual) != len(seq):
         raise ValueError("FASTQ seq/qual length mismatch")
-    names, comments, keeps = [], [], []
-    for s, e in zip(name_s, name_e):
-        line = buf[s + 1:e].tobytes()  # skip '@'
-        nm, cm, keep = _split_name_line(line, comment_stored)
-        names.append(nm)
-        comments.append(cm)
-        keeps.append(keep)
+    # extract all name lines (incl. trailing '\n') in one ragged gather and
+    # split at C speed; per-line Python runs only for lines that actually
+    # contain a separator (space/tab/CR — the casava/comment cases)
+    R = len(name_s)
+    nlen = (name_e - name_s - 1).astype(np.int64)  # skip '@'
+    nidx = _ragged_indices(name_s + 1, nlen + 1)   # +1 grabs the '\n'
+    nchars = buf[nidx]
+    names = nchars.tobytes().split(b"\n")[:R]
+    has_sep = (nchars == 0x20) | (nchars == 0x09) | (nchars == 0x0d)
+    comments = [b""] * R
+    keeps = np.ones(R, dtype=bool)
+    if has_sep.any():
+        sep_rows = np.unique(np.repeat(np.arange(R), nlen + 1)[has_sep])
+        for i in sep_rows:
+            nm, cm, keep = _split_name_line(names[i], comment_stored)
+            names[i] = nm
+            comments[i] = cm
+            keeps[i] = keep
     offsets = np.concatenate([[0], np.cumsum(lens)])
-    has_quals = np.ones(len(names), dtype=bool)
-    keeps = np.asarray(keeps, dtype=bool)
+    has_quals = np.ones(R, dtype=bool)
     if not keeps.all():
         sel = np.flatnonzero(keeps)
         idx = _ragged_indices(offsets[sel], lens[sel])
@@ -601,3 +666,66 @@ def format_read(name: bytes, comment: bytes, seq: bytes, phred: np.ndarray,
         return b"@" + hdr + b"\n" + body + b"\n+\n" + quals + b"\n"
     else:
         return b">" + hdr + b"\n" + body + b"\n"
+
+
+def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
+                       trim_offset: np.ndarray, trim_length: np.ndarray,
+                       fmt: int, output_base: int,
+                       comment_stored: bool = True) -> bytes:
+    """Batched format_read: identical bytes for a whole pick list in a few
+    vectorized passes (ragged scatter of bodies/quals into one buffer)
+    instead of one Python call per read."""
+    idxs = np.asarray(idxs, dtype=np.int64)
+    n = len(idxs)
+    if n == 0:
+        return b""
+    off0 = rs.offsets[idxs]
+    L = (rs.offsets[idxs + 1] - off0).astype(np.int64)
+    to = np.asarray(trim_offset, np.int64)
+    tl0 = np.asarray(trim_length, np.int64)
+    tl = np.minimum(tl0, L - to)
+    use_n = rs.discarded[idxs] | (tl0 <= 1) | (tl <= 1)
+    blen = np.where(use_n, 1, tl)
+    rows = np.repeat(np.arange(n), blen)
+    un = use_n[rows]
+    if len(rs.seq):
+        bidx = _ragged_indices(np.where(use_n, 0, off0 + to), blen)
+        body = rs.seq[bidx].copy()
+        qual = (rs.phred()[bidx].astype(np.int32) + output_base).astype(np.uint8)
+        qual = np.where(rs.has_quals[idxs][rows], qual,
+                        np.uint8(PRINT_REF_QUAL))
+    else:
+        body = np.empty(len(rows), np.uint8)
+        qual = np.empty(len(rows), np.uint8)
+    body[un] = 0x4e  # 'N'
+    qual[un] = np.uint8(output_base + 1)
+
+    if comment_stored:
+        hdrs = [(nm if not c else nm + b" " + c) if not lb
+                else (nm if not c else nm + b" " + c) + b" " + lb
+                for nm, c, lb in zip((rs.names[i] for i in idxs),
+                                     (rs.comments[i] for i in idxs), labels)]
+    else:
+        hdrs = [nm if not lb else nm + b" " + lb
+                for nm, lb in zip((rs.names[i] for i in idxs), labels)]
+    hlen = np.fromiter((len(h) for h in hdrs), np.int64, n)
+    hflat = np.frombuffer(b"".join(hdrs), np.uint8)
+
+    fastq = fmt in (0, 2)
+    rec_len = (1 + hlen + 1 + blen + 3 + blen + 1) if fastq \
+        else (1 + hlen + 1 + blen + 1)
+    starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]])
+    out = np.empty(int(rec_len.sum()), np.uint8)
+    out[starts] = 0x40 if fastq else 0x3e  # '@' / '>'
+    out[_ragged_indices(starts + 1, hlen)] = hflat
+    p = starts + 1 + hlen
+    out[p] = 0x0a
+    out[_ragged_indices(p + 1, blen)] = body
+    p2 = p + 1 + blen
+    out[p2] = 0x0a
+    if fastq:
+        out[p2 + 1] = 0x2b  # '+'
+        out[p2 + 2] = 0x0a
+        out[_ragged_indices(p2 + 3, blen)] = qual
+        out[p2 + 3 + blen] = 0x0a
+    return out.tobytes()

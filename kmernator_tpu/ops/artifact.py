@@ -434,38 +434,6 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter,
     n = rs.n
     lens = rs.lengths()
 
-    trim_which: List[int] = []
-    trim_off: List[int] = []
-    trim_len: List[int] = []
-    trim_labels: List[bytes] = []
-    remnants: List[Tuple[bytes, bytes, bytes, np.ndarray]] = []
-
-    def record_read(i, value, min_pass, max_pass, was_phix_joint):
-        L = int(lens[i])
-        if value == 0:
-            return False
-        out.affected += 1
-        if was_phix_joint:
-            rs.discarded[i] = True
-            out.discarded += 1
-            out.phix_reads.append(i)
-            return True
-        pass_len = max_pass - min_pass
-        is_ref = filt.is_reference(value) and value != filt.num_sequences
-        if is_ref or pass_len <= 0 or not passes_length(pass_len, L, filt.min_read_length):
-            rs.discarded[i] = True
-            out.discarded += 1
-            label = (filt.seq_names[value] if value < len(filt.seq_names)
-                     else b"MinQualityTrim%d" % filt.min_quality)
-            out.artifact_reads.append((i, label))
-        else:
-            trim_which.append(i)
-            trim_off.append(min_pass)
-            trim_len.append(pass_len)
-            trim_labels.append(b"AFTrim:%d+%d" % (min_pass, pass_len))
-            out.trimmed += 1
-        return True
-
     if precomputed is not None:
         sv, smn, smx, sso, ssl, sph = precomputed
     else:
@@ -485,49 +453,91 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter,
             sso[cs:ce], ssl[cs:ce], sph[cs:ce] = so, sl, wp
     out.scan = (sv, smn, smx, sso, ssl, sph)
 
-    def scan_and_rescue(i):
-        value, min_pass, max_pass = int(sv[i]), int(smn[i]), int(smx[i])
-        was_phix = bool(sph[i])
-        second = (int(sso[i]), int(sso[i] + ssl[i]))
-        L = int(lens[i])
-        if value == 0 and (max_pass - min_pass) != L:
-            # only quality trimming affected the read (ref: :523-533)
-            value = filt.num_sequences
-            sec_len = second[1] - second[0]
-            if passes_length(sec_len, L, filt.min_read_length):
-                s = rs.offsets[i]
-                seq = rs.seq[s + second[0]:s + second[0] + sec_len].tobytes()
-                ph = rs.phred()[s + second[0]:s + second[0] + sec_len].copy()
-                lab = b"AFTrim:%d+%d" % (second[0], sec_len)
-                c = rs.comments[i]
-                comment = lab if not c else c + b"\t" + lab
-                remnants.append((rs.names[i] + b"-qtrim", comment, seq, ph))
-        return value, min_pass, max_pass, was_phix
+    # emission order: per-pair (r1 then r2) when pairing is known, else
+    # read order — phix/artifact/trim/remnant lists must follow it so
+    # downstream --phix-output/--filter-output writes stay byte-identical
+    # to the reference's per-pair loop (ref: applyFilter :663-732)
+    if by_pair:
+        pmat = np.asarray(rs.pairs, dtype=np.int64).reshape(-1, 2)
+        flat = pmat.reshape(-1)
+        order = flat[flat >= 0]
+        # joint phix: either member's phix hit condemns both (ref: :688-704)
+        memb_ph = np.zeros(pmat.shape, dtype=bool)
+        for c in (0, 1):
+            vmask = pmat[:, c] >= 0
+            memb_ph[vmask, c] = sph[pmat[vmask, c]]
+        jointp = memb_ph[:, 0] | memb_ph[:, 1]
+        joint = np.zeros(n, dtype=bool)
+        for c in (0, 1):
+            vmask = pmat[:, c] >= 0
+            joint[pmat[vmask, c]] = jointp[vmask]
+    else:
+        order = np.arange(n, dtype=np.int64)
+        joint = None
+
+    NS = filt.num_sequences
+    mrl = filt.min_read_length
+    plen = smx - smn
+
+    def passes_vec(length, rl):
+        ok = length > 1
+        if mrl <= 1.0:
+            return ok & (rl * mrl <= length)
+        return ok & (mrl <= length)
+
+    # rescue: untouched value but quality trimming shrank the read
+    # (ref: :523-533) — value becomes num_sequences; a passing second-best
+    # run is re-appended as a "-qtrim" remnant read
+    rescued = (sv == 0) & (plen != lens)
+    val = np.where(rescued, NS, sv)
+    remn = rescued & passes_vec(ssl, lens)
 
     if by_pair:
-        for (r1, r2) in rs.pairs:
-            res = {}
-            phx = False
-            for r in (r1, r2):
-                if r is not None and r >= 0:
-                    v, mn, mx, wp = scan_and_rescue(r)
-                    res[r] = (v, mn, mx)
-                    phx |= wp
-            for r, (v, mn, mx) in res.items():
-                if phx:
-                    record_read(r, filt.phix_idx if filt.phix_idx >= 0 else filt.num_sequences,
-                                mn, mx, True)
-                else:
-                    record_read(r, v, mn, mx, False)
+        eff_phix = joint
+        aff = joint | (val != 0)
     else:
-        for i in range(n):
-            v, mn, mx, wp = scan_and_rescue(i)
-            record_read(i, v, mn, mx, wp)
+        eff_phix = sph & (val != 0)
+        aff = val != 0
+    is_ref = (val >= filt.reference_idx) & (val != NS)
+    bad_len = (plen <= 0) | ~passes_vec(plen, lens)
+    disc_phix = aff & eff_phix
+    disc_art = aff & ~eff_phix & (is_ref | bad_len)
+    trim = aff & ~eff_phix & ~(is_ref | bad_len)
 
-    if trim_which:
-        rs.apply_trims(np.array(trim_off, np.int64), np.array(trim_len, np.int64),
-                       np.array(trim_which, np.int64), trim_labels)
-    if remnants:
+    sel = lambda m: order[m[order]]
+    phix_sel = sel(disc_phix)
+    art_sel = sel(disc_art)
+    trim_sel = sel(trim)
+    rs.discarded[phix_sel] = True
+    rs.discarded[art_sel] = True
+    out.affected = int(aff[order].sum())
+    out.discarded = len(phix_sel) + len(art_sel)
+    out.trimmed = len(trim_sel)
+    out.phix_reads = [int(i) for i in phix_sel]
+    nnames = len(filt.seq_names)
+    qlabel = b"MinQualityTrim%d" % filt.min_quality
+    out.artifact_reads = [
+        (int(i), filt.seq_names[v] if v < nnames else qlabel)
+        for i, v in zip(art_sel, val[art_sel])]
+
+    remn_sel = sel(remn)
+    if len(remn_sel):
+        ph_all = rs.phred()
+        remnants = []
+        for i in remn_sel:
+            s = rs.offsets[i] + sso[i]
+            e = s + ssl[i]
+            lab = b"AFTrim:%d+%d" % (sso[i], ssl[i])
+            c = rs.comments[i]
+            remnants.append((rs.names[i] + b"-qtrim",
+                             lab if not c else c + b"\t" + lab,
+                             rs.seq[s:e].tobytes(), ph_all[s:e].copy()))
+
+    if len(trim_sel):
+        rs.apply_trims(smn[trim_sel], plen[trim_sel], trim_sel,
+                       [b"AFTrim:%d+%d" % (o, l)
+                        for o, l in zip(smn[trim_sel], plen[trim_sel])])
+    if len(remn_sel):
         rs.append_reads_batch([r[0] for r in remnants],
                               [r[1] for r in remnants],
                               [r[2] for r in remnants],

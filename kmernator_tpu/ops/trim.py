@@ -291,34 +291,35 @@ def is_passing(rs: ReadSet, trims: ReadTrims, i: int,
                 passes_length(float(trims.length[i]), int(rs.lengths()[i]), min_length))
 
 
+def passing_mask(rs: ReadSet, trims: ReadTrims, min_score: float,
+                 min_length: float) -> np.ndarray:
+    """Vectorized isPassingRead over all reads
+    (ref: src/ReadSelector.h:550-557)."""
+    tl = trims.length.astype(np.float64)
+    ok = trims.available & (trims.score >= min_score) & (tl > 1.0)
+    if min_length <= 1.0:
+        return ok & (rs.lengths() * min_length <= tl)
+    return ok & (min_length <= tl)
+
+
 def pick_all_passing(rs: ReadSet, trims: ReadTrims, min_score: float,
                      min_length: float, both_pass: bool) -> List[int]:
     """pickAllPassingPairs / pickAllPassingReads
     (ref: src/ReadSelector.h:576-596).  Returns picked read indices sorted
     ascending (optimizePickOrder sorts picks, :1212-1221)."""
-    picks: List[int] = []
-
-    def pick_if_new(i):
-        if 0 <= i < rs.n and trims.available[i]:
-            picks.append(i)
-            trims.available[i] = False
-
+    mask = passing_mask(rs, trims, min_score, min_length)
     if rs.has_pairs():
-        for (r1, r2) in rs.pairs:
-            v1 = 0 <= r1 < rs.n
-            v2 = 0 <= r2 < rs.n
-            p1 = is_passing(rs, trims, r1, min_score, min_length) if v1 else False
-            p2 = is_passing(rs, trims, r2, min_score, min_length) if v2 else False
-            if v1 and v2 and both_pass:
-                ok = p1 and p2
-            else:
-                ok = p1 or p2
-            if ok:
-                pick_if_new(r1)
-                pick_if_new(r2)
+        pm = np.asarray(rs.pairs, dtype=np.int64).reshape(-1, 2)
+        valid = (pm >= 0) & (pm < rs.n)
+        p = np.zeros(pm.shape, dtype=bool)
+        p[valid] = mask[pm[valid]]
+        need_both = valid[:, 0] & valid[:, 1] & both_pass
+        ok = np.where(need_both, p[:, 0] & p[:, 1], p[:, 0] | p[:, 1])
+        # both members of a passing pair are picked if merely valid+available
+        cand = pm[ok]
+        cand = cand[(cand >= 0) & (cand < rs.n)]
+        picks = np.unique(cand[trims.available[cand]])
     else:
-        for i in range(rs.n):
-            if is_passing(rs, trims, i, min_score, min_length):
-                pick_if_new(i)
-    picks.sort()
-    return picks
+        picks = np.flatnonzero(mask)
+    trims.available[picks] = False
+    return [int(i) for i in picks]
