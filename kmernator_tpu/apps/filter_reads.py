@@ -673,6 +673,190 @@ def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
     return spectrum
 
 
+# ---- parallel streaming (fork worker pools; ref: the reference's OpenMP
+# chunk loops, e.g. src/KmerSpectrum.h:1578-1668 run under omp parallel) ----
+# context is populated before Pool creation so forked workers inherit it
+_PAR: Dict = {}
+
+
+def _par_scan_path(ci: int):
+    d = _PAR["scan_dir"]
+    return os.path.join(d, "%06d.npz" % ci) if d else None
+
+
+def _par_load_chunk(args, replay: bool):
+    """Shared chunk setup for both passes: parse + artifact filter (scan
+    saved on pass 1, replayed on pass 2)."""
+    from kmernator_tpu.io.chunked import read_chunk
+    ci, fi, path, s, e = args
+    c = _PAR
+    rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
+    if c["filt"] is not None:
+        sp = _par_scan_path(ci)
+        pre = None
+        if replay and sp and os.path.exists(sp):
+            with np.load(sp) as z:
+                pre = tuple(z[f] for f in
+                            ("sv", "smn", "smx", "sso", "ssl", "sph"))
+        o = apply_artifact_filter(rs, c["filt"], precomputed=pre)
+        if not replay and sp:
+            sv, smn, smx, sso, ssl, sph = o.scan
+            np.savez(sp, sv=sv, smn=smn, smx=smx, sso=sso, ssl=ssl, sph=sph)
+    return rs
+
+
+def _par_pass1(args):
+    """Count one chunk into per-chunk spill files (range splitters shared)."""
+    from kmernator_tpu.parallel.spill import SpillCounter
+    c = _PAR
+    rs = _par_load_chunk(args, replay=False)
+    if c["k"] <= 0:
+        return rs.n, 0, 0, None, None
+    keys, good, w = _chunk_observations(
+        rs, c["k"], c["min_quality"], c["output_base"], c["min_kq"],
+        c["subtract_keys"])
+    sc = SpillCounter(c["k"], c["num_parts"], tmpdir=c["spill_dir"],
+                      track_weights=c["track_w"], splitters=c["splitters"],
+                      suffix="c%06d" % args[0])
+    sc.add(keys, good, w)
+    sc.close()
+    return rs.n, sc.raw_kmers, sc.raw_good_kmers, sc.key_dtype, sc.splitters
+
+
+def _par_pass2(args):
+    """Score one chunk against the finalized spectrum -> {path: bytes}."""
+    c = _PAR
+    rs = _par_load_chunk(args, replay=True)
+    rs.identify_pairs()
+    if c["k"] > 0:
+        counts, w_off = window_count_lookup(rs, c["spectrum"], c["k"])
+        trims = score_and_trim(rs, counts, w_off, c["k"],
+                               float(c["sopts"].min_depth),
+                               c["ropts"].kmer_scoring_type,
+                               first_markup_nor_x(rs),
+                               c["ropts"].bimodal_sigmas)
+    else:
+        trims = _trim_by_markup(rs)
+    return select_reads(rs, trims, c["spectrum"], c["opts"], c["kopts"],
+                        c["sopts"], c["ropts"], c["opts"].input_file)
+
+
+def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
+                            chunk_bytes: int, capacity: int,
+                            threads: int) -> int:
+    """Two-pass streaming FilterReads over a fork worker pool: pass 1
+    spill-counts chunks concurrently (per-chunk spill files share range
+    splitters, so parts still concatenate globally sorted), pass 2 scores
+    chunks concurrently and the parent appends outputs in chunk order.
+    Byte-identical to the sequential engine at any thread count."""
+    import multiprocessing as mp
+    from kmernator_tpu.io.chunked import chunk_ranges
+    from kmernator_tpu.io.reads import parse_fastq_bytes, open_maybe_gzip
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    from kmernator_tpu.parallel.spill import (SpillCounter, auto_parts,
+                                              count_spill_parts)
+    from kmernator_tpu.utils.memory import (get_memory_usage,
+                                            tune_malloc_for_streaming)
+
+    tune_malloc_for_streaming()  # workers inherit via fork
+
+    k = kopts.kmer_size
+    # shrink chunks (never grow past the user's bound) until the pool has
+    # ~4 tasks per worker to balance; floor keeps per-chunk overhead sane
+    total_bytes = sum(os.path.getsize(p) for p in opts.input_file)
+    chunk_bytes = max(min(chunk_bytes, total_bytes // (4 * threads) + 1),
+                      min(chunk_bytes, 4 << 20))
+    ranges = chunk_ranges(opts.input_file, chunk_bytes)
+    work = [(ci,) + r for ci, r in enumerate(ranges)]
+    if not work:
+        return 0
+
+    # chunk 0 runs in the parent: detects the quality base and (pass 1)
+    # seeds the spill range splitters every worker shares
+    fi0, path0, s0, e0 = ranges[0]
+    data = open_maybe_gzip(path0, use_mmap=not path0.endswith(".gz"))
+    rs0 = ReadSet()
+    rs0.append_arrays(*parse_fastq_bytes(bytes(data[s0:e0]),
+                                         opts.keep_read_comment),
+                      file_idx=fi0)
+    base = rs0.detect_quality_base(opts.fastq_output_base_quality)
+    del data
+
+    _PAR.clear()
+    _PAR.update(
+        base=base, comment_stored=opts.keep_read_comment, filt=filt,
+        scan_dir=scan_dir, k=k, min_quality=opts.min_quality_score,
+        output_base=opts.fastq_output_base_quality,
+        min_kq=sopts.min_kmer_quality, opts=opts, kopts=kopts, sopts=sopts,
+        ropts=ropts, subtract_keys=None, spectrum=None)
+
+    ctx = mp.get_context("fork")
+    spectrum = None
+    if k > 0:
+        track_w = bool(fopts.histogram_file) or sopts.variant_sigmas > 0.0
+        subtract_keys = build_subtract_keys(
+            fopts.reference_file, fopts.subtract_file, k,
+            opts.min_quality_score, opts.fastq_output_base_quality,
+            sopts.min_kmer_quality, sopts.min_depth)
+        est = estimate_raw_kmers(opts.input_file, k)
+        num_parts = capacity if capacity > 0 else auto_parts(est)
+        import tempfile
+        from kmernator_tpu.utils.cleanup import register_path
+        spill_dir = tempfile.mkdtemp(prefix="kmtpu-spill-")
+        register_path(spill_dir)
+        _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
+                    num_parts=num_parts, spill_dir=spill_dir, splitters=None)
+        # chunk 0 runs in the parent so its writer seeds the shared splitters
+        n_reads, raw, good, key_dt, splitters = _par_pass1(work[0])
+        _PAR["splitters"] = splitters
+        with ctx.Pool(threads) as pool:
+            for rn, rk, rgk, kd, _ in pool.imap_unordered(
+                    _par_pass1, work[1:], chunksize=1):
+                n_reads += rn
+                raw += rk
+                good += rgk
+                if key_dt is None:
+                    key_dt = kd
+            spectrum = count_spill_parts(
+                spill_dir, num_parts, k, key_dt, track_w, 1, raw, good,
+                pool=pool)
+        Log.verbose(1, "streamed %d reads through %d spill parts on %d "
+                    "workers; spectrum: %d unique kmers; %s"
+                    % (n_reads, num_parts, threads, spectrum.n_unique,
+                       get_memory_usage()))
+        if fopts.histogram_file:
+            with open(fopts.histogram_file, "w") as f:
+                f.write(spectrum.histogram_table())
+        if fopts.size_history_file:
+            with open(fopts.size_history_file, "w") as f:
+                f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
+                f.write("%d\t%d\t%d\t%d\n" % (
+                    spectrum.raw_kmers, spectrum.raw_good_kmers,
+                    spectrum.n_unique, spectrum.singleton_count()))
+        spectrum.purge_min_depth(max(sopts.min_depth, 2))
+        if sopts.variant_sigmas > 0.0:
+            purged = spectrum.purge_variants(
+                sopts.variant_sigmas, sopts.variant_hamming_distance,
+                sopts.min_variant_kmer_depth,
+                min_depth=max(sopts.min_depth, 2))
+            Log.verbose(1, "Removed %d kmer-variants" % purged)
+
+    if not opts.output_file:
+        return 0
+    _PAR["spectrum"] = spectrum
+    written = set()
+    with ctx.Pool(threads) as pool:
+        for outputs in pool.imap(_par_pass2, work, chunksize=1):
+            for path, blob in outputs.items():
+                mode = "ab" if path in written else "wb"
+                written.add(path)
+                with open(path, mode) as f:
+                    f.write(blob)
+    for path in written:
+        Log.verbose(1, "wrote %s (%d bytes)" % (path, os.path.getsize(path)))
+    return 0
+
+
 def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                   capacity: int, mesh_devices: int = 0,
                   mesh_batch: int = 2048) -> int:
@@ -696,6 +880,9 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     from kmernator_tpu.io.stream import estimate_raw_kmers
     from kmernator_tpu.parallel.pipeline import StreamingSpectrum
     from kmernator_tpu.parallel.spectrum import pack_keys
+    from kmernator_tpu.utils.memory import tune_malloc_for_streaming
+
+    tune_malloc_for_streaming()
 
     k = kopts.kmer_size
     if ropts.max_kmer_output_depth > 0:
@@ -724,6 +911,17 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
         from kmernator_tpu.utils.cleanup import register_path
         scan_dir = tempfile.mkdtemp(prefix="kmtpu-afscan-")
         register_path(scan_dir)
+
+    # chunk workers are embarrassingly parallel (the artifact scan, spill
+    # counting, and scoring are all per-chunk; outputs append in chunk
+    # order) — fork a pool when threads allow.  gz inputs have no random
+    # access and the mesh engine owns the devices, so those stay sequential.
+    threads = opts.threads if opts.threads > 0 else (os.cpu_count() or 1)
+    if (threads > 1 and mesh_devices == 0
+            and not any(p.endswith(".gz") for p in opts.input_file)):
+        return _run_streaming_parallel(opts, kopts, sopts, ropts, fopts,
+                                       filt, scan_dir, chunk_bytes,
+                                       capacity, threads)
 
     def chunks(replay: bool = False):
         for ci, rs in enumerate(stream_readsets(

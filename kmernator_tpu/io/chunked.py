@@ -21,6 +21,40 @@ from kmernator_tpu.io.reads import (ReadSet, find_next_record, open_maybe_gzip,
                                     parse_fastq_bytes)
 
 
+def chunk_ranges(paths: List[str], chunk_bytes: int):
+    """Record-aligned (file_idx, path, start, end) ranges — the exact
+    boundaries stream_readsets would cut, computable up front so a worker
+    pool can own chunks independently."""
+    out = []
+    for fi, path in enumerate(paths):
+        data = open_maybe_gzip(path, use_mmap=not path.endswith(".gz"))
+        if bytes(data[:1]) == b">":
+            raise ValueError("chunk_ranges supports FASTQ only")
+        size = len(data)
+        pos = 0
+        while pos < size:
+            end = min(pos + chunk_bytes, size)
+            if end < size:
+                end = find_next_record(data, end, by_pair=True)
+            out.append((fi, path, pos, end))
+            pos = end
+        del data
+    return out
+
+
+def read_chunk(path: str, start: int, end: int, base: int,
+               comment_stored: bool, file_idx: int) -> ReadSet:
+    """Parse one chunk_ranges() range into a ReadSet (quality base forced)."""
+    data = open_maybe_gzip(path, use_mmap=not path.endswith(".gz"))
+    chunk = bytes(data[start:end])
+    del data
+    rs = ReadSet()
+    rs.append_arrays(*parse_fastq_bytes(chunk, comment_stored),
+                     file_idx=file_idx)
+    rs.detect_quality_base(base, limit=0)
+    return rs
+
+
 def stream_readsets(paths: List[str], chunk_bytes: int = 32 << 20,
                     output_base_quality: int = 33,
                     comment_stored: bool = True,

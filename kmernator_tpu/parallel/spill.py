@@ -46,19 +46,29 @@ class SpillCounter:
     """Streamed exact counting through P disk spill buckets."""
 
     def __init__(self, k: int, num_parts: int, tmpdir: Optional[str] = None,
-                 track_weights: bool = True):
+                 track_weights: bool = True,
+                 splitters: Optional[np.ndarray] = None, suffix: str = ""):
+        """`splitters`/`suffix` support concurrent writers: each worker
+        writes part%d-<suffix>.bin files into a shared tmpdir using the
+        same range splitters, and count_spill_parts merges them."""
         self.k = k
         self.W = nwords(k)
         self.num_parts = num_parts
         self.track_weights = track_weights
+        self.suffix = ("-" + suffix) if suffix else ""
         self.tmpdir = tmpdir or tempfile.mkdtemp(prefix="kmtpu-spill-")
         register_path(self.tmpdir)
-        self._files = [open(os.path.join(self.tmpdir, "part%d.bin" % p), "wb")
-                       for p in range(num_parts)]
+        self._files = [open(os.path.join(
+            self.tmpdir, "part%d%s.bin" % (p, self.suffix)), "wb")
+            for p in range(num_parts)]
         self.raw_kmers = 0
         self.raw_good_kmers = 0
         self.key_dtype = None
-        self.splitters: Optional[np.ndarray] = None
+        self.splitters = splitters
+
+    def close(self):
+        for f in self._files:
+            f.close()
 
     def add(self, keys: np.ndarray, good: np.ndarray,
             weights: Optional[np.ndarray] = None):
@@ -76,81 +86,104 @@ class SpillCounter:
             step = max(1, len(gk) // 65536)
             self.splitters = key_range_splitters(gk[::step], self.num_parts)
         part = _part_of(gk, self.splitters)
-        order = np.argsort(part, kind="stable")
-        sp = part[order]
-        sk = gk[order]
         if weights is not None and self.track_weights:
             # interleaved (key, weight) records so buckets parse back as a
             # flat record stream
-            rec = np.empty(len(sk), dtype=np.dtype([("k", sk.dtype),
+            rec = np.empty(len(gk), dtype=np.dtype([("k", gk.dtype),
                                                     ("w", np.float32)]))
-            rec["k"] = sk
-            rec["w"] = weights[good].astype(np.float32)[order]
+            rec["k"] = gk
+            rec["w"] = weights[good].astype(np.float32)
         else:
-            rec = sk
-        bounds = np.searchsorted(sp, np.arange(self.num_parts + 1))
-        for p in range(self.num_parts):
-            s, e = bounds[p], bounds[p + 1]
-            if s != e:
-                self._files[p].write(rec[s:e].tobytes())
+            rec = gk
+        # one boolean-mask split per part beats a stable argsort by part
+        # (the per-part counter sorts anyway, so order here is irrelevant)
+        counts = np.bincount(part, minlength=self.num_parts)
+        for p in np.flatnonzero(counts):
+            self._files[p].write(rec[part == p].tobytes())
 
     def finalize(self, min_depth: int = 1):
         """Merge the spill buckets into one sorted host KmerSpectrum."""
-        from kmernator_tpu.parallel.spectrum import KmerSpectrum
-        for f in self._files:
-            f.close()
-        key_item = (8 if self.key_dtype is None
-                    or self.key_dtype == np.uint64
-                    else self.key_dtype.itemsize)
-        keys_out: List[np.ndarray] = []
-        counts_out: List[np.ndarray] = []
-        weights_out: List[np.ndarray] = []
-        key_dt = (np.dtype(np.uint64) if self.key_dtype is None
-                  else self.key_dtype)
-        for p in range(self.num_parts):
-            path = os.path.join(self.tmpdir, "part%d.bin" % p)
-            if self.track_weights:
-                rec_dt = np.dtype([("k", key_dt), ("w", np.float32)])
-                arr = np.fromfile(path, rec_dt)
-                k_arr, w = arr["k"], arr["w"]
-            else:
-                k_arr = np.fromfile(path, key_dt)
-                w = None
-            os.unlink(path)
-            if not len(k_arr):
-                continue
-            order = np.argsort(k_arr, kind="stable")
-            sk = k_arr[order]
-            if w is not None:
-                w = w[order]
-            del k_arr, order
-            boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
-            seg = (np.cumsum(boundary, dtype=np.int64) - 1)
-            M = int(seg[-1]) + 1
-            cnt = np.bincount(seg, minlength=M)
-            keep = cnt >= min_depth
-            keys_out.append(sk[boundary][keep])
-            counts_out.append(cnt[keep].astype(np.int32))
-            if w is not None:
-                ws = np.bincount(seg, weights=w.astype(np.float64),
-                                 minlength=M)
-                weights_out.append(ws[keep])
-        sp = KmerSpectrum(k=self.k)
-        if keys_out:
-            # range partition => parts in splitter order concatenate into
-            # the globally key-sorted table; no final merge sort needed
-            sp.keys = np.concatenate(keys_out)
-            sp.counts = np.concatenate(counts_out)  # int32: counts fit
-            if weights_out:
-                sp.weighted = np.concatenate(weights_out)
-        sp.raw_kmers = self.raw_kmers
-        sp.raw_good_kmers = self.raw_good_kmers
-        try:
-            os.rmdir(self.tmpdir)
-            unregister_path(self.tmpdir)
-        except OSError:
-            pass
-        return sp
+        self.close()
+        return count_spill_parts(
+            self.tmpdir, self.num_parts, self.k, self.key_dtype,
+            self.track_weights, min_depth, self.raw_kmers,
+            self.raw_good_kmers)
+
+
+def _part_files(tmpdir: str, p: int) -> List[str]:
+    pre = "part%d." % p
+    pre2 = "part%d-" % p
+    return sorted(os.path.join(tmpdir, f) for f in os.listdir(tmpdir)
+                  if f.startswith(pre) or f.startswith(pre2))
+
+
+def count_one_part(tmpdir: str, p: int, key_dt: np.dtype,
+                   track_weights: bool, min_depth: int):
+    """Sort-count every writer's spill file for part p (poolable)."""
+    ks, ws = [], []
+    for path in _part_files(tmpdir, p):
+        if track_weights:
+            rec_dt = np.dtype([("k", key_dt), ("w", np.float32)])
+            arr = np.fromfile(path, rec_dt)
+            ks.append(arr["k"])
+            ws.append(arr["w"])
+        else:
+            ks.append(np.fromfile(path, key_dt))
+        os.unlink(path)
+    if not ks:
+        return None
+    k_arr = ks[0] if len(ks) == 1 else np.concatenate(ks)
+    w = None if not track_weights else \
+        (ws[0] if len(ws) == 1 else np.concatenate(ws))
+    del ks, ws
+    if not len(k_arr):
+        return None
+    order = np.argsort(k_arr, kind="stable")
+    sk = k_arr[order]
+    if w is not None:
+        w = w[order]
+    del k_arr, order
+    boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
+    seg = (np.cumsum(boundary, dtype=np.int64) - 1)
+    M = int(seg[-1]) + 1
+    cnt = np.bincount(seg, minlength=M)
+    keep = cnt >= min_depth
+    ws_out = None
+    if w is not None:
+        ws_out = np.bincount(seg, weights=w.astype(np.float64),
+                             minlength=M)[keep]
+    return sk[boundary][keep], cnt[keep].astype(np.int32), ws_out
+
+
+def count_spill_parts(tmpdir: str, num_parts: int, k: int, key_dtype,
+                      track_weights: bool, min_depth: int,
+                      raw_kmers: int, raw_good_kmers: int, pool=None):
+    """Count all parts (optionally on a worker pool) and concatenate.
+    Range partitioning means parts concatenate already globally sorted."""
+    from kmernator_tpu.parallel.spectrum import KmerSpectrum
+    key_dt = (np.dtype(np.uint64) if key_dtype is None
+              else np.dtype(key_dtype))
+    args = [(tmpdir, p, key_dt, track_weights, min_depth)
+            for p in range(num_parts)]
+    if pool is not None:
+        results = pool.starmap(count_one_part, args)
+    else:
+        results = [count_one_part(*a) for a in args]
+    results = [r for r in results if r is not None]
+    sp = KmerSpectrum(k=k)
+    if results:
+        sp.keys = np.concatenate([r[0] for r in results])
+        sp.counts = np.concatenate([r[1] for r in results])  # int32 fits
+        if track_weights and results[0][2] is not None:
+            sp.weighted = np.concatenate([r[2] for r in results])
+    sp.raw_kmers = raw_kmers
+    sp.raw_good_kmers = raw_good_kmers
+    try:
+        os.rmdir(tmpdir)
+        unregister_path(tmpdir)
+    except OSError:
+        pass
+    return sp
 
     # spill-record bytes per observation (for sizing diagnostics)
     @property

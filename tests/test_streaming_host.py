@@ -49,12 +49,13 @@ def test_build_spectrum_in_parts_out_of_core():
     assert np.array_equal(a.counts, b.counts)
 
 
-@pytest.mark.parametrize("chunk_mb", [0.02, 8])
-def test_streaming_cli_golden(tmp_path, chunk_mb):
-    """--streaming multi-chunk output is byte-identical to the golden."""
+@pytest.mark.parametrize("chunk_mb,threads", [(0.02, 1), (0.02, 3), (8, 1)])
+def test_streaming_cli_golden(tmp_path, chunk_mb, threads):
+    """--streaming multi-chunk output is byte-identical to the golden with
+    both the sequential engine and the fork worker pool (--threads)."""
     out = str(tmp_path / "out")
     cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
-           "--jax-platform", "cpu", "--streaming",
+           "--jax-platform", "cpu", "--streaming", "--threads", str(threads),
            "--streaming-chunk-mb", str(chunk_mb), "--streaming-parts", "4",
            "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
            "--artifact-edit-distance", "1",
@@ -64,6 +65,23 @@ def test_streaming_cli_golden(tmp_path, chunk_mb):
     mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
     want = open(REF + "/1000-Filtered.fastq", "rb").read()
     assert mine == want
+
+
+def test_streaming_parallel_equals_sequential_paired(tmp_path):
+    """Worker-pool streaming == sequential streaming, byte for byte, on a
+    paired input at the same chunk size (pair logic runs per chunk)."""
+    outs = []
+    for threads in (1, 4):
+        out = str(tmp_path / ("o%d" % threads))
+        cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+               "--jax-platform", "cpu", "--streaming",
+               "--threads", str(threads),
+               "--streaming-chunk-mb", "0.01", "--streaming-parts", "3",
+               "--min-read-length", "25",
+               "--out", out, "21", REF + "/10-cs18.std.fastq"]
+        subprocess.run(cmd, check=True, env=ENV, capture_output=True)
+        outs.append(open(out + "-MinDepth2-10-cs18.std.fastq", "rb").read())
+    assert outs[0] == outs[1] and len(outs[0]) > 0
 
 
 def test_streaming_rejects_normalization(tmp_path):
