@@ -260,8 +260,11 @@ def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int,
     if keys is None:
         codes_raw = BASE_CODE[rs.seq]
         codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
-        canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-        keys = pack_keys(canon)
+        from kmernator_tpu.io.native import kmer_keys
+        keys = kmer_keys(codes, rs.offsets, k)
+        if keys is None:
+            canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+            keys = pack_keys(canon)
     counts = spectrum.lookup_counts(keys)
     lens = rs.lengths()
     nw = np.maximum(lens - k + 1, 0)
@@ -562,11 +565,19 @@ def _chunk_observations(rs: ReadSet, k: int, min_quality: int,
     codes_raw = BASE_CODE[rs.seq]
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
-    canon, is_fwd, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-    from kmernator_tpu.parallel.spectrum import pack_keys
-    keys = pack_keys(canon)
     p = rs.base_probabilities(min_quality, output_base)
-    w = window_weights(p, rs.offsets, markup, k)
+    lens = rs.lengths()
+    nwr = np.maximum(lens - k + 1, 0)
+    read_id = np.repeat(np.arange(rs.n), nwr)
+    from kmernator_tpu.io.native import kmer_observe
+    native = kmer_observe(codes, markup, p, rs.offsets, k)
+    if native is not None:
+        keys, w = native
+    else:
+        canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+        from kmernator_tpu.parallel.spectrum import pack_keys
+        keys = pack_keys(canon)
+        w = window_weights(p, rs.offsets, markup, k)
     good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
     if subtract_keys is not None and len(subtract_keys):
         idx = np.clip(np.searchsorted(subtract_keys, keys), 0,

@@ -213,3 +213,102 @@ def format_mer_lines(keys: np.ndarray, cols_f: np.ndarray,
     if n <= 0 or n > cap:
         return None
     return out[:n].tobytes()
+
+
+def kmer_observe(codes: np.ndarray, markup: np.ndarray, p: np.ndarray,
+                 offsets: np.ndarray, k: int, n_threads: int = 0):
+    """Native canonical-key + bit-exact-weight extraction (k <= 32).
+    Returns (keys u64 [N], weights f64 [N]) in extract_kmers_flat order,
+    or None when the native lib is unavailable."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kmer_observe"):
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    mk = np.ascontiguousarray(markup, dtype=np.uint8)
+    p = np.ascontiguousarray(p, dtype=np.float64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    nw = np.maximum(lens - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+    N = int(woff[-1])
+    keys = np.empty(N, dtype=np.uint64)
+    w = np.empty(N, dtype=np.float64)
+    lib.kmer_observe.restype = ctypes.c_long
+    got = lib.kmer_observe(
+        _ptr(codes), _ptr(mk), _ptr(p), _ptr(offsets), _ptr(woff),
+        ctypes.c_long(len(offsets) - 1), ctypes.c_int(k),
+        _ptr(keys), _ptr(w), ctypes.c_int(n_threads))
+    if got != N:
+        return None
+    return keys, w
+
+
+def kmer_keys(codes: np.ndarray, offsets: np.ndarray, k: int,
+              n_threads: int = 0):
+    """Native canonical u64 window keys (k <= 32), extract_kmers_flat order;
+    None when unavailable."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kmer_keys"):
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nw = np.maximum(offsets[1:] - offsets[:-1] - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+    N = int(woff[-1])
+    keys = np.empty(N, dtype=np.uint64)
+    lib.kmer_keys.restype = ctypes.c_long
+    got = lib.kmer_keys(_ptr(codes), _ptr(offsets), _ptr(woff),
+                        ctypes.c_long(len(offsets) - 1), ctypes.c_int(k),
+                        _ptr(keys), ctypes.c_int(n_threads))
+    if got != N:
+        return None
+    return keys
+
+
+class HashTable:
+    """Caller-owned open-addressing u64 -> i64 table (native probe loops)."""
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "hash_build"):
+            raise RuntimeError("native lib unavailable")
+        m = len(keys)
+        cap = 1
+        while cap < max(2 * m, 16):
+            cap <<= 1
+        self.tkeys = np.empty(cap, dtype=np.uint64)
+        self.tvals = np.empty(cap, dtype=np.int64)
+        self.cap = cap
+        lib.hash_build(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                       _ptr(np.ascontiguousarray(vals, np.int64)),
+                       ctypes.c_long(m), _ptr(self.tkeys), _ptr(self.tvals),
+                       ctypes.c_uint64(cap))
+
+    def lookup(self, query: np.ndarray, n_threads: int = 0) -> np.ndarray:
+        lib = get_lib()
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        q = np.ascontiguousarray(query, np.uint64)
+        out = np.empty(len(q), dtype=np.int64)
+        lib.hash_lookup(_ptr(self.tkeys), _ptr(self.tvals),
+                        ctypes.c_uint64(self.cap), _ptr(q), _ptr(out),
+                        ctypes.c_long(len(q)), ctypes.c_int(n_threads))
+        return out
+
+
+def make_hash(keys: np.ndarray, vals: np.ndarray):
+    """HashTable or None (u64 keys only; wide 'S' keys use searchsorted)."""
+    if keys.dtype != np.uint64 or get_lib() is None:
+        return None
+    try:
+        return HashTable(keys, vals)
+    except RuntimeError:
+        return None

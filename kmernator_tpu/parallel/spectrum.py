@@ -188,9 +188,19 @@ class KmerSpectrum:
             self.extensions = self.extensions[keep]
 
     def lookup_counts(self, query: np.ndarray) -> np.ndarray:
-        """count per query key (0 for absent), vectorized binary search."""
+        """count per query key (0 for absent): native hash probes when
+        available (binary search costs ~log2(M) dependent cache misses per
+        query), else vectorized binary search."""
         if len(self.keys) == 0:
             return np.zeros(len(query), dtype=np.int64)
+        if len(query) >= 4096 and len(self.keys) >= 4096:
+            ht = getattr(self, "_hash", None)
+            if ht is None or ht[0] is not self.keys:
+                from kmernator_tpu.io.native import make_hash
+                self._hash = ht = (self.keys,
+                                   make_hash(self.keys, self.counts))
+            if ht[1] is not None:
+                return ht[1].lookup(query)
         idx = np.searchsorted(self.keys, query)
         idx = np.clip(idx, 0, len(self.keys) - 1)
         hit = self.keys[idx] == query

@@ -530,3 +530,202 @@ long format_mer_lines(const unsigned long long* keys, long M, int k,
 }
 
 }  // extern "C"
+
+// ---- canonical k-mer observation kernel (k <= 32) ----
+//
+// Native fast path of apps/filter_reads._chunk_observations: canonical
+// window keys (u64, matching ops/kmer.extract_kmers_flat + pack_keys: base
+// 0 in the top 2 bits, pad bits zero) and bit-exact window weights
+// (ops/weights.window_weights — the reference's incremental product with
+// 1024-window resync, ref: src/KmerReadUtils.h:176-248).  Threads own read
+// ranges; output slices are disjoint by construction.
+
+static inline uint64_t ko_revcomp(uint64_t x, int k) {
+  x = ~x;
+  x = ((x & 0x3333333333333333ULL) << 2) | ((x >> 2) & 0x3333333333333333ULL);
+  x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+  x = __builtin_bswap64(x);
+  return x >> (64 - 2 * k);
+}
+
+static void ko_range(const uint8_t* codes, const uint8_t* markup,
+                     const double* p, const int64_t* offsets,
+                     const int64_t* woff, long r0, long r1, int k,
+                     uint64_t* keys_out, double* w_out) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  for (long r = r0; r < r1; r++) {
+    const long s = offsets[r];
+    const long L = offsets[r + 1] - s;
+    const long nw = L - k + 1;
+    if (nw <= 0) continue;
+    uint64_t* ko = keys_out + woff[r];
+    double* wo = w_out + woff[r];
+    // prime the first window's rolling forward code
+    uint64_t fwd = 0;
+    for (int j = 0; j < k - 1; j++) fwd = (fwd << 2) | codes[s + j];
+    double w = 0.0;
+    bool prev_bad = false;
+    for (long i = 0; i < nw; i++) {
+      fwd = ((fwd << 2) | codes[s + i + k - 1]) & kmask;
+      uint64_t rc = ko_revcomp(fwd, k);
+      uint64_t canon = fwd < rc ? fwd : rc;
+      ko[i] = canon << up;
+      bool bad = false;
+      if (i == 0 || (i & 1023) == 0 || prev_bad) {
+        w = 1.0;  // seed: sequential product, matching np.cumprod order
+        for (int j = 0; j < k; j++) w = w * p[s + i + j];
+      } else {
+        double ratio = p[s + i + k - 1] / p[s + i - 1];
+        w = w * ratio;
+      }
+      // bad = window contains a zero-probability base or a markup base
+      // (the numpy path derives this from prefix sums; here scan only when
+      // plausible: w==0 implies a zero base; markup needs the flag scan)
+      if (w == 0.0) bad = true;
+      bool marked = false;
+      for (int j = 0; j < k; j++) {
+        if (markup[s + i + j]) { marked = true; break; }
+      }
+      if (marked) { bad = true; w = 0.0; wo[i] = 0.0; }
+      else wo[i] = w;
+      prev_bad = bad;
+      if (marked) w = 0.0;
+    }
+  }
+}
+
+extern "C" {
+
+// codes: [total] 0..3 (markup bases pre-zeroed), markup: [total] 0/1,
+// p: [total] f64 P(correct), offsets: [n+1], woff: [n+1] window output
+// offsets.  keys_out/w_out sized woff[n].  Returns total windows written.
+long kmer_observe(const uint8_t* codes, const uint8_t* markup,
+                  const double* p, const int64_t* offsets,
+                  const int64_t* woff, long n_reads, int k,
+                  uint64_t* keys_out, double* w_out, int n_threads) {
+  if (k < 1 || k > 32) return -1;
+  if (n_threads <= 1 || n_reads < 1024) {
+    ko_range(codes, markup, p, offsets, woff, 0, n_reads, k, keys_out, w_out);
+    return woff[n_reads];
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      ko_range(codes, markup, p, offsets, woff, s, e, k, keys_out, w_out);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return woff[n_reads];
+}
+
+}  // extern "C"
+
+static void kk_range(const uint8_t* codes, const int64_t* offsets,
+                     const int64_t* woff, long r0, long r1, int k,
+                     uint64_t* keys_out) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  for (long r = r0; r < r1; r++) {
+    const long s = offsets[r];
+    const long nw = offsets[r + 1] - s - k + 1;
+    if (nw <= 0) continue;
+    uint64_t* ko = keys_out + woff[r];
+    uint64_t fwd = 0;
+    for (int j = 0; j < k - 1; j++) fwd = (fwd << 2) | codes[s + j];
+    for (long i = 0; i < nw; i++) {
+      fwd = ((fwd << 2) | codes[s + i + k - 1]) & kmask;
+      uint64_t rc = ko_revcomp(fwd, k);
+      ko[i] = (fwd < rc ? fwd : rc) << up;
+    }
+  }
+}
+
+extern "C" {
+
+// keys-only variant of kmer_observe (scoring passes need no weights)
+long kmer_keys(const uint8_t* codes, const int64_t* offsets,
+               const int64_t* woff, long n_reads, int k,
+               uint64_t* keys_out, int n_threads) {
+  if (k < 1 || k > 32) return -1;
+  if (n_threads <= 1 || n_reads < 1024) {
+    kk_range(codes, offsets, woff, 0, n_reads, k, keys_out);
+    return woff[n_reads];
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      kk_range(codes, offsets, woff, s, e, k, keys_out);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return woff[n_reads];
+}
+
+}  // extern "C"
+
+// ---- open-addressing u64->i64 count table for spectrum lookups ----
+//
+// Native fast path of KmerSpectrum.lookup_counts: a sorted-array binary
+// search costs ~24 dependent cache misses per query at 10^7 keys; a
+// linear-probe hash costs ~1.  The table lives in caller-owned numpy
+// arrays (tkeys u64 cap, tvals i64 cap), cap a power of two, EMPTY =
+// ~0ULL (canonical keys shifted left never equal ~0).
+
+static inline uint64_t ht_mix(uint64_t h) {
+  h ^= h >> 33; h *= 0xff51afd7ed558ccdULL;
+  h ^= h >> 33; h *= 0xc4ceb9fe1a85ec53ULL;
+  h ^= h >> 33; return h;
+}
+
+extern "C" {
+
+void hash_build(const uint64_t* keys, const int64_t* vals, long m,
+                uint64_t* tkeys, int64_t* tvals, uint64_t cap) {
+  const uint64_t mask = cap - 1;
+  for (uint64_t i = 0; i < cap; i++) tkeys[i] = ~0ULL;
+  for (long i = 0; i < m; i++) {
+    uint64_t h = ht_mix(keys[i]) & mask;
+    while (tkeys[h] != ~0ULL) h = (h + 1) & mask;
+    tkeys[h] = keys[i];
+    tvals[h] = vals[i];
+  }
+}
+
+static void hl_range(const uint64_t* tkeys, const int64_t* tvals,
+                     uint64_t mask, const uint64_t* q, int64_t* out,
+                     long s, long e) {
+  for (long i = s; i < e; i++) {
+    uint64_t h = ht_mix(q[i]) & mask;
+    while (true) {
+      if (tkeys[h] == q[i]) { out[i] = tvals[h]; break; }
+      if (tkeys[h] == ~0ULL) { out[i] = 0; break; }
+      h = (h + 1) & mask;
+    }
+  }
+}
+
+void hash_lookup(const uint64_t* tkeys, const int64_t* tvals, uint64_t cap,
+                 const uint64_t* q, int64_t* out, long n, int n_threads) {
+  const uint64_t mask = cap - 1;
+  if (n_threads <= 1 || n < (1 << 16)) {
+    hl_range(tkeys, tvals, mask, q, out, 0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { hl_range(tkeys, tvals, mask, q, out, s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

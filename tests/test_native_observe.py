@@ -1,0 +1,79 @@
+"""Native kmer_observe kernel == numpy oracle, bit for bit (keys AND
+float64 weights), across ragged reads, markup bases, zero-probability
+bases, and the 1024-window resync boundary."""
+import numpy as np
+import pytest
+
+from kmernator_tpu.io.native import kmer_observe
+from kmernator_tpu.ops.kmer import extract_kmers_flat
+from kmernator_tpu.ops.weights import window_weights, phred_probability
+from kmernator_tpu.parallel.spectrum import pack_keys
+
+
+def _oracle(codes, markup, p, offsets, k):
+    canon, _, _, _ = extract_kmers_flat(codes, offsets, k)
+    return pack_keys(canon), window_weights(p, offsets, markup, k)
+
+
+@pytest.mark.parametrize("k", [5, 16, 17, 31, 32])
+def test_native_observe_matches_numpy(k):
+    if kmer_observe(np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+                    np.zeros(0), np.array([0], np.int64), k) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    lens = np.concatenate([
+        rng.integers(1, 200, 60),        # short/ragged (some < k)
+        [1500, 2600],                    # cross the 1024-window resync
+    ]).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    total = int(offsets[-1])
+    codes = rng.integers(0, 4, total).astype(np.uint8)
+    markup = rng.random(total) < 0.01
+    codes[markup] = 0
+    phred = rng.integers(0, 41, total)
+    phred[rng.random(total) < 0.05] = 1   # below min_quality -> p == 0.0
+    p = phred_probability(phred, 3, 33)
+    ok, ow = _oracle(codes, markup.astype(np.uint8).astype(bool), p,
+                     offsets, k)
+    res = kmer_observe(codes, markup, p, offsets, k)
+    assert res is not None
+    nk, nw = res
+    assert np.array_equal(ok, nk)
+    # weights must be IDENTICAL doubles (the spectrum discard threshold
+    # compares float32 casts; bit equality makes that trivially safe)
+    assert np.array_equal(ow.view(np.int64), nw.view(np.int64))
+
+
+def test_native_observe_wide_k_falls_back():
+    assert kmer_observe(np.zeros(4, np.uint8), np.zeros(4, np.uint8),
+                        np.ones(4), np.array([0, 4], np.int64), 33) is None
+
+
+@pytest.mark.parametrize("k", [7, 31, 32])
+def test_native_keys_matches_numpy(k):
+    from kmernator_tpu.io.native import kmer_keys
+    rng = np.random.default_rng(9)
+    lens = rng.integers(1, 300, 80).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    codes = rng.integers(0, 4, int(offsets[-1])).astype(np.uint8)
+    nk = kmer_keys(codes, offsets, k)
+    if nk is None:
+        pytest.skip("native lib unavailable")
+    canon, _, _, _ = extract_kmers_flat(codes, offsets, k)
+    assert np.array_equal(pack_keys(canon), nk)
+
+
+def test_native_hash_lookup_matches_searchsorted():
+    from kmernator_tpu.io.native import make_hash
+    rng = np.random.default_rng(17)
+    keys = np.unique(rng.integers(0, 1 << 62, 50000).astype(np.uint64)) << 2
+    counts = rng.integers(1, 1000, len(keys)).astype(np.int64)
+    ht = make_hash(keys, counts)
+    if ht is None:
+        pytest.skip("native lib unavailable")
+    q = np.concatenate([keys[rng.integers(0, len(keys), 30000)],
+                        rng.integers(0, 1 << 62, 30000).astype(np.uint64) << 2])
+    rng.shuffle(q)
+    idx = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+    want = np.where(keys[idx] == q, counts[idx], 0)
+    assert np.array_equal(ht.lookup(q), want)
