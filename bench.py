@@ -14,11 +14,16 @@ Baseline: a multithreaded C++ open-addressing counter
 path, run on the same host over the same workload shape.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N,
+   "e2e_metric": ..., "e2e_value": N, "e2e_vs_baseline": N}
+The e2e_* fields track BASELINE.json's second metric (reads filtered/sec
+at 1 host): a timed streaming FilterReads run over a generated 1 GiB
+FASTQ vs the C++ baseline_filter stand-in (see e2e_reads_per_sec below).
 """
 import json
 import os
 import subprocess
+import sys
 import time
 
 import numpy as np
@@ -93,6 +98,88 @@ def tpu_kmers_per_sec() -> float:
     return n_windows * STEPS / dt
 
 
+# ---- secondary metric: end-to-end FilterReads throughput (1 host) ----
+#
+# BASELINE.json's second metric ("reads filtered/sec at 1/N hosts").
+# Input: a generated Illumina-like FASTQ (default 1 GiB; KMTPU_E2E_MB
+# overrides).  Ours: the streaming host engine (bounded memory, fork
+# worker pool) at MEDIAN/min-depth-2 — the 1000.fastq golden config.
+# Baseline: native/baseline_filter.cpp, a multithreaded C++ parse ->
+# count -> median-score -> write pipeline that deliberately does LESS
+# work per read (no artifact filter, no pairing) — a generous stand-in,
+# since the reference itself does not build here (Boost/MPI absent).
+
+E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "1024"))
+E2E_L = 100
+
+
+def e2e_input_path() -> str:
+    path = "/tmp/kmtpu-bench-e2e-%dmb.fastq" % E2E_MB
+    if os.path.exists(path) and os.path.getsize(path) > E2E_MB * 990000:
+        return path
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, 5_000_000, dtype=np.uint8)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_reads = int(E2E_MB * 1e6 / 215)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        done = 0
+        while done < n_reads:
+            b = min(100000, n_reads - done)
+            starts = rng.integers(0, len(genome) - E2E_L, b)
+            codes = genome[starts[:, None] + np.arange(E2E_L)[None, :]].copy()
+            err = rng.random((b, E2E_L)) < 0.003
+            codes[err] = (codes[err] + rng.integers(1, 4, err.sum())) % 4
+            q = np.clip(rng.normal(37, 3, (b, E2E_L)), 2, 40).astype(np.uint8)
+            low = rng.random((b, E2E_L)) < 0.01
+            q[low] = rng.integers(2, 15, low.sum())
+            q += 33
+            f.write(b"".join(
+                b"@r%d\n%s\n+\n%s\n" % (done + i, s, qq) for i, (s, qq) in
+                enumerate(zip(acgt[codes], q))))
+            done += b
+    os.replace(tmp, path)
+    return path
+
+
+def e2e_reads_per_sec():
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = e2e_input_path()
+    n_reads = int(E2E_MB * 1e6 / 215)
+    out = "/tmp/kmtpu-bench-e2e-out"
+    env = dict(os.environ, PYTHONPATH=here)
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+         "--jax-platform", "cpu", "--streaming",
+         "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+         "--artifact-edit-distance", "1", "--min-read-length", "25",
+         "--out", out, "31", path],
+        check=True, env=env, capture_output=True, timeout=1800)
+    dt = time.perf_counter() - t0
+    for f in os.listdir("/tmp"):
+        if f.startswith("kmtpu-bench-e2e-out"):
+            os.unlink("/tmp/" + f)
+    return n_reads / dt
+
+
+def e2e_baseline_reads_per_sec() -> float:
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "baseline_filter.cpp")
+    exe = os.path.join(here, "native", "baseline_filter")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
+                        "-lpthread"], check=True)
+    out = subprocess.run(
+        [exe, e2e_input_path(), "31", "4", "2", "/tmp/kmtpu-bench-bf-out"],
+        check=True, capture_output=True, text=True, timeout=1800)
+    os.unlink("/tmp/kmtpu-bench-bf-out")
+    for line in out.stdout.splitlines():
+        if line.startswith("reads_per_sec="):
+            return float(line.split("=")[1])
+    raise RuntimeError("baseline_filter produced no rate: %r" % out.stdout)
+
+
 def main():
     value = tpu_kmers_per_sec()
     try:
@@ -105,6 +192,17 @@ def main():
         "unit": "kmers/s",
         "vs_baseline": round(value / base, 2) if base else None,
     }
+    try:
+        e2e = e2e_reads_per_sec()
+        rec["e2e_metric"] = "reads filtered/sec (1 host, %d MB)" % E2E_MB
+        rec["e2e_value"] = round(e2e)
+        try:
+            e2e_base = e2e_baseline_reads_per_sec()
+            rec["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
+        except Exception:
+            rec["e2e_vs_baseline"] = None
+    except Exception:
+        rec["e2e_value"] = None
     print(json.dumps(rec))
 
 
