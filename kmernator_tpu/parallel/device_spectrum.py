@@ -230,7 +230,7 @@ def count_and_score(canon: jax.Array, good: jax.Array, k: int,
     g = good.reshape(N)
     idx = jnp.arange(N, dtype=jnp.int32)
     ops = [keys[:, w] for w in range(W)] + [g.astype(jnp.int32), idx]
-    sorted_ops = jax.lax.sort(ops, num_keys=W)
+    sorted_ops = jax.lax.sort(ops, num_keys=W, is_stable=False)
     skeys = jnp.stack(sorted_ops[:W], axis=-1)
     sgood = sorted_ops[W]
     sidx = sorted_ops[W + 1]
@@ -263,7 +263,7 @@ def count_batch(keys: jax.Array, good: jax.Array, min_count: int = 1):
         N, W = keys.shape
         cols = [keys[:, w] for w in range(W)]
     # pre-mask bad windows to the sentinel so only good observations count
-    s = jax.lax.sort([jnp.where(good, c, SENTINEL) for c in cols], num_keys=W)
+    s = jax.lax.sort([jnp.where(good, c, SENTINEL) for c in cols], num_keys=W, is_stable=False)
     neq = jnp.zeros(N - 1, dtype=jnp.bool_)
     for w in range(W):
         neq = neq | (s[w][1:] != s[w][:-1])
@@ -296,7 +296,7 @@ def compact_spectrum(skeys: jax.Array, boundary: jax.Array, seg: jax.Array,
     out_keys = jnp.where(keep[:, None], skeys, SENTINEL)
     out_counts = jnp.where(keep, seg_counts[seg], 0)
     ops = [out_keys[:, w] for w in range(W)] + [out_counts]
-    s = jax.lax.sort(ops, num_keys=W)
+    s = jax.lax.sort(ops, num_keys=W, is_stable=False)
     n_unique = jnp.sum(keep)
     return jnp.stack(s[:W], axis=-1), s[W], n_unique
 
@@ -316,7 +316,7 @@ def merge_tables(keys_a, counts_a, keys_b, counts_b):
     counts = jnp.concatenate([counts_a, counts_b])
     N, W = keys.shape
     ops = [keys[:, w] for w in range(W)] + [counts]
-    s = jax.lax.sort(ops, num_keys=W)
+    s = jax.lax.sort(ops, num_keys=W, is_stable=False)
     scounts = s[W]
     neq = jnp.zeros(N - 1, dtype=jnp.bool_)
     for w in range(W):
@@ -340,7 +340,7 @@ def merge_tables(keys_a, counts_a, keys_b, counts_b):
     out_cols = [jnp.where(keep, c, SENTINEL) for c in s[:W]]
     out_counts = jnp.where(keep, run_total, 0)
     # re-sort so unique rows lead and sentinels trail
-    s2 = jax.lax.sort(out_cols + [out_counts], num_keys=W)
+    s2 = jax.lax.sort(out_cols + [out_counts], num_keys=W, is_stable=False)
     return jnp.stack(s2[:W], axis=-1), s2[W]
 
 
@@ -376,7 +376,7 @@ def lookup_join(table_keys: jax.Array, table_counts: jax.Array,
     payload = jnp.concatenate([table_counts, jnp.zeros(Q, jnp.int32)])
     qidx = jnp.concatenate([jnp.zeros(M, jnp.int32), jnp.arange(Q, dtype=jnp.int32)])
     ops = [keys[:, w] for w in range(W)] + [is_q, payload, qidx]
-    s = jax.lax.sort(ops, num_keys=W + 1)  # table rows before queries per key
+    s = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)  # table rows before queries per key
     skeys = jnp.stack(s[:W], axis=-1)
     s_isq, s_payload, s_qidx = s[W], s[W + 1], s[W + 2]
     N = M + Q
@@ -394,7 +394,7 @@ def lookup_join(table_keys: jax.Array, table_counts: jax.Array,
         jnp.where(boundary, A - P, jnp.iinfo(jnp.int32).min))
     filled = A - base
     # per-query counts in original order: queries lead, ordered by qidx
-    s4 = jax.lax.sort([1 - s_isq, s_qidx, filled], num_keys=2)
+    s4 = jax.lax.sort([1 - s_isq, s_qidx, filled], num_keys=2, is_stable=False)
     return s4[2][:Q]
 
 

@@ -64,7 +64,7 @@ def build_index_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0):
         owner = jnp.where(sent, jnp.int32(D), owner)
         C = int(np.ceil(N / D * capacity_factor))
         idx = jnp.arange(N, dtype=jnp.int32)
-        sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
+        sowner, sidx = jax.lax.sort([owner, idx], num_keys=1, is_stable=False)
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
         ok = (pos_in_run < C) & (sowner < D)
@@ -83,7 +83,10 @@ def build_index_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0):
         rr = a2a(send_rid).reshape(D * C)
         # sort received observations by key; read-id becomes the payload
         ops = [rk[:, w] for w in range(W)] + [rr]
-        s = jax.lax.sort(ops, num_keys=W)
+        # rid participates as a key: run contents come out rid-sorted, so
+        # max_ids truncation in match_fn is deterministic and independent
+        # of sort stability / routing order
+        s = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)
         skeys = jnp.stack(s[:W], axis=-1)
         srid = s[W]
         return skeys, srid, overflow[None]

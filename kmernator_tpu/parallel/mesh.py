@@ -96,7 +96,7 @@ def _bucket_scatter_cols(key_cols, good, owner, D: int, C: int):
     # overflow because of them
     owner = jnp.where(sent, jnp.int32(D), owner)
     idx = jnp.arange(N, dtype=jnp.int32)
-    sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
+    sowner, sidx = jax.lax.sort([owner, idx], num_keys=1, is_stable=False)
     # rank within each owner run (sorted): i - first_index_of(owner[i])
     first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
     pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
@@ -133,7 +133,7 @@ def _count_received_cols(key_cols, good2d, min_count: int):
     W = len(key_cols)
     DC = key_cols[0].shape[0]
     idx = jnp.arange(DC, dtype=jnp.int32)
-    s = jax.lax.sort(list(key_cols) + [good2d, idx], num_keys=W)
+    s = jax.lax.sort(list(key_cols) + [good2d, idx], num_keys=W, is_stable=False)
     sgood, sidx = s[W], s[W + 1]
     neq = jnp.zeros(DC - 1, dtype=jnp.bool_)
     for w in range(W):
@@ -238,7 +238,7 @@ def _count_received_ext(keys2d, good2d, el2d, er2d, min_count: int):
     DC, W = keys2d.shape
     ops = ([keys2d[:, w] for w in range(W)]
            + [good2d, el2d, er2d])
-    s = jax.lax.sort(ops, num_keys=W)
+    s = jax.lax.sort(ops, num_keys=W, is_stable=False)
     skeys = jnp.stack(s[:W], axis=-1)
     sgood, sel, ser = s[W], s[W + 1], s[W + 2]
     neq = jnp.zeros(DC - 1, dtype=jnp.bool_)
@@ -301,7 +301,7 @@ def distributed_extension_fn(mesh: Mesh, k: int, capacity_factor: float = 2.0,
             sent = sent & (keys[:, w] == SENTINEL)
         owner = jnp.where(sent, jnp.int32(D), owner)
         idx = jnp.arange(N, dtype=jnp.int32)
-        sowner, sidx = jax.lax.sort([owner, idx], num_keys=1)
+        sowner, sidx = jax.lax.sort([owner, idx], num_keys=1, is_stable=False)
         first = jnp.searchsorted(sowner, sowner, side="left").astype(jnp.int32)
         pos_in_run = jnp.arange(N, dtype=jnp.int32) - first
         ok = (pos_in_run < C) & (sowner < D)

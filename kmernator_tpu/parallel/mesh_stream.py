@@ -110,7 +110,7 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
         counts = args[W].reshape(-1)
         weights = args[W + 1].reshape(-1)
         # 1) sort by key, run-total counts/weights via monotone scans
-        s = jax.lax.sort(key_cols + [counts, weights], num_keys=W)
+        s = jax.lax.sort(key_cols + [counts, weights], num_keys=W, is_stable=False)
         sc, sw = s[W], s[W + 1]
         neq = jnp.zeros(R - 1, dtype=jnp.bool_)
         for w in range(W):
@@ -140,7 +140,7 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
         # singletons; beyond-capacity singletons are purged (ref: the
         # reference's periodic singleton purge under memory pressure)
         prio = jnp.where(mc >= 2, 0, jnp.where(mc > 0, 1, 2)).astype(jnp.int32)
-        s2 = jax.lax.sort([prio] + mk + [mc, mw], num_keys=1 + W)
+        s2 = jax.lax.sort([prio] + mk + [mc, mw], num_keys=1 + W, is_stable=False)
         kept_counts = s2[W + 1][:cap]
         kept_w = s2[W + 2][:cap]
         kept_real = kept_counts > 0
@@ -150,7 +150,7 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
         # 3) re-sort by key so the table stays binary-searchable
         s3 = jax.lax.sort(out_cols + [jnp.where(kept_real, kept_counts, 0),
                                       jnp.where(kept_real, kept_w, 0.0)],
-                          num_keys=W)
+                          num_keys=W, is_stable=False)
         return (tuple(a[None, :] for a in s3[:W])
                 + (s3[W][None, :], s3[W + 1][None, :], purged[None]))
 

@@ -191,7 +191,7 @@ def _purge_compact(keys, counts, capacity: int):
     solid = counts >= 2
     prio = jnp.where(solid, 0, jnp.where(real, 1, 2)).astype(jnp.int32)
     ops = [prio] + [keys[:, w] for w in range(W)] + [counts]
-    s = jax.lax.sort(ops, num_keys=W + 1)
+    s = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)
     out_keys = jnp.stack(s[1:W + 1], axis=-1)[:capacity]
     out_counts = s[W + 1][:capacity]
     # rows beyond capacity are dropped: null out any that were padding anyway
