@@ -820,6 +820,10 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
         # chunk 0 runs in the parent so its writer seeds the shared splitters
         n_reads, raw, good, key_dt, splitters = _par_pass1(work[0])
         _PAR["splitters"] = splitters
+        # pool workers own whole cores; native kernels inside them must not
+        # fan out another cpu_count threads each (forked state)
+        from kmernator_tpu.io import native as _native
+        _native.set_default_threads(1)
         with ctx.Pool(threads) as pool:
             for rn, rk, rgk, kd, _ in pool.imap_unordered(
                     _par_pass1, work[1:], chunksize=1):
@@ -855,6 +859,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
     if not opts.output_file:
         return 0
     _PAR["spectrum"] = spectrum
+    from kmernator_tpu.io import native as _native
+    _native.set_default_threads(1)
     written = set()
     with ctx.Pool(threads) as pool:
         for outputs in pool.imap(_par_pass2, work, chunksize=1):

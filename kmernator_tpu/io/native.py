@@ -19,6 +19,23 @@ _LIB = os.path.join(_REPO, "native", "libkmernator_io.so")
 _lib = None
 _tried = False
 
+# kernels default to this thread count; worker-pool parents set it to 1
+# before forking so 4 processes x 4 threads don't oversubscribe 4 cores
+DEFAULT_THREADS = 0  # 0 = cpu_count
+
+
+def set_default_threads(n: int):
+    global DEFAULT_THREADS
+    DEFAULT_THREADS = n
+
+
+def _threads(n_threads: int) -> int:
+    if n_threads > 0:
+        return n_threads
+    if DEFAULT_THREADS > 0:
+        return DEFAULT_THREADS
+    return os.cpu_count() or 1
+
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
@@ -53,8 +70,7 @@ def fastq_index(data: bytes, n_threads: int = 0):
     if lib is None:
         return None
     buf = np.frombuffer(data, dtype=np.uint8)
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     # capacity: exact newline count for small inputs, sampled estimate with
     # an exact-count retry for large ones (avoids a full pre-pass)
     if len(buf) < (16 << 20):
@@ -105,8 +121,7 @@ def pack_batch_idx(data: np.ndarray, seq_off: np.ndarray, qual_off: np.ndarray,
     logp = np.zeros((B, L), dtype=np.float32)
     lengths = np.zeros(B, dtype=np.int32)
     tab = np.ascontiguousarray(logp_table, dtype=np.float64)
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     lib.pack_batch_idx_mt(_ptr(data),
                           _ptr(np.ascontiguousarray(seq_off, np.int64)),
                           _ptr(np.ascontiguousarray(qual_off, np.int64)),
@@ -131,8 +146,7 @@ def pack_batch_qual(data: np.ndarray, seq_off: np.ndarray,
     codes = np.zeros((B, L), dtype=np.uint8)
     qual = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     lib.pack_batch_qual_mt(_ptr(data),
                            _ptr(np.ascontiguousarray(seq_off, np.int64)),
                            _ptr(np.ascontiguousarray(qual_off, np.int64)),
@@ -156,8 +170,7 @@ def pack_batch_2bit_qual(data: np.ndarray, seq_off: np.ndarray,
     codes2 = np.zeros((B, Lb), dtype=np.uint8)
     qual = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     lib.pack_batch_2bit_qual_mt(
         _ptr(data),
         _ptr(np.ascontiguousarray(seq_off, np.int64)),
@@ -225,8 +238,7 @@ def kmer_observe(codes: np.ndarray, markup: np.ndarray, p: np.ndarray,
     lib = get_lib()
     if lib is None or not hasattr(lib, "kmer_observe"):
         return None
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     mk = np.ascontiguousarray(markup, dtype=np.uint8)
     p = np.ascontiguousarray(p, dtype=np.float64)
@@ -256,8 +268,7 @@ def kmer_keys(codes: np.ndarray, offsets: np.ndarray, k: int,
     lib = get_lib()
     if lib is None or not hasattr(lib, "kmer_keys"):
         return None
-    if n_threads <= 0:
-        n_threads = os.cpu_count() or 1
+    n_threads = _threads(n_threads)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     nw = np.maximum(offsets[1:] - offsets[:-1] - k + 1, 0)
@@ -294,8 +305,7 @@ class HashTable:
 
     def lookup(self, query: np.ndarray, n_threads: int = 0) -> np.ndarray:
         lib = get_lib()
-        if n_threads <= 0:
-            n_threads = os.cpu_count() or 1
+        n_threads = _threads(n_threads)
         q = np.ascontiguousarray(query, np.uint64)
         out = np.empty(len(q), dtype=np.int64)
         lib.hash_lookup(_ptr(self.tkeys), _ptr(self.tvals),
@@ -312,3 +322,43 @@ def make_hash(keys: np.ndarray, vals: np.ndarray):
         return HashTable(keys, vals)
     except RuntimeError:
         return None
+
+
+def quality_runs(phred: np.ndarray, has_quals: np.ndarray,
+                 offsets: np.ndarray, min_quality: int, n_threads: int = 0):
+    """Native per-read best/second-best quality runs; None if unavailable.
+    Returns (best_off, best_len, sec_off, sec_len) int64 arrays."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "quality_runs"):
+        return None
+    n_threads = _threads(n_threads)
+    n = len(offsets) - 1
+    ph = np.ascontiguousarray(phred, np.int16)
+    hq = np.ascontiguousarray(has_quals, np.uint8)
+    off = np.ascontiguousarray(offsets, np.int64)
+    outs = [np.empty(n, np.int64) for _ in range(4)]
+    lib.quality_runs(_ptr(ph), _ptr(hq), _ptr(off), ctypes.c_long(n),
+                     ctypes.c_int(int(min_quality)),
+                     _ptr(outs[0]), _ptr(outs[1]), _ptr(outs[2]),
+                     _ptr(outs[3]), ctypes.c_int(n_threads))
+    return tuple(outs)
+
+
+def artifact_keys(codes: np.ndarray, offsets: np.ndarray, k: int,
+                  hmax: int, n_threads: int = 0):
+    """Native canonical u64 keys at byte-aligned hops -> [n, hmax]
+    (inactive cells = ~0, guaranteed table miss); None if unavailable."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "artifact_keys"):
+        return None
+    n_threads = _threads(n_threads)
+    n = len(offsets) - 1
+    cd = np.ascontiguousarray(codes, np.uint8)
+    off = np.ascontiguousarray(offsets, np.int64)
+    out = np.empty((n, hmax), np.uint64)
+    lib.artifact_keys(_ptr(cd), _ptr(off), ctypes.c_long(n),
+                      ctypes.c_int(k), ctypes.c_long(hmax), _ptr(out),
+                      ctypes.c_int(n_threads))
+    return out

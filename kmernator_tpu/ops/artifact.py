@@ -154,7 +154,15 @@ class ArtifactFilter:
         return np.concatenate(outs), np.concatenate(outv)
 
     def lookup(self, keys: np.ndarray) -> np.ndarray:
-        """Vectorized table lookup: value (0 = miss) per canonical u64 key."""
+        """Vectorized table lookup: value (0 = miss) per canonical u64 key.
+        Uses the native hash probe when available (the table is immutable
+        after __init__); falls back to binary search."""
+        ht = getattr(self, "_ht", None)
+        if ht is None and len(keys) >= 4096:
+            from kmernator_tpu.io.native import make_hash
+            self._ht = ht = (make_hash(self._table_keys, self._table_vals),)
+        if ht is not None and ht[0] is not None:
+            return ht[0].lookup(keys)
         idx = np.searchsorted(self._table_keys, keys)
         idx = np.clip(idx, 0, len(self._table_keys) - 1)
         hit = self._table_keys[idx] == keys
@@ -273,34 +281,49 @@ class ArtifactFilter:
         phred = rs.phred()
         k = self.k
         # --- quality runs (best & second best) ---
+        from kmernator_tpu.io import native
         L = int(lens.max()) if n else 0
-        good = np.zeros((n, L), dtype=bool)
         base = int(rs.offsets[0]) if n else 0
-        if n and L:
-            rows = np.repeat(np.arange(n), lens)
-            cols = np.arange(int(lens.sum())) - np.repeat(
-                rs.offsets[:-1].astype(np.int64) - base, lens)
-            flat_good = phred[base:int(rs.offsets[-1])] >= self.min_quality
-            good[rows, cols] = flat_good | ~rs.has_quals[rows]
-        col = np.arange(L)[None, :]
-        in_read = col < lens[:, None]
-        good &= in_read
-        run = np.zeros((n, L), dtype=np.int64)
-        prev = np.zeros(n, dtype=np.int64)
-        for j in range(L):
-            prev = np.where(good[:, j], prev + 1, 0)
-            run[:, j] = prev
-        best_len = run.max(axis=1) if L else np.zeros(n, np.int64)
-        best_end = np.argmax(run, axis=1) if L else np.zeros(n, np.int64)
-        best_off = best_end - best_len + 1
-        # second-best: longest run excluding the best one
-        run2 = np.where((col >= best_off[:, None]) & (col <= best_end[:, None]),
-                        0, run)
-        # runs overlapping the best are impossible (runs are disjoint), so
-        # masking the best run's columns suffices
-        sec_len = run2.max(axis=1) if L else np.zeros(n, np.int64)
-        sec_end = np.argmax(run2, axis=1) if L else np.zeros(n, np.int64)
-        sec_off = np.where(sec_len > 0, sec_end - sec_len + 1, 0)
+        qr = native.quality_runs(phred[base:], rs.has_quals,
+                                 rs.offsets - base, self.min_quality) \
+            if n else None
+        if qr is not None:
+            best_off, best_len, sec_off, sec_len = qr
+        else:
+            good = np.zeros((n, L), dtype=bool)
+            if n and L:
+                rows = np.repeat(np.arange(n), lens)
+                cols = np.arange(int(lens.sum())) - np.repeat(
+                    rs.offsets[:-1].astype(np.int64) - base, lens)
+                flat_good = phred[base:int(rs.offsets[-1])] >= self.min_quality
+                good[rows, cols] = flat_good | ~rs.has_quals[rows]
+            col = np.arange(L)[None, :]
+            in_read = col < lens[:, None]
+            good &= in_read
+            # column-wise transcription of the scalar best/second loop
+            # (_quality_runs): at every run end, the run challenges best
+            # (strictly longer wins; the demoted ex-best then challenges
+            # second).  A masked argmax is NOT equivalent — when the
+            # pre-best leader ties an already-accepted second candidate,
+            # the reference keeps the candidate, not the leader.
+            z = np.zeros(n, dtype=np.int64)
+            best_off, best_len = z.copy(), z.copy()
+            sec_off, sec_len = z.copy(), z.copy()
+            prev = z.copy()
+            for j in range(L + 1):
+                gj = good[:, j] if j < L else np.zeros(n, dtype=bool)
+                end = ~gj & (j <= lens)
+                t_len = prev
+                t_off = j - prev
+                swap = end & (t_len > best_len)
+                cand_len = np.where(swap, best_len, t_len)
+                cand_off = np.where(swap, best_off, t_off)
+                best_len = np.where(swap, t_len, best_len)
+                best_off = np.where(swap, t_off, best_off)
+                s_upd = end & (cand_len > sec_len)
+                sec_len = np.where(s_upd, cand_len, sec_len)
+                sec_off = np.where(s_upd, cand_off, sec_off)
+                prev = np.where(gj, prev + 1, 0)
         min_pass = np.where(best_len > 0, best_off, 0)
         max_pass = np.where(best_len > 0, best_off + best_len, 0)
 
@@ -315,35 +338,44 @@ class ArtifactFilter:
         start_hop = min_pass // 4
         # scan over padded rows: Lp = 4*ceil(L/4) pad bases read as 'A'
         Lp = 4 * ((L + 3) // 4)
-        codes = np.zeros((n, Lp), dtype=np.uint8)
-        if n and L:
-            craw = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
-            codes[rows, cols] = np.where(craw == 4, 0, craw).astype(np.uint8)
         if Lp >= k and n:
-            from kmernator_tpu.ops.kmer import last_word_mask, pack16
             NWp = Lp - k + 1
             H = Lp // 4
             W = nwords(k)
-            # the scan only probes byte-aligned windows (every 4th base,
-            # ref: applyFilterToRead :446-490) — build canonical words at
-            # those positions directly rather than extracting every window
-            # then keeping every 4th (4x less pack/revcomp work)
-            p16 = pack16(np, codes)  # [n, Lp]
-            fwd = np.zeros((n, H, W), dtype=np.uint32)
-            for w in range(W):
-                sl = p16[:, 16 * w::4][:, :H]
-                fwd[:, :sl.shape[1], w] = sl
-            fwd[:, :, W - 1] &= np.uint32(last_word_mask(k))
-            rc = revcomp_words(np, fwd, k)
-            fwd_le = ~words_less(np, rc, fwd)
-            canon = np.where(fwd_le[..., None], fwd, rc)
+            flat_codes = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
+            flat_codes = np.where(flat_codes == 4, 0,
+                                  flat_codes).astype(np.uint8)
+            keys2d = native.artifact_keys(flat_codes, rs.offsets - base,
+                                          k, H) if W <= 2 else None
+            if keys2d is None:
+                from kmernator_tpu.ops.kmer import last_word_mask, pack16
+                codes = np.zeros((n, Lp), dtype=np.uint8)
+                if L:
+                    rows = np.repeat(np.arange(n), lens)
+                    cols = (np.arange(int(lens.sum()))
+                            - np.repeat(rs.offsets[:-1].astype(np.int64)
+                                        - base, lens))
+                    codes[rows, cols] = flat_codes
+                # the scan only probes byte-aligned windows (every 4th base,
+                # ref: applyFilterToRead :446-490) — build canonical words at
+                # those positions directly rather than extracting every
+                # window then keeping every 4th (4x less pack/revcomp work)
+                p16 = pack16(np, codes)  # [n, Lp]
+                fwd = np.zeros((n, H, W), dtype=np.uint32)
+                for w in range(W):
+                    sl = p16[:, 16 * w::4][:, :H]
+                    fwd[:, :sl.shape[1], w] = sl
+                fwd[:, :, W - 1] &= np.uint32(last_word_mask(k))
+                rc = revcomp_words(np, fwd, k)
+                fwd_le = ~words_less(np, rc, fwd)
+                canon = np.where(fwd_le[..., None], fwd, rc)
+                keys2d = _canonical_ints(canon.reshape(-1, W)).reshape(n, H)
             hops = np.arange(H)[None, :]  # byte positions
             pos = hops * 4
             active = ((hops >= start_hop[:, None]) & (hops <= byte_hops[:, None])
                       & (pos < NWp) & (lens[:, None] >= k)
                       & (byte_hops[:, None] >= start_hop[:, None]))
-            keys = _canonical_ints(canon.reshape(-1, W))
-            vals = self.lookup(keys).reshape(n, -1)
+            vals = self.lookup(keys2d.reshape(-1)).reshape(n, -1)
             vals = np.where(active, vals, 0)
             hit = vals > 0
             any_hit = hit.any(axis=1)

@@ -729,3 +729,94 @@ void hash_lookup(const uint64_t* tkeys, const int64_t* tvals, uint64_t cap,
 }
 
 }  // extern "C"
+
+// ---- artifact-filter scan kernels ----
+//
+// Native fast paths of ops/artifact.ArtifactFilter.scan_all: per-read
+// best/second-best quality runs (ref: applyFilterToRead :407-442) and
+// canonical k-mer keys at byte-aligned hop positions over the 2-bit
+// padded read (ref: applyFilterToRead :446-490).  Semantics match the
+// scalar _quality_runs / _scan_read transcriptions exactly.
+
+extern "C" {
+
+// phred: int16 per base; good = (phred >= min_quality) | !has_quals
+void quality_runs(const int16_t* phred, const uint8_t* has_quals,
+                  const int64_t* offsets, long n, int min_quality,
+                  int64_t* best_off, int64_t* best_len,
+                  int64_t* sec_off, int64_t* sec_len, int n_threads) {
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++) {
+      const long s = offsets[r], L = offsets[r + 1] - s;
+      long b0 = 0, b1 = 0, s0 = 0, s1 = 0, t0 = 0;
+      if (!has_quals[r]) {
+        b1 = L;
+      } else {
+        for (long i = 0; i <= L; i++) {
+          if (i == L || phred[s + i] < min_quality) {
+            long u0 = t0, u1 = i;
+            if (u1 - u0 > b1 - b0) {
+              long tmp0 = b0, tmp1 = b1;
+              b0 = u0; b1 = u1; u0 = tmp0; u1 = tmp1;
+            }
+            if (u1 - u0 > s1 - s0) { s0 = u0; s1 = u1; }
+            t0 = i + 1;
+          }
+        }
+      }
+      best_off[r] = b0; best_len[r] = b1 - b0;
+      sec_off[r] = s0; sec_len[r] = s1 - s0;
+    }
+  };
+  if (n_threads <= 1 || n < 4096) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+// canonical u64 keys at byte-aligned hops h = 0..Hmax-1 (pos = 4h) over
+// each read's zero-padded 2-bit buffer; inactive cells get ~0 (a value no
+// canonical key can take, so table lookups miss).
+void artifact_keys(const uint8_t* codes, const int64_t* offsets, long n,
+                   int k, long Hmax, uint64_t* keys_out, int n_threads) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++) {
+      const long s = offsets[r], L = offsets[r + 1] - s;
+      const long Lp = 4 * ((L + 3) / 4);
+      uint64_t* ko = keys_out + r * Hmax;
+      for (long h = 0; h < Hmax; h++) ko[h] = ~0ULL;
+      if (Lp < k) continue;
+      const long NWp = Lp - k + 1;
+      // rolling forward over padded bases (pad reads as code 0 == 'A')
+      uint64_t fwd = 0;
+      for (long i = 0; i < k - 1; i++)
+        fwd = (fwd << 2) | (i < L ? codes[s + i] : 0);
+      for (long pos = 0; pos < NWp; pos++) {
+        const long i = pos + k - 1;
+        fwd = ((fwd << 2) | (i < L ? codes[s + i] : 0)) & kmask;
+        if ((pos & 3) == 0 && pos / 4 < Hmax) {
+          uint64_t rc = ko_revcomp(fwd, k);
+          ko[pos / 4] = (fwd < rc ? fwd : rc) << up;
+        }
+      }
+    }
+  };
+  if (n_threads <= 1 || n < 4096) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

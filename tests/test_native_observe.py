@@ -77,3 +77,54 @@ def test_native_hash_lookup_matches_searchsorted():
     idx = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
     want = np.where(keys[idx] == q, counts[idx], 0)
     assert np.array_equal(ht.lookup(q), want)
+
+
+def test_scan_all_native_equals_fallback(monkeypatch):
+    """ArtifactFilter.scan_all native kernels == pure-numpy fallback."""
+    from kmernator_tpu.io.reads import ReadSet
+    from kmernator_tpu.ops.artifact import ArtifactFilter
+    from kmernator_tpu.io import native as native_mod
+    if native_mod.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    rs = ReadSet()
+    names, comments, seqs, quals = [], [], [], []
+    for i in range(200):
+        L = int(rng.integers(5, 130))
+        names.append(b"q%d" % i)
+        comments.append(b"")
+        seqs.append(bases[rng.integers(0, 4, L)].tobytes())
+        quals.append(rng.integers(0, 41, L).astype(np.int16))
+    rs.append_reads_batch(names, comments, seqs, quals)
+    rs.has_quals[::7] = False
+    filt = ArtifactFilter(edit_distance=1, min_quality=5, min_read_length=0.5)
+    got_native = filt.scan_all(rs)
+    monkeypatch.setattr(native_mod, "quality_runs",
+                        lambda *a, **kw: None)
+    monkeypatch.setattr(native_mod, "artifact_keys",
+                        lambda *a, **kw: None)
+    got_np = filt.scan_all(rs)
+    for a, b in zip(got_native, got_np):
+        assert np.array_equal(a, b)
+
+
+def test_quality_runs_second_best_tie_matches_scalar():
+    """Regression: runs [1,1,3] — the reference's online swap keeps the
+    SECOND unit run as second-best (the demoted ex-best ties and loses),
+    ref: applyFilterToRead :407-442."""
+    from kmernator_tpu.io.reads import ReadSet
+    from kmernator_tpu.ops.artifact import ArtifactFilter
+    from kmernator_tpu.io import native as native_mod
+    # q>=5 pattern: G . G . GGG  (runs of len 1 at 0, 2; len 3 at 4)
+    ph = np.array([9, 1, 9, 1, 9, 9, 9], dtype=np.int16)
+    rs = ReadSet()
+    rs.append_reads_batch([b"r"], [b""], [b"ACGTACG"], [ph])
+    filt = ArtifactFilter(min_quality=5, min_read_length=0.5)
+    v, mn, mx, so, sl, wp = filt.scan_all(rs)
+    _, _, _, sec, _ = filt._scan_read(rs, 0)
+    assert (so[0], so[0] + sl[0]) == sec == (2, 3)
+    if native_mod.get_lib() is not None:
+        qr = native_mod.quality_runs(ph, np.ones(1, bool),
+                                     np.array([0, 7], np.int64), 5)
+        assert (qr[2][0], qr[3][0]) == (2, 1)
