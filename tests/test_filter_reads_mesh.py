@@ -64,3 +64,25 @@ def test_mesh_golden_pair_policy(tmp_path):
     want = open(os.path.join(REF, "1000-Filtered-readlength-both.fastq"),
                 "rb").read()
     assert mine == want
+
+
+def test_mesh_golden_all_seven_configs(tmp_path):
+    """Every runFilterTests.sh golden config through the mesh path at N=3
+    (the full single-process sweep already runs in
+    test_filter_reads_golden; this pins the mesh engine to the same 7,
+    ref: test/runFilterTests.sh:24-76 x :93-128)."""
+    from tests.test_filter_reads_golden import CASES
+    env = dict(os.environ, PYTHONPATH=REPO,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    for i, (inp, args, golden) in enumerate(CASES):
+        out = str(tmp_path / ("out%d" % i))
+        cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+               "--jax-platform", "cpu", "--mesh", "3",
+               "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+               "--artifact-edit-distance", "1"] + args + \
+              ["--out", out, "31", os.path.join(REF, inp)]
+        subprocess.run(cmd, check=True, env=env, capture_output=True)
+        prefix = os.path.basename(inp).rsplit(".", 1)[0]
+        mine = open(out + "-MinDepth2-" + prefix + ".fastq", "rb").read()
+        want = open(os.path.join(REF, golden), "rb").read()
+        assert mine == want, "mesh output differs from %s" % golden
