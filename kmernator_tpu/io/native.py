@@ -362,3 +362,21 @@ def artifact_keys(codes: np.ndarray, offsets: np.ndarray, k: int,
                       ctypes.c_int(k), ctypes.c_long(hmax), _ptr(out),
                       ctypes.c_int(n_threads))
     return out
+
+
+def spill_count(keys: np.ndarray, min_depth: int):
+    """Native unweighted spill-part counting: hash-count + sorted uniques.
+    Returns (keys u64 [m], counts i32 [m]) sorted by key, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spill_count") \
+            or keys.dtype != np.uint64:
+        return None
+    n = len(keys)
+    ok = np.empty(n, np.uint64)
+    oc = np.empty(n, np.int32)
+    lib.spill_count.restype = ctypes.c_long
+    m = lib.spill_count(_ptr(np.ascontiguousarray(keys)), ctypes.c_long(n),
+                        ctypes.c_int(int(min_depth)), _ptr(ok), _ptr(oc))
+    if m < 0:
+        return None
+    return ok[:m].copy(), oc[:m].copy()

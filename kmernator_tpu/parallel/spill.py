@@ -138,6 +138,13 @@ def count_one_part(tmpdir: str, p: int, key_dt: np.dtype,
     del ks, ws
     if not len(k_arr):
         return None
+    if w is None:
+        # unweighted: grouping is all counting needs — the native
+        # hash-count + sorted-uniques path beats a full argsort ~5x
+        from kmernator_tpu.io.native import spill_count
+        res = spill_count(k_arr, min_depth)
+        if res is not None:
+            return res[0], res[1], None
     order = np.argsort(k_arr, kind="stable")
     sk = k_arr[order]
     if w is not None:

@@ -820,3 +820,58 @@ void artifact_keys(const uint8_t* codes, const int64_t* offsets, long n,
 }
 
 }  // extern "C"
+
+// ---- spill-part counting (unweighted): hash-count + sort uniques ----
+//
+// Native fast path of parallel/spill.count_one_part for the common
+// track_weights=False case: counting needs grouping, not a full sort of
+// all observations — open-address count (one linear pass), then sort the
+// unique keys only (~5-20x fewer), preserving the globally-sorted-concat
+// property of range-partitioned parts (ref: buildKmerSpectrumInParts,
+// src/KmerSpectrum.h:1818-1902).
+#include <algorithm>
+
+extern "C" {
+
+// returns number of unique keys with count >= min_depth; out arrays are
+// caller-allocated with capacity n.
+long spill_count(const uint64_t* keys, long n, int min_depth,
+                 uint64_t* out_keys, int32_t* out_counts) {
+  if (n == 0) return 0;
+  size_t cap = 1;
+  while ((long)cap < 2 * n) cap <<= 1;
+  std::vector<uint64_t> tk(cap, ~0ULL);
+  std::vector<uint32_t> tc(cap, 0);
+  const uint64_t mask = cap - 1;
+  for (long i = 0; i < n; i++) {
+    uint64_t key = keys[i];
+    uint64_t h = ht_mix(key) & mask;
+    while (true) {
+      if (tk[h] == key) { tc[h]++; break; }
+      if (tk[h] == ~0ULL) { tk[h] = key; tc[h] = 1; break; }
+      h = (h + 1) & mask;
+    }
+  }
+  long m = 0;
+  for (size_t i = 0; i < cap; i++) {
+    if (tk[i] != ~0ULL && (int)tc[i] >= min_depth) {
+      out_keys[m] = tk[i];
+      out_counts[m] = (int32_t)tc[i];
+      m++;
+    }
+  }
+  // sort the survivors by key, counts alongside (pair sort via index)
+  std::vector<long> idx(m);
+  for (long i = 0; i < m; i++) idx[i] = i;
+  std::sort(idx.begin(), idx.end(), [&](long a, long b) {
+    return out_keys[a] < out_keys[b];
+  });
+  std::vector<uint64_t> sk(m);
+  std::vector<int32_t> sc(m);
+  for (long i = 0; i < m; i++) { sk[i] = out_keys[idx[i]]; sc[i] = out_counts[idx[i]]; }
+  memcpy(out_keys, sk.data(), m * sizeof(uint64_t));
+  memcpy(out_counts, sc.data(), m * sizeof(int32_t));
+  return m;
+}
+
+}  // extern "C"

@@ -128,3 +128,17 @@ def test_quality_runs_second_best_tie_matches_scalar():
         qr = native_mod.quality_runs(ph, np.ones(1, bool),
                                      np.array([0, 7], np.int64), 5)
         assert (qr[2][0], qr[3][0]) == (2, 1)
+
+
+def test_native_spill_count_matches_numpy():
+    from kmernator_tpu.io.native import spill_count
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 5000, 200000).astype(np.uint64) << 2
+    for md in (1, 2, 5):
+        res = spill_count(keys, md)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        uk, cnt = np.unique(keys, return_counts=True)
+        keep = cnt >= md
+        assert np.array_equal(res[0], uk[keep])
+        assert np.array_equal(res[1], cnt[keep].astype(np.int32))
