@@ -380,3 +380,27 @@ def spill_count(keys: np.ndarray, min_depth: int):
     if m < 0:
         return None
     return ok[:m].copy(), oc[:m].copy()
+
+
+def spill_route(keys: np.ndarray, weights, splitters: np.ndarray):
+    """Native range-partition routing: records grouped by part (input
+    order preserved within parts).  Returns (rec_bytes ndarray u8,
+    part_off i64 [P+1]) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spill_route") \
+            or keys.dtype != np.uint64:
+        return None
+    n = len(keys)
+    P = len(splitters) + 1
+    has_w = weights is not None
+    rb = 12 if has_w else 8
+    out = np.empty(n * rb, np.uint8)
+    part_off = np.empty(P + 1, np.int64)
+    warr = np.ascontiguousarray(weights, np.float32) if has_w else \
+        np.zeros(0, np.float32)
+    lib.spill_route.restype = ctypes.c_long
+    lib.spill_route(_ptr(np.ascontiguousarray(keys)), _ptr(warr),
+                    ctypes.c_int(1 if has_w else 0), ctypes.c_long(n),
+                    _ptr(np.ascontiguousarray(splitters, np.uint64)),
+                    ctypes.c_int(P), _ptr(out), _ptr(part_off))
+    return out, part_off

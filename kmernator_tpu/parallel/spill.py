@@ -85,8 +85,25 @@ class SpillCounter:
             # skew only shifts per-part memory, never correctness
             step = max(1, len(gk) // 65536)
             self.splitters = key_range_splitters(gk[::step], self.num_parts)
+        track = weights is not None and self.track_weights
+        if gk.dtype == np.uint64:
+            from kmernator_tpu.io.native import spill_route
+            routed = spill_route(
+                gk, weights[good].astype(np.float32) if track else None,
+                self.splitters)
+        else:
+            routed = None
+        if routed is not None:
+            out, part_off = routed
+            rb = 12 if track else 8
+            mv = memoryview(out)
+            for p in range(self.num_parts):
+                s, e = int(part_off[p]) * rb, int(part_off[p + 1]) * rb
+                if s != e:
+                    self._files[p].write(mv[s:e])
+            return
         part = _part_of(gk, self.splitters)
-        if weights is not None and self.track_weights:
+        if track:
             # interleaved (key, weight) records so buckets parse back as a
             # flat record stream
             rec = np.empty(len(gk), dtype=np.dtype([("k", gk.dtype),

@@ -875,3 +875,44 @@ long spill_count(const uint64_t* keys, long n, int min_depth,
 }
 
 }  // extern "C"
+
+// ---- spill routing: counting-sort records into range parts ----
+//
+// Native fast path of SpillCounter.add: one pass to bin each key by the
+// range splitters (upper_bound), one pass to scatter (key[,weight])
+// records grouped by part.  Replaces a searchsorted + P boolean-mask
+// gathers in numpy (ref: the hash-partitioned spill of
+// buildKmerSpectrumInParts, src/KmerSpectrum.h:1840-1861).
+
+extern "C" {
+
+long spill_route(const uint64_t* keys, const float* w, int has_w, long n,
+                 const uint64_t* splitters, int P,
+                 uint8_t* out_rec, int64_t* part_off) {
+  const int rb = has_w ? 12 : 8;
+  std::vector<int32_t> part(n);
+  std::vector<int64_t> cnt(P + 1, 0);
+  for (long i = 0; i < n; i++) {
+    // upper_bound over P-1 splitters (side="right" semantics)
+    int lo = 0, hi = P - 1;
+    uint64_t k = keys[i];
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (splitters[mid] <= k) lo = mid + 1; else hi = mid;
+    }
+    part[i] = lo;
+    cnt[lo + 1]++;
+  }
+  for (int p = 0; p < P; p++) cnt[p + 1] += cnt[p];
+  for (int p = 0; p <= P; p++) part_off[p] = cnt[p];
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  for (long i = 0; i < n; i++) {
+    int64_t pos = cursor[part[i]]++;
+    uint8_t* dst = out_rec + pos * rb;
+    memcpy(dst, &keys[i], 8);
+    if (has_w) memcpy(dst + 8, &w[i], 4);
+  }
+  return n;
+}
+
+}  // extern "C"
