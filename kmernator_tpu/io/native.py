@@ -404,3 +404,28 @@ def spill_route(keys: np.ndarray, weights, splitters: np.ndarray):
                     _ptr(np.ascontiguousarray(splitters, np.uint64)),
                     ctypes.c_int(P), _ptr(out), _ptr(part_off))
     return out, part_off
+
+
+_SCORE_TYPES = {"MEDIAN": 0, "MIN": 1, "MAX": 2, "SUM": 3}
+
+
+def score_trim(counts: np.ndarray, woff: np.ndarray, nk: np.ndarray,
+               min_score: float, scoring_type: str, n_threads: int = 0):
+    """Native longest-run trim + run score; None if unavailable or the
+    scoring type needs numpy's fp summation order (AVG)."""
+    lib = get_lib()
+    t = _SCORE_TYPES.get(scoring_type)
+    if lib is None or not hasattr(lib, "score_trim") or t is None:
+        return None
+    n_threads = _threads(n_threads)
+    n = len(woff) - 1
+    off = np.empty(n, np.int64)
+    ln = np.empty(n, np.int64)
+    sc = np.empty(n, np.float64)
+    lib.score_trim(_ptr(np.ascontiguousarray(counts, np.int64)),
+                   _ptr(np.ascontiguousarray(woff, np.int64)),
+                   ctypes.c_long(n),
+                   _ptr(np.ascontiguousarray(nk, np.int64)),
+                   ctypes.c_double(float(min_score)), ctypes.c_int(t),
+                   _ptr(off), _ptr(ln), _ptr(sc), ctypes.c_int(n_threads))
+    return off, ln, sc

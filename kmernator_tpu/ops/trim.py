@@ -162,18 +162,26 @@ def _score_and_trim_vectorized(rs: ReadSet, window_counts: np.ndarray,
     n = rs.n
     lens = rs.lengths()
     nw = (window_offsets[1:] - window_offsets[:-1]).astype(np.int64)
-    NW = int(nw.max()) if n else 0
-    counts2d = np.zeros((n, NW), dtype=np.int64)
-    for i in range(n):
-        if nw[i]:
-            counts2d[i, :nw[i]] = window_counts[window_offsets[i]:window_offsets[i + 1]]
     nk = nw.copy()
     if markup_first is not None:
         mk = markup_first.astype(np.int64)
         nk = np.where(mk != 0, np.where(mk > k, mk - k, 0), nk)
     nk = np.where(rs.discarded, 0, nk)
-    off, length = _vectorized_runs(counts2d, nk, min_kmer_score)
-    sc = _vectorized_scores(counts2d, off, length, scoring_type)
+    from kmernator_tpu.io.native import score_trim
+    native = score_trim(window_counts, window_offsets, nk, min_kmer_score,
+                        scoring_type)
+    if native is not None:
+        off, length, sc = native
+    else:
+        NW = int(nw.max()) if n else 0
+        counts2d = np.zeros((n, NW), dtype=np.int64)
+        if n and NW:
+            rows = np.repeat(np.arange(n), nw)
+            cols = (np.arange(int(nw.sum()))
+                    - np.repeat(window_offsets[:-1].astype(np.int64), nw))
+            counts2d[rows, cols] = window_counts
+        off, length = _vectorized_runs(counts2d, nk, min_kmer_score)
+        sc = _vectorized_scores(counts2d, off, length, scoring_type)
     was_trimmed = length < nk
     t_len = np.where(length > 0, length + k - 1, 0)
     t_off = np.where(length > 0, off, 0)

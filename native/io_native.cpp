@@ -916,3 +916,67 @@ long spill_route(const uint64_t* keys, const float* w, int has_w, long n,
 }
 
 }  // extern "C"
+
+// ---- read scoring: longest passing run + run score over ragged counts ----
+//
+// Native fast path of ops/trim._score_and_trim_vectorized (the reference's
+// ReadSelector::scoreAndTrimReads, src/ReadSelector.h:1182-1209): per read,
+// the FIRST longest run of window counts >= min_score among the first
+// nk windows, then the run's score.  type: 0=MEDIAN (lower median, exact)
+// 1=MIN 2=MAX 3=SUM(run length).  AVG stays in numpy (fp summation order).
+
+extern "C" {
+
+void score_trim(const int64_t* counts, const int64_t* woff, long n,
+                const int64_t* nk, double min_score, int type,
+                int64_t* off_out, int64_t* len_out, double* score_out,
+                int n_threads) {
+  auto range = [=](long r0, long r1) {
+    std::vector<int64_t> run;
+    for (long r = r0; r < r1; r++) {
+      const int64_t* c = counts + woff[r];
+      long m = nk[r];
+      long best = 0, best_s = 0, cur = 0, cur_s = 0;
+      for (long i = 0; i <= m; i++) {
+        if (i < m && (double)c[i] >= min_score) {
+          if (!cur) cur_s = i;
+          cur++;
+        } else {
+          if (cur > best) { best = cur; best_s = cur_s; }
+          cur = 0;
+        }
+      }
+      off_out[r] = best ? best_s : 0;
+      len_out[r] = best;
+      if (!best) { score_out[r] = -1.0; continue; }
+      double sc;
+      if (type == 0) {
+        run.assign(c + best_s, c + best_s + best);
+        std::nth_element(run.begin(), run.begin() + best / 2, run.end());
+        sc = (double)run[best / 2];
+      } else if (type == 1) {
+        int64_t v = c[best_s];
+        for (long i = 1; i < best; i++) v = std::min(v, c[best_s + i]);
+        sc = (double)v;
+      } else if (type == 2) {
+        int64_t v = c[best_s];
+        for (long i = 1; i < best; i++) v = std::max(v, c[best_s + i]);
+        sc = (double)v;
+      } else {
+        sc = (double)best;
+      }
+      score_out[r] = sc;
+    }
+  };
+  if (n_threads <= 1 || n < 4096) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -142,3 +142,28 @@ def test_native_spill_count_matches_numpy():
         keep = cnt >= md
         assert np.array_equal(res[0], uk[keep])
         assert np.array_equal(res[1], cnt[keep].astype(np.int32))
+
+
+@pytest.mark.parametrize("stype", ["MEDIAN", "MIN", "MAX", "SUM"])
+def test_native_score_trim_matches_numpy(stype):
+    from kmernator_tpu.io.native import score_trim
+    from kmernator_tpu.ops.trim import _vectorized_runs, _vectorized_scores
+    rng = np.random.default_rng(41)
+    n = 500
+    nw = rng.integers(0, 60, n).astype(np.int64)
+    woff = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+    counts = rng.integers(0, 6, int(woff[-1])).astype(np.int64)
+    nk = np.minimum(nw, rng.integers(0, 70, n))
+    res = score_trim(counts, woff, nk, 2.0, stype)
+    if res is None:
+        pytest.skip("native lib unavailable")
+    NW = int(nw.max())
+    c2 = np.zeros((n, NW), np.int64)
+    rows = np.repeat(np.arange(n), nw)
+    cols = np.arange(int(nw.sum())) - np.repeat(woff[:-1], nw)
+    c2[rows, cols] = counts
+    off, length = _vectorized_runs(c2, nk, 2.0)
+    sc = _vectorized_scores(c2, off, length, stype)
+    assert np.array_equal(res[0], off)
+    assert np.array_equal(res[1], length)
+    assert np.array_equal(res[2], sc)
