@@ -8,8 +8,10 @@ peak host memory is O(chunk) regardless of input size.  The quality base
 is detected once on the first chunk and forced for the rest (the reference
 examines only the first 20000 reads too, ref: src/ReadSet.h:171-209).
 
-gz inputs are decompressed whole (no random access) — the memory-bounded
-path is plain FASTQ; BGZF/gz streaming callers should decompress first.
+gz inputs stream through zlib sequentially (no random access), cut at the
+same pair-preserving boundaries — bounded memory either way.  The parallel
+worker-pool engine needs byte ranges, so gz inputs use the sequential
+engine (apps/filter_reads gates on the extension).
 """
 from __future__ import annotations
 
@@ -55,6 +57,33 @@ def read_chunk(path: str, start: int, end: int, base: int,
     return rs
 
 
+def _gz_chunks(path: str, chunk_bytes: int) -> Iterator[bytes]:
+    """Record-aligned decompressed chunks of a gz FASTQ, one sequential
+    pass in bounded memory (gz has no random access, so the file streams
+    through zlib while the cut points follow the same pair-preserving
+    record-boundary rule as the mmap path)."""
+    import gzip
+    carry = b""
+    with gzip.open(path, "rb") as f:
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                if carry:
+                    yield carry
+                return
+            buf = carry + data
+            if len(buf) < chunk_bytes:
+                carry = buf
+                continue
+            cut = find_next_record(buf, max(len(buf) - (64 << 10), 0),
+                                   by_pair=True)
+            if cut <= 0 or cut >= len(buf):
+                carry = buf  # no boundary near the tail: grow the chunk
+                continue
+            yield buf[:cut]
+            carry = buf[cut:]
+
+
 def stream_readsets(paths: List[str], chunk_bytes: int = 32 << 20,
                     output_base_quality: int = 33,
                     comment_stored: bool = True,
@@ -63,7 +92,23 @@ def stream_readsets(paths: List[str], chunk_bytes: int = 32 << 20,
     Each yielded ReadSet carries .file_idx of its source path."""
     base = forced_base or None
     for fi, path in enumerate(paths):
-        data = open_maybe_gzip(path, use_mmap=not path.endswith(".gz"))
+        if path.endswith(".gz"):
+            first = True
+            for chunk in _gz_chunks(path, chunk_bytes):
+                if first and chunk[:1] == b">":
+                    raise ValueError("stream_readsets supports FASTQ only; "
+                                     "use load_reads for FASTA(+qual)")
+                first = False
+                rs = ReadSet()
+                rs.append_arrays(*parse_fastq_bytes(chunk, comment_stored),
+                                 file_idx=fi)
+                if base is None:
+                    base = rs.detect_quality_base(output_base_quality)
+                else:
+                    rs.detect_quality_base(base, limit=0)
+                yield rs
+            continue
+        data = open_maybe_gzip(path, use_mmap=True)
         if bytes(data[:1]) == b">":
             raise ValueError("stream_readsets supports FASTQ only; "
                              "use load_reads for FASTA(+qual)")
