@@ -92,3 +92,32 @@ def test_meraculous_mesh_wide_matches_host(tmp_path):
     assert outs["host"]["count"] == outs["mesh"]["count"]
     assert outs["host"]["graph"] == outs["mesh"]["graph"]
     assert len(outs["host"]["count"]) > 1000
+
+
+def test_filter_reads_k33_streaming_parallel(tmp_path):
+    """FilterReads at k=33 through --streaming with the worker pool: every
+    native kernel falls back to numpy for wide keys; the output must match
+    the in-memory host path record-for-record (chunking only permutes
+    per-chunk remnant placement)."""
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    outs = {}
+    for tag, extra in (("host", []),
+                       ("stream", ["--streaming", "--threads", "3",
+                                   "--streaming-chunk-mb", "0.05",
+                                   "--streaming-parts", "3"])):
+        out = str(tmp_path / tag)
+        cmd = [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+               "--jax-platform", "cpu",
+               "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+               "--artifact-edit-distance", "1",
+               "--fastq-output-base-quality", "64", "--min-read-length", "25",
+               "--out", out] + extra + ["33", os.path.join(REF, "1000.fastq")]
+        subprocess.run(cmd, check=True, env=env, capture_output=True)
+        outs[tag] = open(out + "-MinDepth2-1000.fastq", "rb").read()
+
+    def recs(b):
+        lines = b.split(b"\n")
+        return sorted(b"\n".join(lines[i:i + 4])
+                      for i in range(0, len(lines) - 1, 4))
+    assert recs(outs["host"]) == recs(outs["stream"])
+    assert len(outs["host"]) > 10000
