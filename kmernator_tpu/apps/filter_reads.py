@@ -752,6 +752,29 @@ def _par_pass2(args):
                         c["sopts"], c["ropts"], c["opts"].input_file)
 
 
+def _spectrum_outputs_and_purge(spectrum, sopts, fopts):
+    """Shared post-build steps: histogram / size-history dumps, weak-map
+    min-depth purge (singletons are never consulted by the selector,
+    ref: FilterReads.cpp:196 binds spectrum.weak), optional variant purge
+    (ref: KmerSpectrum::purgeVariants, src/KmerSpectrum.h:2117-2234)."""
+    if fopts.histogram_file:
+        with open(fopts.histogram_file, "w") as f:
+            f.write(spectrum.histogram_table())
+    if fopts.size_history_file:
+        with open(fopts.size_history_file, "w") as f:
+            f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
+            f.write("%d\t%d\t%d\t%d\n" % (
+                spectrum.raw_kmers, spectrum.raw_good_kmers,
+                spectrum.n_unique, spectrum.singleton_count()))
+    spectrum.purge_min_depth(max(sopts.min_depth, 2))
+    if sopts.variant_sigmas > 0.0:
+        purged = spectrum.purge_variants(
+            sopts.variant_sigmas, sopts.variant_hamming_distance,
+            sopts.min_variant_kmer_depth,
+            min_depth=max(sopts.min_depth, 2))
+        Log.verbose(1, "Removed %d kmer-variants" % purged)
+
+
 def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
                             chunk_bytes: int, capacity: int,
                             threads: int) -> int:
@@ -839,22 +862,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
                     "workers; spectrum: %d unique kmers; %s"
                     % (n_reads, num_parts, threads, spectrum.n_unique,
                        get_memory_usage()))
-        if fopts.histogram_file:
-            with open(fopts.histogram_file, "w") as f:
-                f.write(spectrum.histogram_table())
-        if fopts.size_history_file:
-            with open(fopts.size_history_file, "w") as f:
-                f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
-                f.write("%d\t%d\t%d\t%d\n" % (
-                    spectrum.raw_kmers, spectrum.raw_good_kmers,
-                    spectrum.n_unique, spectrum.singleton_count()))
-        spectrum.purge_min_depth(max(sopts.min_depth, 2))
-        if sopts.variant_sigmas > 0.0:
-            purged = spectrum.purge_variants(
-                sopts.variant_sigmas, sopts.variant_hamming_distance,
-                sopts.min_variant_kmer_depth,
-                min_depth=max(sopts.min_depth, 2))
-            Log.verbose(1, "Removed %d kmer-variants" % purged)
+        _spectrum_outputs_and_purge(spectrum, sopts, fopts)
 
     if not opts.output_file:
         return 0
@@ -991,22 +999,7 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
             Log.verbose(1, "streamed %d reads through %d spill parts; "
                         "spectrum: %d unique kmers"
                         % (n_reads, num_parts, spectrum.n_unique))
-        if fopts.histogram_file:
-            with open(fopts.histogram_file, "w") as f:
-                f.write(spectrum.histogram_table())
-        if fopts.size_history_file:
-            with open(fopts.size_history_file, "w") as f:
-                f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
-                f.write("%d\t%d\t%d\t%d\n" % (
-                    spectrum.raw_kmers, spectrum.raw_good_kmers,
-                    spectrum.n_unique, spectrum.singleton_count()))
-        spectrum.purge_min_depth(max(sopts.min_depth, 2))
-        if sopts.variant_sigmas > 0.0:
-            purged = spectrum.purge_variants(
-                sopts.variant_sigmas, sopts.variant_hamming_distance,
-                sopts.min_variant_kmer_depth,
-                min_depth=max(sopts.min_depth, 2))
-            Log.verbose(1, "Removed %d kmer-variants" % purged)
+        _spectrum_outputs_and_purge(spectrum, sopts, fopts)
 
     if not opts.output_file:
         return 0
@@ -1226,24 +1219,7 @@ def run(argv: List[str]) -> int:
                                           opts.fastq_output_base_quality,
                                           sopts.min_kmer_quality, keys_cache,
                                           subtract_keys)
-            if fopts.histogram_file:
-                with open(fopts.histogram_file, "w") as f:
-                    f.write(spectrum.histogram_table())
-            if fopts.size_history_file:
-                with open(fopts.size_history_file, "w") as f:
-                    f.write("rawKmers\trawGoodKmers\tuniqueKmers\tsingletonKmers\n")
-                    f.write("%d\t%d\t%d\t%d\n" % (
-                        spectrum.raw_kmers, spectrum.raw_good_kmers,
-                        spectrum.n_unique, spectrum.singleton_count()))
-            # weak-map visibility: singletons are never consulted by the
-            # selector (ref: FilterReads.cpp:196 binds spectrum.weak)
-            spectrum.purge_min_depth(max(sopts.min_depth, 2))
-            if sopts.variant_sigmas > 0.0:
-                purged = spectrum.purge_variants(
-                    sopts.variant_sigmas, sopts.variant_hamming_distance,
-                    sopts.min_variant_kmer_depth,
-                    min_depth=max(sopts.min_depth, 2))
-                Log.verbose(1, "Removed %d kmer-variants" % purged)
+            _spectrum_outputs_and_purge(spectrum, sopts, fopts)
             if sopts.save_kmer_mmap and opts.output_file:
                 spectrum.save(opts.output_file + "-mmap")
                 # np.savez appends .npz; keep the bare name for reload parity

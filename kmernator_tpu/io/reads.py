@@ -222,13 +222,16 @@ class ReadSet:
         return B
 
     # ---------- pairing ----------
-    def _read_nums_vec(self) -> np.ndarray:
-        """Vectorized read_num over all reads (1/2 for paired, 0 otherwise)."""
+    def _read_nums_vec(self, nm=None) -> np.ndarray:
+        """Vectorized read_num over all reads (1/2 for paired, 0 otherwise).
+        `nm` may pass a precomputed np.array(self.names) to share the
+        (O(total name bytes)) conversion with the caller."""
         n = self.n
         rn = np.zeros(n, dtype=np.int8)
         if n == 0:
             return rn
-        nm = np.array(self.names, dtype=bytes)
+        if nm is None:
+            nm = np.array(self.names, dtype=bytes)
         w = nm.dtype.itemsize
         if w >= 2:
             ch = nm.view(np.uint8).reshape(n, w)
@@ -259,9 +262,9 @@ class ReadSet:
         # pair candidates when both have nonzero read numbers that differ
         # and their common names match; the loop's prev-reset semantics are
         # exactly "alternating selection within each run of candidates"
-        rn = self._read_nums_vec()
+        nm = np.array(self.names, dtype=bytes) if n else None
+        rn = self._read_nums_vec(nm)
         if n >= 2:
-            nm = np.array(self.names, dtype=bytes)
             w = nm.dtype.itemsize
             ch = nm.view(np.uint8).reshape(n, w) if w else \
                 np.zeros((n, 0), np.uint8)
