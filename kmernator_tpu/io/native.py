@@ -429,3 +429,40 @@ def score_trim(counts: np.ndarray, woff: np.ndarray, nk: np.ndarray,
                    ctypes.c_double(float(min_score)), ctypes.c_int(t),
                    _ptr(off), _ptr(ln), _ptr(sc), ctypes.c_int(n_threads))
     return off, ln, sc
+
+
+def format_fastq(rs, idxs, toff, tlen, hdrs, output_base: int, fastq: bool,
+                 n_threads: int = 0):
+    """Native FASTQ/FASTA record assembly for format_reads_batch.
+    hdrs: list of per-record header bytes.  Returns bytes or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "format_fastq"):
+        return None
+    n_threads = _threads(n_threads)
+    n = len(idxs)
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    off0 = rs.offsets[idxs]
+    L = rs.offsets[idxs + 1] - off0
+    to = np.ascontiguousarray(toff, np.int64)
+    tl0 = np.ascontiguousarray(tlen, np.int64)
+    tl = np.minimum(tl0, L - to)
+    use_n = rs.discarded[idxs] | (tl0 <= 1) | (tl <= 1)
+    blen = np.where(use_n, 1, tl)
+    hlen = np.fromiter((len(h) for h in hdrs), np.int64, n)
+    hdr_off = np.concatenate([[0], np.cumsum(hlen)]).astype(np.int64)
+    rec_len = 3 + hlen + blen + ((3 + blen) if fastq else 0)
+    out_off = np.concatenate([[0], np.cumsum(rec_len)]).astype(np.int64)
+    out = np.empty(int(out_off[-1]), np.uint8)
+    lib.format_fastq(
+        _ptr(np.ascontiguousarray(rs.seq)),
+        _ptr(np.ascontiguousarray(rs.phred(), np.int16)),
+        _ptr(np.ascontiguousarray(rs.offsets, np.int64)),
+        _ptr(idxs), ctypes.c_long(n),
+        _ptr(to), _ptr(tl0),
+        _ptr(np.ascontiguousarray(rs.discarded[idxs], np.uint8)),
+        _ptr(np.ascontiguousarray(rs.has_quals[idxs], np.uint8)),
+        _ptr(hdr_off), _ptr(np.frombuffer(b"".join(hdrs), np.uint8)),
+        _ptr(out_off), ctypes.c_int(int(output_base)),
+        ctypes.c_int(1 if fastq else 0), _ptr(out),
+        ctypes.c_int(n_threads))
+    return out.tobytes()

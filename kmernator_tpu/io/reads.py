@@ -682,6 +682,21 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
     n = len(idxs)
     if n == 0:
         return b""
+    if comment_stored:
+        hdrs = [(nm if not c else nm + b" " + c) if not lb
+                else (nm if not c else nm + b" " + c) + b" " + lb
+                for nm, c, lb in zip((rs.names[i] for i in idxs),
+                                     (rs.comments[i] for i in idxs), labels)]
+    else:
+        hdrs = [nm if not lb else nm + b" " + lb
+                for nm, lb in zip((rs.names[i] for i in idxs), labels)]
+    fastq = fmt in (0, 2)
+    from kmernator_tpu.io import native
+    rec = native.format_fastq(rs, idxs, trim_offset, trim_length, hdrs,
+                              output_base, fastq)
+    if rec is not None:
+        return rec
+
     off0 = rs.offsets[idxs]
     L = (rs.offsets[idxs + 1] - off0).astype(np.int64)
     to = np.asarray(trim_offset, np.int64)
@@ -694,7 +709,8 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
     if len(rs.seq):
         bidx = _ragged_indices(np.where(use_n, 0, off0 + to), blen)
         body = rs.seq[bidx].copy()
-        qual = (rs.phred()[bidx].astype(np.int32) + output_base).astype(np.uint8)
+        qual = (rs.phred()[bidx].astype(np.int32)
+                + output_base).astype(np.uint8)
         qual = np.where(rs.has_quals[idxs][rows], qual,
                         np.uint8(PRINT_REF_QUAL))
     else:
@@ -702,19 +718,8 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
         qual = np.empty(len(rows), np.uint8)
     body[un] = 0x4e  # 'N'
     qual[un] = np.uint8(output_base + 1)
-
-    if comment_stored:
-        hdrs = [(nm if not c else nm + b" " + c) if not lb
-                else (nm if not c else nm + b" " + c) + b" " + lb
-                for nm, c, lb in zip((rs.names[i] for i in idxs),
-                                     (rs.comments[i] for i in idxs), labels)]
-    else:
-        hdrs = [nm if not lb else nm + b" " + lb
-                for nm, lb in zip((rs.names[i] for i in idxs), labels)]
     hlen = np.fromiter((len(h) for h in hdrs), np.int64, n)
     hflat = np.frombuffer(b"".join(hdrs), np.uint8)
-
-    fastq = fmt in (0, 2)
     rec_len = (1 + hlen + 1 + blen + 3 + blen + 1) if fastq \
         else (1 + hlen + 1 + blen + 1)
     starts = np.concatenate([[0], np.cumsum(rec_len)[:-1]])

@@ -980,3 +980,72 @@ void score_trim(const int64_t* counts, const int64_t* woff, long n,
 }
 
 }  // extern "C"
+
+// ---- FASTQ record assembly ----
+//
+// Native fast path of io/reads.format_reads_batch's body/qual scatter:
+// given per-record header bytes and trim windows, assemble the final
+// FASTQ byte stream in one pass (ref: Read::toFastq, src/Sequence.cpp:
+// 761-779, including the 'N' + qual(base+1) placeholder).
+
+extern "C" {
+
+// seq: normalized base bytes; phred: int16 per base; idxs/toff/tlen/disc/
+// hq per record; hdr_flat+hdr_off: concatenated header bytes.  out must
+// hold out_off[n] bytes (caller computes exact record lengths).
+void format_fastq(const uint8_t* seq, const int16_t* phred,
+                  const int64_t* offsets, const int64_t* idxs, long n,
+                  const int64_t* toff, const int64_t* tlen,
+                  const uint8_t* disc, const uint8_t* hq,
+                  const int64_t* hdr_off, const uint8_t* hdr_flat,
+                  const int64_t* out_off, int output_base, int fastq,
+                  uint8_t* out, int n_threads) {
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++) {
+      long i = idxs[r];
+      const long s = offsets[i], L = offsets[i + 1] - s;
+      long to = toff[r];
+      long tl = tlen[r] < L - to ? tlen[r] : L - to;
+      bool use_n = disc[r] || tlen[r] <= 1 || tl <= 1;
+      uint8_t* p = out + out_off[r];
+      *p++ = fastq ? '@' : '>';
+      long hl = hdr_off[r + 1] - hdr_off[r];
+      memcpy(p, hdr_flat + hdr_off[r], hl); p += hl;
+      *p++ = '\n';
+      if (use_n) {
+        *p++ = 'N';
+        *p++ = '\n';
+        if (fastq) {
+          *p++ = '+'; *p++ = '\n';
+          *p++ = (uint8_t)(output_base + 1);
+          *p++ = '\n';
+        }
+        continue;
+      }
+      memcpy(p, seq + s + to, tl); p += tl;
+      *p++ = '\n';
+      if (fastq) {
+        *p++ = '+'; *p++ = '\n';
+        if (hq[r]) {
+          for (long j = 0; j < tl; j++)
+            *p++ = (uint8_t)(phred[s + to + j] + output_base);
+        } else {
+          memset(p, 103, tl);  // PRINT_REF_QUAL
+          p += tl;
+        }
+        *p++ = '\n';
+      }
+    }
+  };
+  if (n_threads <= 1 || n < 8192) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

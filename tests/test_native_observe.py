@@ -167,3 +167,35 @@ def test_native_score_trim_matches_numpy(stype):
     assert np.array_equal(res[0], off)
     assert np.array_equal(res[1], length)
     assert np.array_equal(res[2], sc)
+
+
+def test_native_format_fastq_matches_numpy(monkeypatch):
+    """format_reads_batch native assembly == numpy fallback bytes."""
+    from kmernator_tpu.io.reads import ReadSet, format_reads_batch
+    from kmernator_tpu.io import native as native_mod
+    if native_mod.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(51)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    rs = ReadSet()
+    names, comments, seqs, quals = [], [], [], []
+    for i in range(300):
+        L = int(rng.integers(1, 90))
+        names.append(b"f%d" % i)
+        comments.append(b"c%d" % i if i % 3 else b"")
+        seqs.append(bases[rng.integers(0, 4, L)].tobytes())
+        quals.append(rng.integers(0, 41, L).astype(np.int16))
+    rs.append_reads_batch(names, comments, seqs, quals)
+    rs.has_quals[::5] = False
+    rs.discarded[::11] = True
+    idxs = np.arange(rs.n, dtype=np.int64)
+    toff = rng.integers(0, 5, rs.n).astype(np.int64)
+    tlen = rng.integers(0, 120, rs.n).astype(np.int64)
+    labels = [b"L%d" % i if i % 2 else b"" for i in range(rs.n)]
+    for fmt in (0, 1):
+        got = format_reads_batch(rs, idxs, labels, toff, tlen, fmt, 33)
+        monkeypatch.setattr(native_mod, "format_fastq",
+                            lambda *a, **kw: None)
+        want = format_reads_batch(rs, idxs, labels, toff, tlen, fmt, 33)
+        monkeypatch.undo()
+        assert got == want
