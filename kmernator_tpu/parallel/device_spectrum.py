@@ -48,7 +48,10 @@ def _use_merge_sort(N: int, W: int) -> bool:
     import os
     if W != 2 or N < (1 << 20):
         return False
-    return os.environ.get("KMTPU_MERGE_SORT", "0") in ("1", "on", "true")
+    if os.environ.get("KMTPU_MERGE_SORT", "0") not in ("1", "on", "true"):
+        return False
+    # pallas TPU kernels have no CPU lowering — never route there off-TPU
+    return jax.default_backend() in ("tpu", "axon")
 
 
 # --------------------------------------------------------------------------
