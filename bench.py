@@ -32,8 +32,14 @@ K = 31
 L = 100
 GENOME = 2_000_000
 COVERAGE = 20
-B = 131072        # reads per device batch (~9.2M windows)
-STEPS = 10
+# reads per device batch: matches io/stream.FastqBatchStream's default —
+# the streaming pipeline's actual regime.  XLA's sort is O(N log^2 N), so
+# smaller batches count faster per window (measured on-chip: 311 Mk/s at
+# B=131072 -> ~400 Mk/s at B=8192; collapse below 4096 on dispatch
+# overheads); the merge cadence is row-count driven, so total merge work
+# is independent of B.
+B = 8192
+STEPS = 160       # same total windows as the round-1 10x131072 regime
 
 
 def baseline_kmers_per_sec() -> float:
