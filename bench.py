@@ -176,14 +176,18 @@ def e2e_baseline_reads_per_sec() -> float:
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
         subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
                         "-lpthread"], check=True)
-    out = subprocess.run(
-        [exe, e2e_input_path(), "31", "4", "2", "/tmp/kmtpu-bench-bf-out"],
-        check=True, capture_output=True, text=True, timeout=1800)
+    best = 0.0
+    for _ in range(2):  # best-of-2: a conservative ratio on a noisy VM
+        out = subprocess.run(
+            [exe, e2e_input_path(), "31", "4", "2", "/tmp/kmtpu-bench-bf-out"],
+            check=True, capture_output=True, text=True, timeout=1800)
+        for line in out.stdout.splitlines():
+            if line.startswith("reads_per_sec="):
+                best = max(best, float(line.split("=")[1]))
     os.unlink("/tmp/kmtpu-bench-bf-out")
-    for line in out.stdout.splitlines():
-        if line.startswith("reads_per_sec="):
-            return float(line.split("=")[1])
-    raise RuntimeError("baseline_filter produced no rate: %r" % out.stdout)
+    if not best:
+        raise RuntimeError("baseline_filter produced no rate")
+    return best
 
 
 def main():
