@@ -834,9 +834,9 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
             sopts.min_kmer_quality, sopts.min_depth)
         est = estimate_raw_kmers(opts.input_file, k)
         num_parts = capacity if capacity > 0 else auto_parts(est)
-        import tempfile
         from kmernator_tpu.utils.cleanup import register_path
-        spill_dir = tempfile.mkdtemp(prefix="kmtpu-spill-")
+        from kmernator_tpu.utils.memory import fast_temp_dir
+        spill_dir = fast_temp_dir(est * 12, "kmtpu-spill-")
         register_path(spill_dir)
         _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
                     num_parts=num_parts, spill_dir=spill_dir, splitters=None)
@@ -932,9 +932,11 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     # instead of rescanning (the scan dominates two-pass filter cost)
     scan_dir = None
     if filt is not None and opts.output_file:
-        import tempfile
         from kmernator_tpu.utils.cleanup import register_path
-        scan_dir = tempfile.mkdtemp(prefix="kmtpu-afscan-")
+        from kmernator_tpu.utils.memory import fast_temp_dir
+        scan_dir = fast_temp_dir(
+            sum(os.path.getsize(p) for p in opts.input_file) // 4,
+            "kmtpu-afscan-")
         register_path(scan_dir)
 
     # chunk workers are embarrassingly parallel (the artifact scan, spill

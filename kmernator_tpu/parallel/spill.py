@@ -56,7 +56,12 @@ class SpillCounter:
         self.num_parts = num_parts
         self.track_weights = track_weights
         self.suffix = ("-" + suffix) if suffix else ""
-        self.tmpdir = tmpdir or tempfile.mkdtemp(prefix="kmtpu-spill-")
+        if tmpdir is None:
+            from kmernator_tpu.utils.memory import fast_temp_dir
+            # 12 B/record upper bound; SpillCounter callers size num_parts
+            # from estimated windows, so num_parts * merge budget bounds it
+            tmpdir = fast_temp_dir(num_parts * (64 << 20), "kmtpu-spill-")
+        self.tmpdir = tmpdir
         register_path(self.tmpdir)
         self._files = [open(os.path.join(
             self.tmpdir, "part%d%s.bin" % (p, self.suffix)), "wb")
