@@ -701,7 +701,16 @@ void hash_build(const uint64_t* keys, const int64_t* vals, long m,
 static void hl_range(const uint64_t* tkeys, const int64_t* tvals,
                      uint64_t mask, const uint64_t* q, int64_t* out,
                      long s, long e) {
+  // software-prefetch the probe line ~16 queries ahead: at tables far
+  // beyond L2 every first probe is a DRAM miss, and the loop is otherwise
+  // fully latency-bound
+  const long AHEAD = 16;
   for (long i = s; i < e; i++) {
+    if (i + AHEAD < e) {
+      uint64_t hp = ht_mix(q[i + AHEAD]) & mask;
+      __builtin_prefetch(&tkeys[hp]);
+      __builtin_prefetch(&tvals[hp]);
+    }
     uint64_t h = ht_mix(q[i]) & mask;
     while (true) {
       if (tkeys[h] == q[i]) { out[i] = tvals[h]; break; }
