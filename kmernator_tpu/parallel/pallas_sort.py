@@ -1,12 +1,12 @@
-"""Merge-path 2-word-key sort: XLA batched local sorts + a Pallas bitonic
-merge kernel.
+"""Merge-path 2-word-key sort: Pallas in-VMEM bitonic block sorts + a
+Pallas bitonic merge kernel.
 
 XLA's TPU sort is a blocked bitonic network whose cross-block stages each
 re-touch ALL data in HBM (~28 passes at 9.2M rows — measured 26.3 ms
 unstable); a mergesort only needs ceil(log2(blocks)) single-pass merge
-levels.  Phase 1 sorts R independent blocks with XLA's own batched sort
-(row-local, cheap); phase 2 merges pairs of sorted runs per level with a
-Pallas kernel, one HBM pass per level:
+levels.  Phase 1 bitonic-sorts each block entirely in VMEM (XLA's own
+batched sort measured 60 ms at ANY [R, C] split of 9.2M rows — no use);
+phase 2 merges pairs of sorted runs per level, one HBM pass per level:
 
   - the merge-path split (Green et al.'s GPU Merge Path, here in plain
     XLA) finds, for every output chunk boundary d, the unique (a, b) with
@@ -23,8 +23,12 @@ canonical-kmer word columns (ref: the sorted-table counting design,
 src/KmerSpectrum.h:1578-1668 replaced by sort/scan).  All-ones is the
 existing sentinel (masked windows) and sorts last, padding included.
 
-Used by count_batch when KMTPU_MERGE_SORT is enabled and the shape
-qualifies; jnp-only fallback paths remain everywhere.
+Used by count_batch when KMTPU_MERGE_SORT=1 and the shape qualifies
+(verified identical to lax.sort counting on-chip); OFF by default — the
+full sort measured 34.6 ms vs lax.sort's 26.3 ms at the 9.2M-row bench
+shape (the merge levels hit the one-pass design goal, but the VPU cost of
+2-word bitonic compare-exchange in phase 1 dominates).  Kept as the
+scaffold for a fused local-sort+first-merge kernel.
 """
 from __future__ import annotations
 
