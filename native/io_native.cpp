@@ -852,7 +852,10 @@ long spill_count(const uint64_t* keys, long n, int min_depth,
   std::vector<uint64_t> tk(cap, ~0ULL);
   std::vector<uint32_t> tc(cap, 0);
   const uint64_t mask = cap - 1;
+  const long AHEAD = 16;  // hide the first-probe DRAM miss
   for (long i = 0; i < n; i++) {
+    if (i + AHEAD < n)
+      __builtin_prefetch(&tk[ht_mix(keys[i + AHEAD]) & mask], 1);
     uint64_t key = keys[i];
     uint64_t h = ht_mix(key) & mask;
     while (true) {
@@ -901,10 +904,24 @@ long spill_route(const uint64_t* keys, const float* w, int has_w, long n,
   const int rb = has_w ? 12 : 8;
   std::vector<int32_t> part(n);
   std::vector<int64_t> cnt(P + 1, 0);
+  // top-16-bit direct router: radix[t] = first part whose range can hold a
+  // key with top bits t; most radix cells map to a single part, so the
+  // upper_bound loop usually starts converged (P is small, keys ~uniform)
+  std::vector<int32_t> radix(1 << 16);
+  {
+    int p = 0;
+    for (long t = 0; t < (1 << 16); t++) {
+      while (p < P - 1 && (splitters[p] >> 48) < (uint64_t)t) p++;
+      radix[t] = p;
+    }
+  }
   for (long i = 0; i < n; i++) {
-    // upper_bound over P-1 splitters (side="right" semantics)
-    int lo = 0, hi = P - 1;
     uint64_t k = keys[i];
+    uint64_t t = k >> 48;
+    // [radix[t], radix[t+1]] brackets the upper_bound: parts below the
+    // cell have splitters < t<<48 <= k; parts above start beyond t
+    int lo = radix[t];
+    int hi = t < 65535 ? radix[t + 1] : P - 1;
     while (lo < hi) {
       int mid = (lo + hi) / 2;
       if (splitters[mid] <= k) lo = mid + 1; else hi = mid;
