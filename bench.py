@@ -190,8 +190,32 @@ def e2e_baseline_reads_per_sec() -> float:
     return best
 
 
+def tpu_kmers_per_sec_guarded() -> float:
+    """tpu_kmers_per_sec in a subprocess with a timeout and one retry —
+    the shared dev relay occasionally stalls mid-run, and a hung in-process
+    jax call cannot be interrupted; a stalled attempt must not eat the
+    whole bench."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    last = None
+    for _ in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import bench; print('RATE=%.1f' % bench.tpu_kmers_per_sec())"],
+                env=env, capture_output=True, text=True, timeout=900)
+            for line in out.stdout.splitlines():
+                if line.startswith("RATE="):
+                    return float(line.split("=")[1])
+            last = RuntimeError("no rate in output: %r" % out.stdout[-500:])
+        except subprocess.TimeoutExpired as e:
+            last = e
+    raise last
+
+
 def main():
-    value = tpu_kmers_per_sec()
+    value = tpu_kmers_per_sec_guarded()
     try:
         base = baseline_kmers_per_sec()
     except Exception:
