@@ -301,6 +301,12 @@ class ReadSet:
                 paired[sel] = True
                 paired[sel - 1] = True
         # name-matching path for the rest
+        if not pairs and n and int(rn.max()) == 0:
+            # nothing is pairable: every read is its own single entry —
+            # skip the per-read matching loop entirely (unpaired datasets
+            # are the common streaming case)
+            self.pairs = list(zip(range(n), (-1,) * n))
+            return n
         unmatched = {}
         for i in np.flatnonzero(~paired):
             i = int(i)
