@@ -466,3 +466,21 @@ def format_fastq(rs, idxs, toff, tlen, hdrs, output_base: int, fastq: bool,
         ctypes.c_int(1 if fastq else 0), _ptr(out),
         ctypes.c_int(n_threads))
     return out.tobytes()
+
+
+def gather_ragged(data: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                  n_threads: int = 0):
+    """Concatenate data[offs[i] : offs[i]+lens[i]] natively; None if the
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gather_ragged"):
+        return None
+    n_threads = _threads(n_threads)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    out = np.empty(int(out_off[-1]), np.uint8)
+    lib.gather_ragged(_ptr(np.ascontiguousarray(data, np.uint8)),
+                      _ptr(offs), _ptr(lens), ctypes.c_long(len(offs)),
+                      _ptr(out_off), _ptr(out), ctypes.c_int(n_threads))
+    return out

@@ -437,8 +437,16 @@ def parse_fastq_bytes(data: bytes, comment_stored: bool = True):
     seq_s, seq_e = starts[1::4], ends[1::4]
     qual_s, qual_e = starts[3::4], ends[3::4]
     lens = (seq_e - seq_s).astype(np.int64)
-    seq = _BASE_NORM[buf[_ragged_indices(seq_s, lens)]]
-    qual = buf[_ragged_indices(qual_s, (qual_e - qual_s).astype(np.int64))]
+    from kmernator_tpu.io import native
+    sg = native.gather_ragged(buf, seq_s, lens)
+    if sg is not None:
+        seq = _BASE_NORM[sg]
+        qual = native.gather_ragged(buf, qual_s,
+                                    (qual_e - qual_s).astype(np.int64))
+    else:
+        seq = _BASE_NORM[buf[_ragged_indices(seq_s, lens)]]
+        qual = buf[_ragged_indices(qual_s,
+                                   (qual_e - qual_s).astype(np.int64))]
     if len(qual) != len(seq):
         raise ValueError("FASTQ seq/qual length mismatch")
     # extract all name lines (incl. trailing '\n') in one ragged gather and

@@ -1075,3 +1075,26 @@ void format_fastq(const uint8_t* seq, const int16_t* phred,
 }
 
 }  // extern "C"
+
+// ---- ragged gather: concat data[off[i] : off[i]+len[i]] ----
+extern "C" {
+
+void gather_ragged(const uint8_t* data, const int64_t* offs,
+                   const int64_t* lens, long n, const int64_t* out_off,
+                   uint8_t* out, int n_threads) {
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++)
+      memcpy(out + out_off[r], data + offs[r], lens[r]);
+  };
+  if (n_threads <= 1 || n < 8192) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
