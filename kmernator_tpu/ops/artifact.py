@@ -20,9 +20,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from kmernator_tpu.io.reads import (ReadSet, BASE_CODE, parse_fasta_bytes,
-                                    _ragged_indices)
-from kmernator_tpu.ops.kmer import (extract_kmers_flat, nwords, string_to_words,
+from kmernator_tpu.io.reads import ReadSet, BASE_CODE, parse_fasta_bytes
+from kmernator_tpu.ops.kmer import (extract_kmers_flat, nwords,
                                     revcomp_words, words_less)
 
 DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")

@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from kmernator_tpu.io.reads import ReadSet, BASE_CODE
-from kmernator_tpu.ops.kmer import extract_kmers_flat, string_to_words, revcomp_words, words_less, nwords
+from kmernator_tpu.ops.kmer import extract_kmers_flat, revcomp_words, words_less, nwords
 from kmernator_tpu.ops.weights import window_weights, good_kmer_mask
 from kmernator_tpu.parallel.spectrum import KmerSpectrum, pack_keys
 
