@@ -199,3 +199,17 @@ def test_native_format_fastq_matches_numpy(monkeypatch):
         want = format_reads_batch(rs, idxs, labels, toff, tlen, fmt, 33)
         monkeypatch.undo()
         assert got == want
+
+
+def test_native_gather_ragged_matches_numpy():
+    from kmernator_tpu.io.native import gather_ragged
+    rng = np.random.default_rng(61)
+    data = rng.integers(0, 256, 50000).astype(np.uint8)
+    lens = rng.integers(0, 200, 300).astype(np.int64)
+    offs = rng.integers(0, 49800, 300).astype(np.int64)
+    got = gather_ragged(data, offs, lens)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    want = np.concatenate([data[o:o + l] for o, l in zip(offs, lens)]) \
+        if lens.sum() else np.zeros(0, np.uint8)
+    assert np.array_equal(got, want)
