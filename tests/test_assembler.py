@@ -65,3 +65,32 @@ def test_mesh_matches_host_assembly(tmp_path):
                            "--jax-platform", "cpu"],
                    check=True, env=env, capture_output=True)
     assert open(mesh_out, "rb").read() == open(host_out, "rb").read()
+
+
+def test_contig_extender_cli(tmp_path):
+    """Standalone ContigExtender app (ref: apps/ContigExtender.cpp): seeds
+    extend into exact phiX substrings, names get -l<n>r<m> suffixes."""
+    out = str(tmp_path / "extended.fa")
+    subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.contig_extender",
+         "--contig-file", REF + "/5.fa", "--out", out, "25",
+         REF + "/1000.fastq"],
+        check=True, env=ENV, capture_output=True)
+    contigs = load_fasta(out)
+    assert len(contigs) == 5
+    seeds = load_fasta(REF + "/5.fa")
+    phix = "".join(l.strip() for l in
+                   open(os.path.join(REPO, "kmernator_tpu/data/phix174.fasta"))
+                   if not l.startswith(">"))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    circ = phix + phix
+    rc = "".join(comp[c] for c in reversed(phix))
+    circ_rc = rc + rc
+    grew = 0
+    for name, seq in contigs.items():
+        assert "-l" in name and "r" in name.rsplit("-l", 1)[1]
+        assert seq in circ or seq in circ_rc
+        base = name.rsplit("-l", 1)[0]
+        if len(seq) > len(seeds[base]):
+            grew += 1
+    assert grew >= 4
