@@ -1096,6 +1096,20 @@ def run(argv: List[str]) -> int:
         Log.error("Please specify at least one input file")
         return 1
 
+    if (not streaming and dist_nprocs == 1 and opts.input_file
+            and ropts.max_kmer_output_depth <= 0 and dopts.dedup_mode <= 0
+            and not sopts.save_kmer_mmap and not sopts.load_kmer_mmap
+            and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
+            and sopts.build_partitions <= 0
+            and all(os.path.exists(p) for p in opts.input_file)
+            and sum(os.path.getsize(p) for p in opts.input_file) > (256 << 20)):
+        # the streaming engine is byte-compatible feature-for-feature and
+        # both faster (worker pool + native kernels) and bounded-memory;
+        # auto-enable it for large inputs unless an in-memory-only feature
+        # (normalization, dedup, mmap save/load, partition-by-depth) is on
+        Log.verbose(1, "input > 256 MB: using the streaming engine "
+                    "(pass --streaming-chunk-mb to tune)")
+        streaming = True
     if streaming:
         if dist_nprocs > 1:
             Log.error("--streaming does not compose with --distributed yet;"
