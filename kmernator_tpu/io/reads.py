@@ -353,11 +353,17 @@ class ReadSet:
         new_len = self.lengths().copy()
         new_off[which] = trim_off
         new_len[which] = trim_len
-        # rebuild flat arrays via fancy indexing
+        # rebuild flat arrays (native ragged memcpy when available)
         starts = self.offsets[:-1] + new_off
-        idx = _ragged_indices(starts, new_len)
-        self.seq = self.seq[idx]
-        self.qual = self.qual[idx]
+        from kmernator_tpu.io import native
+        sg = native.gather_ragged(self.seq, starts, new_len)
+        if sg is not None:
+            self.seq = sg
+            self.qual = native.gather_ragged(self.qual, starts, new_len)
+        else:
+            idx = _ragged_indices(starts, new_len)
+            self.seq = self.seq[idx]
+            self.qual = self.qual[idx]
         self.offsets = np.concatenate([[0], np.cumsum(new_len)])
         for j, i in enumerate(which):
             lab = labels[j]
