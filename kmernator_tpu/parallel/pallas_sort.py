@@ -32,8 +32,6 @@ scaffold for a fused local-sort+first-merge kernel.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
@@ -46,10 +44,6 @@ import jax.numpy as jnp
 
 def _le(ah, al, bh, bl):
     return (ah < bh) | ((ah == bh) & (al <= bl))
-
-
-def _lt(ah, al, bh, bl):
-    return (ah < bh) | ((ah == bh) & (al < bl))
 
 
 # ---------------------------------------------------------------------
@@ -129,16 +123,6 @@ def _roll_lanes(x, stride, is_top):
     fwd = jnp.roll(x, -stride, axis=1)
     bwd = jnp.roll(x, stride, axis=1)
     return jnp.where(is_top, fwd, bwd)
-
-
-def merge_pairs_reference(hi, lo, run: int):
-    """jnp reference: merge adjacent sorted run pairs (for tests)."""
-    N = hi.shape[0]
-    n_pairs = N // (2 * run)
-    h2 = hi.reshape(n_pairs, 2 * run)
-    l2 = lo.reshape(n_pairs, 2 * run)
-    s = jax.lax.sort([h2, l2], dimension=-1, num_keys=2, is_stable=False)
-    return s[0].reshape(N), s[1].reshape(N)
 
 
 # ---------------------------------------------------------------------
