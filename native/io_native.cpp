@@ -849,8 +849,13 @@ long spill_count(const uint64_t* keys, long n, int min_depth,
   if (n == 0) return 0;
   size_t cap = 1;
   while ((long)cap < 2 * n) cap <<= 1;
-  std::vector<uint64_t> tk(cap, ~0ULL);
-  std::vector<uint32_t> tc(cap, 0);
+  // grow-only arenas: a fresh 100MB-scale vector per part mmap/munmap-
+  // churns; reuse keeps the pages resident (one memset is still required)
+  static thread_local std::vector<uint64_t> tk;
+  static thread_local std::vector<uint32_t> tc;
+  if (tk.size() < cap) { tk.resize(cap); tc.resize(cap); }
+  memset(tk.data(), 0xff, cap * sizeof(uint64_t));
+  memset(tc.data(), 0, cap * sizeof(uint32_t));
   const uint64_t mask = cap - 1;
   const long AHEAD = 16;  // hide the first-probe DRAM miss
   for (long i = 0; i < n; i++) {
@@ -902,7 +907,8 @@ long spill_route(const uint64_t* keys, const float* w, int has_w, long n,
                  const uint64_t* splitters, int P,
                  uint8_t* out_rec, int64_t* part_off) {
   const int rb = has_w ? 12 : 8;
-  std::vector<int32_t> part(n);
+  static thread_local std::vector<int32_t> part;
+  if ((long)part.size() < n) part.resize(n);
   std::vector<int64_t> cnt(P + 1, 0);
   // top-16-bit direct router: radix[t] = first part whose range can hold a
   // key with top bits t; most radix cells map to a single part, so the
