@@ -215,16 +215,21 @@ def tpu_kmers_per_sec_guarded() -> float:
 
 
 def main():
-    value = tpu_kmers_per_sec_guarded()
+    try:
+        value = tpu_kmers_per_sec_guarded()
+    except Exception:
+        # the shared dev relay can be down for hours; a partial record
+        # (e2e still measured on host) beats an empty one
+        value = None
     try:
         base = baseline_kmers_per_sec()
     except Exception:
         base = None
     rec = {
         "metric": "canonical 31-mers counted/sec/chip",
-        "value": round(value),
+        "value": round(value) if value else None,
         "unit": "kmers/s",
-        "vs_baseline": round(value / base, 2) if base else None,
+        "vs_baseline": round(value / base, 2) if (value and base) else None,
     }
     try:
         e2e = e2e_reads_per_sec()
