@@ -1096,17 +1096,20 @@ def run(argv: List[str]) -> int:
         Log.error("Please specify at least one input file")
         return 1
 
-    if (not streaming and dist_nprocs == 1 and opts.input_file
+    if (not streaming and dist_nprocs == 1 and len(opts.input_file) == 1
             and ropts.max_kmer_output_depth <= 0 and dopts.dedup_mode <= 0
             and not sopts.save_kmer_mmap and not sopts.load_kmer_mmap
             and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
             and sopts.build_partitions <= 0
-            and all(os.path.exists(p) for p in opts.input_file)
-            and sum(os.path.getsize(p) for p in opts.input_file) > (256 << 20)):
+            and os.path.exists(opts.input_file[0])
+            and os.path.getsize(opts.input_file[0]) > (256 << 20)):
         # the streaming engine is byte-compatible feature-for-feature and
         # both faster (worker pool + native kernels) and bounded-memory;
-        # auto-enable it for large inputs unless an in-memory-only feature
-        # (normalization, dedup, mmap save/load, partition-by-depth) is on
+        # auto-enable it for large SINGLE-file inputs unless an
+        # in-memory-only feature (normalization, dedup, mmap save/load,
+        # partition-by-depth) is on.  Multi-file inputs stay in-memory:
+        # mates split across files pair by name matching there, while
+        # streaming chunks never see both files at once.
         Log.verbose(1, "input > 256 MB: using the streaming engine "
                     "(pass --streaming-chunk-mb to tune)")
         streaming = True
