@@ -77,3 +77,22 @@ def test_phase_timer():
     t.record("b")
     rep = t.report()
     assert "a" in rep and "b" in rep
+
+
+def test_fast_temp_dir_modes(tmp_path):
+    """RAM-backed when the estimate clearly fits, default tempdir when the
+    estimate is absurd; always mkdtemp-fresh and writable."""
+    import os
+    from kmernator_tpu.utils.memory import fast_temp_dir
+    small = fast_temp_dir(1 << 20, prefix="kmtest-")
+    huge = fast_temp_dir(1 << 60, prefix="kmtest-")
+    try:
+        for d in (small, huge):
+            assert os.path.isdir(d)
+            with open(os.path.join(d, "x"), "wb") as f:
+                f.write(b"ok")
+        assert not huge.startswith("/dev/shm")
+    finally:
+        import shutil
+        shutil.rmtree(small, ignore_errors=True)
+        shutil.rmtree(huge, ignore_errors=True)
