@@ -15,13 +15,22 @@ path, run on the same host over the same workload shape.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N,
-   "e2e_metric": ..., "e2e_value": N, "e2e_vs_baseline": N}
+   "chip_golden_ok": bool, "e2e_metric": ..., "e2e_value": N,
+   "e2e_vs_baseline": N}
 The e2e_* fields track BASELINE.json's second metric (reads filtered/sec
-at 1 host): a timed streaming FilterReads run over a generated 1 GiB
-FASTQ vs the C++ baseline_filter stand-in (see e2e_reads_per_sec below).
+at 1 host): a timed streaming FilterReads run over a generated FASTQ
+(default 256 MB; KMTPU_E2E_MB overrides, e.g. 1024 for the 1 GiB point)
+vs the C++ baseline_filter stand-in (see e2e_reads_per_sec below).
+
+HARD WALL: the whole bench is budgeted to KMTPU_BENCH_BUDGET_S seconds
+(default 420).  Every stage gets a timeout derived from the remaining
+budget, partial results are kept in REC as stages complete, and SIGTERM /
+SIGALRM flush the record before exit — the driver always captures a JSON
+line even if a stage hangs (round 2 lost its record to an unbounded run).
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -41,29 +50,113 @@ COVERAGE = 20
 B = 8192
 STEPS = 160       # same total windows as the round-1 10x131072 regime
 
+BUDGET_S = float(os.environ.get("KMTPU_BENCH_BUDGET_S", "420"))
+_T0 = time.time()
+_DEADLINE = _T0 + BUDGET_S
 
-def baseline_kmers_per_sec() -> float:
+REC = {
+    "metric": "canonical 31-mers counted/sec/chip",
+    "value": None,
+    "unit": "kmers/s",
+    "vs_baseline": None,
+    "chip_golden_ok": None,
+}
+
+_FLUSHED = False
+_CHILD = None  # current Popen, killed by the watchdog
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.time()
+
+
+def _flush_and_exit(signum=None, frame=None):
+    global _FLUSHED
+    if not _FLUSHED:
+        _FLUSHED = True
+        REC["elapsed_s"] = round(time.time() - _T0, 1)
+        print(json.dumps(REC), flush=True)
+    if _CHILD is not None and _CHILD.poll() is None:
+        try:
+            _CHILD.kill()
+        except OSError:
+            pass
+    if signum is not None:
+        os._exit(0)
+
+
+def _run(cmd, timeout, **kw):
+    """subprocess.run with the child tracked so the watchdog can kill it."""
+    global _CHILD
+    timeout = max(1.0, min(timeout, _remaining() - 5))
+    with subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE, **kw) as p:
+        _CHILD = p
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+            raise
+        finally:
+            _CHILD = None
+    if p.returncode != 0:
+        raise subprocess.CalledProcessError(p.returncode, cmd, out, err)
+    return out.decode(errors="replace")
+
+
+def _build_native(name: str) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "native", "baseline_count.cpp")
-    exe = os.path.join(here, "native", "baseline_count")
+    src = os.path.join(here, "native", name + ".cpp")
+    exe = os.path.join(here, "native", name)
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
         subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
                         "-lpthread"], check=True)
+    return exe
+
+
+def baseline_kmers_per_sec() -> float:
+    exe = _build_native("baseline_count")
     n_reads = GENOME * COVERAGE // L
     best = 0.0
-    for _ in range(3):  # take the baseline's best run (conservative ratio)
-        out = subprocess.run([exe, str(n_reads), str(L), str(K), "4",
-                              str(GENOME)], check=True, capture_output=True,
-                             text=True)
-        for line in out.stdout.splitlines():
+    runs = 3 if _remaining() > 120 else 1
+    for _ in range(runs):  # take the baseline's best run (conservative ratio)
+        out = _run([exe, str(n_reads), str(L), str(K), "4", str(GENOME)],
+                   timeout=60)
+        for line in out.splitlines():
             if line.startswith("kmers_per_sec="):
                 best = max(best, float(line.split("=")[1]))
     if not best:
-        raise RuntimeError("baseline produced no rate: %r" % out.stdout)
+        raise RuntimeError("baseline produced no rate: %r" % out)
     return best
 
 
-def tpu_kmers_per_sec() -> float:
+def _bench_batch():
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, GENOME, dtype=np.uint8)
+    starts = rng.integers(0, GENOME - L, B)
+    codes = genome[starts[:, None] + np.arange(L)[None, :]]
+    logp = np.full((B, L), np.float32(-0.00144), dtype=np.float32)
+    lengths = np.full(B, L, dtype=np.int32)
+    return codes, logp, lengths
+
+
+def _host_oracle(codes: np.ndarray):
+    """Unique canonical k-mer (u64 key, count) table via the host path
+    (ops/kmer.extract_kmers_flat), the same oracle the unit tests trust."""
+    from kmernator_tpu.ops.kmer import extract_kmers_flat
+    from kmernator_tpu.parallel.spectrum import pack_u64
+    flat = codes.reshape(-1).astype(np.uint8)
+    offsets = (np.arange(B + 1, dtype=np.int64) * L)
+    canon, _, _, _ = extract_kmers_flat(flat, offsets, K)
+    keys = pack_u64(canon)
+    uk, uc = np.unique(keys, return_counts=True)
+    return uk, uc.astype(np.int64)
+
+
+def tpu_child():
+    """Runs inside the guarded subprocess: golden check + timed rate.
+    Prints GOLDEN=ok|mismatch and RATE=<kmers/s>."""
     from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -73,26 +166,41 @@ def tpu_kmers_per_sec() -> float:
                                                        window_good)
 
     @jax.jit
-    def build(codes, logp, lengths):
+    def build_full(codes, logp, lengths):
         cols, is_fwd, valid = extract_canonical_cols(codes, lengths, K)
         wsum, good = window_good(logp, lengths, K, -3.3219281)
         g = (good & valid).reshape(-1)
         keys, counts, n_unique = count_batch(
             [c.reshape(-1) for c in cols], g, 1)
-        return n_unique
+        return keys, counts, n_unique
 
-    rng = np.random.default_rng(7)
-    genome = rng.integers(0, 4, GENOME, dtype=np.uint8)
-    starts = rng.integers(0, GENOME - L, B)
-    codes = jnp.asarray(genome[starts[:, None] + np.arange(L)[None, :]])
-    logp = jnp.full((B, L), np.float32(-0.00144), dtype=jnp.float32)
-    lengths = jnp.full(B, L, dtype=jnp.int32)
+    @jax.jit
+    def build(codes, logp, lengths):
+        return build_full(codes, logp, lengths)[2]
 
-    # compile + warm (forced completion via host readback)
+    codes_h, logp_h, lengths_h = _bench_batch()
+    codes = jnp.asarray(codes_h)
+    logp = jnp.asarray(logp_h)
+    lengths = jnp.asarray(lengths_h)
+
+    # ---- chip golden: device table == host-oracle table, byte for byte ----
+    dk, dc, dn = build_full(codes, logp, lengths)
+    dk = np.asarray(dk)            # [N, 2] u32, SENTINEL rows where count==0
+    dc = np.asarray(dc)
+    keep = dc > 0
+    dev_keys = (dk[keep, 0].astype(np.uint64) << np.uint64(32)) \
+        | dk[keep, 1].astype(np.uint64)
+    order = np.argsort(dev_keys, kind="stable")
+    dev_keys, dev_counts = dev_keys[order], dc[keep][order].astype(np.int64)
+    want_keys, want_counts = _host_oracle(codes_h)
+    ok = (len(dev_keys) == len(want_keys)
+          and np.array_equal(dev_keys, want_keys)
+          and np.array_equal(dev_counts, want_counts))
+    print("GOLDEN=%s" % ("ok" if ok else "mismatch"), flush=True)
+
+    # ---- timed rate (golden pass above doubled as compile+warm) ----
     n = int(build(codes, logp, lengths))
     assert 0 < n <= B * (L - K + 1)
-    n = int(build(codes, logp, lengths))
-
     n_windows = B * (L - K + 1)
     t0 = time.perf_counter()
     acc = jnp.int32(0)
@@ -101,21 +209,22 @@ def tpu_kmers_per_sec() -> float:
     total = int(acc)  # single readback forces completion of every step
     dt = time.perf_counter() - t0
     assert total == STEPS * n, (total, n)
-    return n_windows * STEPS / dt
+    print("RATE=%.1f" % (n_windows * STEPS / dt), flush=True)
 
 
 # ---- secondary metric: end-to-end FilterReads throughput (1 host) ----
 #
 # BASELINE.json's second metric ("reads filtered/sec at 1/N hosts").
-# Input: a generated Illumina-like FASTQ (default 1 GiB; KMTPU_E2E_MB
-# overrides).  Ours: the streaming host engine (bounded memory, fork
-# worker pool) at MEDIAN/min-depth-2 — the 1000.fastq golden config.
-# Baseline: native/baseline_filter.cpp, a multithreaded C++ parse ->
-# count -> median-score -> write pipeline that deliberately does LESS
-# work per read (no artifact filter, no pairing) — a generous stand-in,
-# since the reference itself does not build here (Boost/MPI absent).
+# Input: a generated Illumina-like FASTQ (default 256 MB; KMTPU_E2E_MB
+# overrides — use 1024 for the 1 GiB point).  Ours: the streaming host
+# engine (bounded memory, fork worker pool) at MEDIAN/min-depth-2 — the
+# 1000.fastq golden config.  Baseline: native/baseline_filter.cpp, a
+# multithreaded C++ parse -> count -> median-score -> write pipeline that
+# deliberately does LESS work per read (no artifact filter, no pairing) —
+# a generous stand-in, since the reference itself does not build here
+# (Boost/MPI absent).
 
-E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "1024"))
+E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "256"))
 E2E_L = 100
 
 
@@ -155,13 +264,12 @@ def e2e_reads_per_sec():
     out = "/tmp/kmtpu-bench-e2e-out"
     env = dict(os.environ, PYTHONPATH=here)
     t0 = time.perf_counter()
-    subprocess.run(
-        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
-         "--jax-platform", "cpu", "--streaming",
-         "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
-         "--artifact-edit-distance", "1", "--min-read-length", "25",
-         "--out", out, "31", path],
-        check=True, env=env, capture_output=True, timeout=1800)
+    _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+          "--jax-platform", "cpu", "--streaming",
+          "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+          "--artifact-edit-distance", "1", "--min-read-length", "25",
+          "--out", out, "31", path],
+         env=env, timeout=1200)
     dt = time.perf_counter() - t0
     for f in os.listdir("/tmp"):
         if f.startswith("kmtpu-bench-e2e-out"):
@@ -170,18 +278,13 @@ def e2e_reads_per_sec():
 
 
 def e2e_baseline_reads_per_sec() -> float:
-    here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "native", "baseline_filter.cpp")
-    exe = os.path.join(here, "native", "baseline_filter")
-    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
-        subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src,
-                        "-lpthread"], check=True)
+    exe = _build_native("baseline_filter")
     best = 0.0
-    for _ in range(2):  # best-of-2: a conservative ratio on a noisy VM
-        out = subprocess.run(
-            [exe, e2e_input_path(), "31", "4", "2", "/tmp/kmtpu-bench-bf-out"],
-            check=True, capture_output=True, text=True, timeout=1800)
-        for line in out.stdout.splitlines():
+    runs = 2 if _remaining() > 150 else 1  # best-of-2 on a noisy VM
+    for _ in range(runs):
+        out = _run([exe, e2e_input_path(), "31", "4", "2",
+                    "/tmp/kmtpu-bench-bf-out"], timeout=600)
+        for line in out.splitlines():
             if line.startswith("reads_per_sec="):
                 best = max(best, float(line.split("=")[1]))
     os.unlink("/tmp/kmtpu-bench-bf-out")
@@ -190,59 +293,80 @@ def e2e_baseline_reads_per_sec() -> float:
     return best
 
 
-def tpu_kmers_per_sec_guarded() -> float:
-    """tpu_kmers_per_sec in a subprocess with a timeout and one retry —
-    the shared dev relay occasionally stalls mid-run, and a hung in-process
-    jax call cannot be interrupted; a stalled attempt must not eat the
-    whole bench."""
+def tpu_stage():
+    """tpu_child in a subprocess with a budget-derived timeout and one
+    retry — the shared dev relay occasionally stalls mid-run, and a hung
+    in-process jax call cannot be interrupted; a stalled attempt must not
+    eat the whole bench."""
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
-    last = None
-    for _ in range(2):
+    for attempt in range(2):
+        cap = min(240.0, _remaining() - 120)
+        if cap < 45:
+            return
         try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import bench; print('RATE=%.1f' % bench.tpu_kmers_per_sec())"],
-                env=env, capture_output=True, text=True, timeout=900)
-            for line in out.stdout.splitlines():
-                if line.startswith("RATE="):
-                    return float(line.split("=")[1])
-            last = RuntimeError("no rate in output: %r" % out.stdout[-500:])
-        except subprocess.TimeoutExpired as e:
-            last = e
-    raise last
+            out = _run([sys.executable, "-c",
+                        "import bench; bench.tpu_child()"],
+                       env=env, timeout=cap)
+        except Exception:
+            continue
+        for line in out.splitlines():
+            if line.startswith("GOLDEN="):
+                REC["chip_golden_ok"] = line.strip() == "GOLDEN=ok"
+            elif line.startswith("RATE="):
+                REC["value"] = round(float(line.split("=")[1]))
+        if REC["value"] is not None:
+            return
 
 
 def main():
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGALRM, _flush_and_exit)
+    signal.alarm(max(10, int(BUDGET_S)))
+
+    # stage A: native baselines compile fast; do it first so later stages
+    # never wait on the compiler
     try:
-        value = tpu_kmers_per_sec_guarded()
+        _build_native("baseline_count")
+        _build_native("baseline_filter")
     except Exception:
-        # the shared dev relay can be down for hours; a partial record
-        # (e2e still measured on host) beats an empty one
-        value = None
+        pass
+
+    # stage B: e2e input (cached across runs in /tmp)
+    try:
+        e2e_input_path()
+    except Exception:
+        pass
+
+    # stage C: TPU rate + chip golden (guarded subprocess, bounded)
+    try:
+        tpu_stage()
+    except Exception:
+        pass
+
+    # stage D: C++ kmer-count baseline
     try:
         base = baseline_kmers_per_sec()
+        if REC["value"]:
+            REC["vs_baseline"] = round(REC["value"] / base, 2)
     except Exception:
-        base = None
-    rec = {
-        "metric": "canonical 31-mers counted/sec/chip",
-        "value": round(value) if value else None,
-        "unit": "kmers/s",
-        "vs_baseline": round(value / base, 2) if (value and base) else None,
-    }
+        pass
+
+    # stage E/F: e2e ours, then e2e baseline
     try:
         e2e = e2e_reads_per_sec()
-        rec["e2e_metric"] = "reads filtered/sec (1 host, %d MB)" % E2E_MB
-        rec["e2e_value"] = round(e2e)
+        REC["e2e_metric"] = "reads filtered/sec (1 host, %d MB)" % E2E_MB
+        REC["e2e_value"] = round(e2e)
         try:
             e2e_base = e2e_baseline_reads_per_sec()
-            rec["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
+            REC["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
         except Exception:
-            rec["e2e_vs_baseline"] = None
+            REC["e2e_vs_baseline"] = None
     except Exception:
-        rec["e2e_value"] = None
-    print(json.dumps(rec))
+        REC["e2e_value"] = None
+
+    _flush_and_exit()
 
 
 if __name__ == "__main__":

@@ -41,6 +41,36 @@ def file_prefix(path: str) -> str:
     return base[:dot]
 
 
+def divert_blobs(rs: ReadSet, out, opts, aopts) -> Dict[str, bytes]:
+    """Diverted-read output records for --phix-output / --filter-output
+    (ref: FilterKnownOddities::recordAffectedRead -> omPhiX/omArtifact,
+    src/FilterKnownOddities.h:551-661; deviation: the reference writes the
+    'N' discard placeholder with full-length quals — malformed fastq — we
+    write the whole read).  Returns {path: fastq bytes}; shared by the
+    in-memory and both streaming engines (which append per chunk)."""
+    files: Dict[str, List[bytes]] = {}
+    if not opts.output_file:
+        return {}
+    items: List = []
+    if aopts.phix_output:
+        items.append(("-PhiX.fastq", [(i, b"") for i in out.phix_reads]))
+    if aopts.filter_output:
+        items.append(("-Artifact.fastq", out.artifact_reads))
+    ph = rs.phred() if any(lst for _, lst in items) else None
+    for suffix, lst in items:
+        for i, label in lst:
+            key = opts.output_file + "-" + file_prefix(
+                opts.input_file[rs.file_idx[i]]) + suffix
+            rec = format_read(
+                rs.names[i], rs.comments[i],
+                rs.seq[rs.offsets[i]:rs.offsets[i + 1]].tobytes(),
+                ph[rs.offsets[i]:rs.offsets[i + 1]], label, 2,
+                opts.fastq_output_base_quality, 0, 1 << 30, False,
+                bool(rs.has_quals[i]), opts.keep_read_comment)
+            files.setdefault(key, []).append(rec)
+    return {p: b"".join(v) for p, v in files.items()}
+
+
 def build_subtract_keys(reference_files, subtract_files, k, min_quality,
                         output_base, min_kmer_quality, min_depth):
     """Union of kmers to exclude from counting (ref: FilterReads-P.cpp:
@@ -227,6 +257,10 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
     for bi in range(n_batches):
         bc, bg, bl, bw, _ = batch_at(bi * batch_reads, True)
         sp.add_batch(bc, bg, bl, weights2d=bw)
+    if sp.purged_singletons:
+        Log.warn("mesh build purged %d singletons under capacity pressure "
+                 "(hash-skewed input; counts may undercount by 1); raise "
+                 "--streaming-parts capacity" % sp.purged_singletons)
     if variant_sigmas > 0.0:
         # distributed variant purge: gather the (small, compacted) table,
         # run the vectorized weighted purge, push survivors back to the
@@ -697,11 +731,12 @@ def _par_scan_path(ci: int):
 
 def _par_load_chunk(args, replay: bool):
     """Shared chunk setup for both passes: parse + artifact filter (scan
-    saved on pass 1, replayed on pass 2)."""
+    saved on pass 1, replayed on pass 2).  Returns (rs, outcome|None)."""
     from kmernator_tpu.io.chunked import read_chunk
     ci, fi, path, s, e = args
     c = _PAR
     rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
+    o = None
     if c["filt"] is not None:
         sp = _par_scan_path(ci)
         pre = None
@@ -713,14 +748,14 @@ def _par_load_chunk(args, replay: bool):
         if not replay and sp:
             sv, smn, smx, sso, ssl, sph = o.scan
             np.savez(sp, sv=sv, smn=smn, smx=smx, sso=sso, ssl=ssl, sph=sph)
-    return rs
+    return rs, o
 
 
 def _par_pass1(args):
     """Count one chunk into per-chunk spill files (range splitters shared)."""
     from kmernator_tpu.parallel.spill import SpillCounter
     c = _PAR
-    rs = _par_load_chunk(args, replay=False)
+    rs, _ = _par_load_chunk(args, replay=False)
     if c["k"] <= 0:
         return rs.n, 0, 0, None, None
     keys, good, w = _chunk_observations(
@@ -737,7 +772,7 @@ def _par_pass1(args):
 def _par_pass2(args):
     """Score one chunk against the finalized spectrum -> {path: bytes}."""
     c = _PAR
-    rs = _par_load_chunk(args, replay=True)
+    rs, o = _par_load_chunk(args, replay=True)
     rs.identify_pairs()
     if c["k"] > 0:
         counts, w_off = window_count_lookup(rs, c["spectrum"], c["k"])
@@ -748,8 +783,11 @@ def _par_pass2(args):
                                c["ropts"].bimodal_sigmas)
     else:
         trims = _trim_by_markup(rs)
-    return select_reads(rs, trims, c["spectrum"], c["opts"], c["kopts"],
-                        c["sopts"], c["ropts"], c["opts"].input_file)
+    outputs = select_reads(rs, trims, c["spectrum"], c["opts"], c["kopts"],
+                           c["sopts"], c["ropts"], c["opts"].input_file)
+    if o is not None:
+        outputs.update(divert_blobs(rs, o, c["opts"], c["aopts"]))
+    return outputs
 
 
 def _spectrum_outputs_and_purge(spectrum, sopts, fopts):
@@ -775,8 +813,8 @@ def _spectrum_outputs_and_purge(spectrum, sopts, fopts):
         Log.verbose(1, "Removed %d kmer-variants" % purged)
 
 
-def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
-                            chunk_bytes: int, capacity: int,
+def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
+                            scan_dir, chunk_bytes: int, capacity: int,
                             threads: int) -> int:
     """Two-pass streaming FilterReads over a fork worker pool: pass 1
     spill-counts chunks concurrently (per-chunk spill files share range
@@ -822,7 +860,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
         scan_dir=scan_dir, k=k, min_quality=opts.min_quality_score,
         output_base=opts.fastq_output_base_quality,
         min_kq=sopts.min_kmer_quality, opts=opts, kopts=kopts, sopts=sopts,
-        ropts=ropts, subtract_keys=None, spectrum=None)
+        ropts=ropts, aopts=aopts, subtract_keys=None, spectrum=None)
 
     ctx = mp.get_context("fork")
     spectrum = None
@@ -840,8 +878,21 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
         register_path(spill_dir)
         _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
                     num_parts=num_parts, spill_dir=spill_dir, splitters=None)
-        # chunk 0 runs in the parent so its writer seeds the shared splitters
+        # chunk 0 runs in the parent so its writer seeds the shared splitters;
+        # if a chunk yields zero good kmers (all short/low-quality reads) the
+        # splitters stay None — keep going in the parent until seeded, else
+        # each forked worker would seed its own inconsistent ranges and the
+        # parts would no longer concatenate globally sorted
         n_reads, raw, good, key_dt, splitters = _par_pass1(work[0])
+        wi = 1
+        while splitters is None and wi < len(work):
+            rn, rk, rgk, kd, splitters = _par_pass1(work[wi])
+            n_reads += rn
+            raw += rk
+            good += rgk
+            if key_dt is None:
+                key_dt = kd
+            wi += 1
         _PAR["splitters"] = splitters
         # pool workers own whole cores; native kernels inside them must not
         # fan out another cpu_count threads each (forked state)
@@ -849,7 +900,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, fopts, filt, scan_dir,
         _native.set_default_threads(1)
         with ctx.Pool(threads) as pool:
             for rn, rk, rgk, kd, _ in pool.imap_unordered(
-                    _par_pass1, work[1:], chunksize=1):
+                    _par_pass1, work[wi:], chunksize=1):
                 n_reads += rn
                 raw += rk
                 good += rgk
@@ -946,14 +997,17 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     threads = opts.threads if opts.threads > 0 else (os.cpu_count() or 1)
     if (threads > 1 and mesh_devices == 0
             and not any(p.endswith(".gz") for p in opts.input_file)):
-        return _run_streaming_parallel(opts, kopts, sopts, ropts, fopts,
-                                       filt, scan_dir, chunk_bytes,
+        return _run_streaming_parallel(opts, kopts, sopts, ropts, aopts,
+                                       fopts, filt, scan_dir, chunk_bytes,
                                        capacity, threads)
+
+    last_outcome: Dict[str, object] = {}
 
     def chunks(replay: bool = False):
         for ci, rs in enumerate(stream_readsets(
                 opts.input_file, chunk_bytes,
                 opts.fastq_output_base_quality, opts.keep_read_comment)):
+            last_outcome.pop("o", None)
             if filt is not None:
                 pre = None
                 path = (os.path.join(scan_dir, "%06d.npz" % ci)
@@ -967,6 +1021,7 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                     sv, smn, smx, sso, ssl, sph = o.scan
                     np.savez(path, sv=sv, smn=smn, smx=smx, sso=sso,
                              ssl=ssl, sph=sph)
+                last_outcome["o"] = o
             yield rs
 
     spectrum = None
@@ -1019,6 +1074,8 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
             trims = _trim_by_markup(rs)
         outputs = select_reads(rs, trims, spectrum, opts, kopts, sopts,
                                ropts, opts.input_file)
+        if "o" in last_outcome:
+            outputs.update(divert_blobs(rs, last_outcome["o"], opts, aopts))
         for path, data in outputs.items():
             mode = "ab" if path in written else "wb"
             written.add(path)
@@ -1118,6 +1175,17 @@ def run(argv: List[str]) -> int:
             Log.error("--streaming does not compose with --distributed yet;"
                       " use --mesh N for sharded streaming in one process")
             return 1
+        # in-memory-only features must fail loudly, not silently no-op
+        # (the auto-streaming gate above already excludes them)
+        if sopts.save_kmer_mmap or sopts.load_kmer_mmap:
+            Log.error("--streaming does not support --save-kmer-mmap/"
+                      "--load-kmer-mmap (global table); use the in-memory "
+                      "path")
+            return 1
+        if dopts.dedup_mode > 0 and dopts.dedup_edit_distance != -1:
+            Log.error("--streaming does not support duplicate-fragment "
+                      "dedup (global pairing state); use the in-memory path")
+            return 1
         rc = run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
                            streaming_chunk_mb, streaming_capacity,
                            mesh_devices=mesh_devices, mesh_batch=mesh_batch)
@@ -1156,39 +1224,19 @@ def run(argv: List[str]) -> int:
             min_read_length=ropts.min_read_length)
         out = apply_artifact_filter(rs, filt)
         Log.verbose(1, "filter affected (trimmed/removed) %d reads" % out.affected)
-        # diverted-read outputs (ref: recordDiscard -> omPhiX/omArtifact;
-        # deviation: the reference writes the 'N' discard placeholder with
-        # full-length quals — malformed fastq — we write the whole read)
-        ph = rs.phred()
-
-        def _divert(path_suffix, items):
-            files: Dict[str, List[bytes]] = {}
-            for i, label in items:
-                key = opts.output_file + "-" + file_prefix(
-                    opts.input_file[rs.file_idx[i]]) + path_suffix
-                rec = format_read(
-                    rs.names[i], rs.comments[i],
-                    rs.seq[rs.offsets[i]:rs.offsets[i + 1]].tobytes(),
-                    ph[rs.offsets[i]:rs.offsets[i + 1]], label, 2,
-                    opts.fastq_output_base_quality, 0, 1 << 30, False,
-                    bool(rs.has_quals[i]), opts.keep_read_comment)
-                files.setdefault(key, []).append(rec)
-            if multi:
-                from kmernator_tpu.parallel.multihost import (
-                    allgather_strings, write_gathered)
-                for path in allgather_strings(list(files.keys())):
-                    write_gathered(path, b"".join(files.get(path, [])))
-            else:
-                for path, recs in files.items():
-                    with open(path, "wb") as f:
-                        f.write(b"".join(recs))
-
-        # multi: every rank must join the gathered write even with no picks
-        if aopts.phix_output and opts.output_file and (out.phix_reads or multi):
-            _divert("-PhiX.fastq", [(i, b"") for i in out.phix_reads])
-        if aopts.filter_output and opts.output_file and (out.artifact_reads
-                                                         or multi):
-            _divert("-Artifact.fastq", out.artifact_reads)
+        # diverted-read outputs (shared builder: divert_blobs above)
+        blobs = divert_blobs(rs, out, opts, aopts)
+        if multi and opts.output_file and (aopts.phix_output
+                                           or aopts.filter_output):
+            # every rank must join the gathered write even with no picks
+            from kmernator_tpu.parallel.multihost import (
+                allgather_strings, write_gathered)
+            for path in allgather_strings(list(blobs.keys())):
+                write_gathered(path, blobs.get(path, b""))
+        else:
+            for path, blob in blobs.items():
+                with open(path, "wb") as f:
+                    f.write(blob)
 
     if dopts.dedup_mode > 0 and dopts.dedup_edit_distance != -1:
         from kmernator_tpu.ops.dedup import filter_duplicate_fragments

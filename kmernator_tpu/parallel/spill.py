@@ -214,14 +214,6 @@ def count_spill_parts(tmpdir: str, num_parts: int, k: int, key_dtype,
         pass
     return sp
 
-    # spill-record bytes per observation (for sizing diagnostics)
-    @property
-    def record_bytes(self) -> int:
-        key_item = (8 if self.key_dtype is None
-                    or self.key_dtype == np.uint64
-                    else self.key_dtype.itemsize)
-        return key_item + (4 if self.track_weights else 0)
-
 
 def auto_parts(est_windows: int, budget_bytes: int = 48 << 20,
                rec_bytes: int = 12) -> int:
