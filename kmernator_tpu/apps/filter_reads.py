@@ -790,6 +790,25 @@ def _par_pass2(args):
     return outputs
 
 
+def _sample_splitters(rs0: ReadSet, k: int, num_parts: int):
+    """Shared spill range splitters from the chunk-0 key sample: lets every
+    chunk (including 0) run on the worker pool instead of serially in the
+    parent.  Splitter skew only shifts per-part memory, never correctness
+    (the spill counter range-partitions; parts concatenate sorted)."""
+    codes_raw = BASE_CODE[rs0.seq]
+    codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
+    from kmernator_tpu.io.native import kmer_keys
+    keys = kmer_keys(codes, rs0.offsets, k)
+    if keys is None:
+        canon, _, _, _ = extract_kmers_flat(codes, rs0.offsets, k)
+        keys = pack_keys(canon)
+    if not len(keys):
+        return None
+    from kmernator_tpu.parallel.spill import key_range_splitters
+    step = max(1, len(keys) // 65536)
+    return key_range_splitters(keys[::step], num_parts)
+
+
 def _spectrum_outputs_and_purge(spectrum, sopts, fopts):
     """Shared post-build steps: histogram / size-history dumps, weak-map
     min-depth purge (singletons are never consulted by the selector,
@@ -853,6 +872,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                       file_idx=fi0)
     base = rs0.detect_quality_base(opts.fastq_output_base_quality)
     del data
+    Log.debug(1, "chunk-0 sample parsed (%d reads)" % rs0.n)
 
     _PAR.clear()
     _PAR.update(
@@ -878,13 +898,15 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         register_path(spill_dir)
         _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
                     num_parts=num_parts, spill_dir=spill_dir, splitters=None)
-        # chunk 0 runs in the parent so its writer seeds the shared splitters;
-        # if a chunk yields zero good kmers (all short/low-quality reads) the
-        # splitters stay None — keep going in the parent until seeded, else
-        # each forked worker would seed its own inconsistent ranges and the
-        # parts would no longer concatenate globally sorted
-        n_reads, raw, good, key_dt, splitters = _par_pass1(work[0])
-        wi = 1
+        # shared splitters seed from the chunk-0 sample (already parsed for
+        # base detection) so every chunk runs on the pool; if the sample has
+        # zero kmers, fall back to counting chunks in the parent until some
+        # chunk seeds them — forked workers must never seed their own
+        # inconsistent ranges or parts stop concatenating globally sorted
+        n_reads = raw = good = 0
+        key_dt = None
+        wi = 0
+        splitters = _sample_splitters(rs0, k, num_parts)
         while splitters is None and wi < len(work):
             rn, rk, rgk, kd, splitters = _par_pass1(work[wi])
             n_reads += rn
@@ -898,6 +920,9 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         # fan out another cpu_count threads each (forked state)
         from kmernator_tpu.io import native as _native
         _native.set_default_threads(1)
+        import time as _time
+        t_p1 = _time.perf_counter()
+        Log.debug(1, "pass1 pool start (head done)")
         with ctx.Pool(threads) as pool:
             for rn, rk, rgk, kd, _ in pool.imap_unordered(
                     _par_pass1, work[wi:], chunksize=1):
@@ -906,17 +931,26 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 good += rgk
                 if key_dt is None:
                     key_dt = kd
+            t_chunks = _time.perf_counter()
             spectrum = count_spill_parts(
                 spill_dir, num_parts, k, key_dt, track_w, 1, raw, good,
                 pool=pool)
+        t_fin = _time.perf_counter()
         Log.verbose(1, "streamed %d reads through %d spill parts on %d "
-                    "workers; spectrum: %d unique kmers; %s"
+                    "workers; spectrum: %d unique kmers; chunks %.2fs "
+                    "finalize %.2fs; %s"
                     % (n_reads, num_parts, threads, spectrum.n_unique,
+                       t_chunks - t_p1, t_fin - t_chunks,
                        get_memory_usage()))
         _spectrum_outputs_and_purge(spectrum, sopts, fopts)
 
     if not opts.output_file:
         return 0
+    if spectrum is not None and len(spectrum.keys) >= 4096:
+        # build the lookup hash once pre-fork (multithreaded); workers
+        # inherit the finished table read-only through fork COW instead of
+        # each rebuilding it per chunk
+        spectrum.lookup_counts(spectrum.keys[:4096])
     _PAR["spectrum"] = spectrum
     from kmernator_tpu.io import native as _native
     _native.set_default_threads(1)
@@ -954,8 +988,6 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     (--max-kmer-output-depth), dedup, save/load-kmer-mmap."""
     from kmernator_tpu.io.chunked import stream_readsets
     from kmernator_tpu.io.stream import estimate_raw_kmers
-    from kmernator_tpu.parallel.pipeline import StreamingSpectrum
-    from kmernator_tpu.parallel.spectrum import pack_keys
     from kmernator_tpu.utils.memory import tune_malloc_for_streaming
 
     tune_malloc_for_streaming()
@@ -1139,8 +1171,15 @@ def run(argv: List[str]) -> int:
         i = argv.index("--jax-platform")
         platform = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-        import jax
-        jax.config.update("jax_platforms", platform)
+        if "jax" in sys.modules:
+            # already loaded (e.g. the axon sitecustomize imports jax at
+            # startup, which also ignores JAX_PLATFORMS) — config wins
+            import jax
+            jax.config.update("jax_platforms", platform)
+        else:
+            # keep jax unimported: the streaming host path never needs it,
+            # and the import costs ~1.5 s per app invocation
+            os.environ["JAX_PLATFORMS"] = platform
     compose([opts, kopts, sopts, ropts, aopts, dopts, fopts], argv,
             positional=["kmer-size", "input-file"])
     Log.verbose_level = opts.verbose

@@ -119,10 +119,27 @@ def probability_table(min_quality: int, output_base: int) -> np.ndarray:
     return tab
 
 
+_PHRED_TABLES = {}
+
+
 def phred_probability(phred: np.ndarray, min_quality: int, output_base: int) -> np.ndarray:
     """qualityToProbability by integer phred (ref: src/Sequence.cpp:522-540).
     char = phred + output_base; p = 0 below output_base+minQ, 1.0 at or above
-    PRINT_REF_QUAL (103), else 1 - 10^(-phred/10)."""
-    tab = probability_table(min_quality, output_base)
-    ch = np.clip(np.asarray(phred, dtype=np.int64) + output_base, 0, 255)
-    return tab[ch]
+    PRINT_REF_QUAL (103), else 1 - 10^(-phred/10).
+
+    The table is pre-shifted by output_base so a u8 phred array gathers
+    directly (no i64 promotion / clip temps — this runs over every base of
+    every chunk in the streaming engine)."""
+    key = (min_quality, output_base)
+    tab_q = _PHRED_TABLES.get(key)
+    if tab_q is None:
+        tab = probability_table(min_quality, output_base)
+        idx = np.minimum(np.arange(256, dtype=np.int64) + output_base, 255)
+        tab_q = tab[idx]
+        _PHRED_TABLES[key] = tab_q
+    phred = np.asarray(phred)
+    # clip-mode take == the original clip(phred+base, 0, 255) gather:
+    # negative phred clips to tab_q[0] = tab[output_base] = 0.0 (ch <
+    # base+minQ or the 1-10^0 boundary), oversized clips to tab_q[255] =
+    # tab[255], exactly where ch would clip to
+    return tab_q.take(phred, mode="clip")
