@@ -593,31 +593,40 @@ def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
 
 def _chunk_observations(rs: ReadSet, k: int, min_quality: int,
                         output_base: int, min_kmer_quality: float,
-                        subtract_keys=None):
-    """(scalar keys, good mask, f32 weights) of every window of the chunk —
-    the bit-exact host observation pipeline feeding the spill counter."""
-    codes_raw = BASE_CODE[rs.seq]
-    markup = codes_raw == 4
-    codes = np.where(markup, 0, codes_raw).astype(np.uint8)
-    p = rs.base_probabilities(min_quality, output_base)
-    lens = rs.lengths()
-    nwr = np.maximum(lens - k + 1, 0)
-    read_id = np.repeat(np.arange(rs.n), nwr)
-    from kmernator_tpu.io.native import kmer_observe
-    native = kmer_observe(codes, markup, p, rs.offsets, k)
-    if native is not None:
-        keys, w = native
+                        subtract_keys=None, want_weights: bool = True):
+    """(scalar keys, good mask, f32 weights-or-None) of every window of the
+    chunk — the bit-exact host observation pipeline feeding the spill
+    counter.  `want_weights=False` skips the weight output entirely (the
+    spill counter only stores weights when tracking them)."""
+    from kmernator_tpu.io.native import observe_chunk
+    fused = observe_chunk(rs, k, min_quality, output_base, min_kmer_quality,
+                          want_weights=want_weights)
+    if fused is not None:
+        keys, good, w = fused
     else:
-        canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
-        from kmernator_tpu.parallel.spectrum import pack_keys
-        keys = pack_keys(canon)
-        w = window_weights(p, rs.offsets, markup, k)
-    good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
+        codes_raw = BASE_CODE[rs.seq]
+        markup = codes_raw == 4
+        codes = np.where(markup, 0, codes_raw).astype(np.uint8)
+        p = rs.base_probabilities(min_quality, output_base)
+        lens = rs.lengths()
+        nwr = np.maximum(lens - k + 1, 0)
+        read_id = np.repeat(np.arange(rs.n), nwr)
+        from kmernator_tpu.io.native import kmer_observe
+        native = kmer_observe(codes, markup, p, rs.offsets, k)
+        if native is not None:
+            keys, w = native
+        else:
+            canon, _, read_id, _ = extract_kmers_flat(codes, rs.offsets, k)
+            from kmernator_tpu.parallel.spectrum import pack_keys
+            keys = pack_keys(canon)
+            w = window_weights(p, rs.offsets, markup, k)
+        good = good_kmer_mask(w, min_kmer_quality) & ~rs.discarded[read_id]
+        w = w.astype(np.float32)
     if subtract_keys is not None and len(subtract_keys):
         idx = np.clip(np.searchsorted(subtract_keys, keys), 0,
                       len(subtract_keys) - 1)
         good = good & (subtract_keys[idx] != keys)
-    return keys, good, w.astype(np.float32)
+    return keys, good, w
 
 
 def _chunk_padded(rs: ReadSet, k: int, L: int, min_quality: int,
@@ -760,7 +769,7 @@ def _par_pass1(args):
         return rs.n, 0, 0, None, None
     keys, good, w = _chunk_observations(
         rs, c["k"], c["min_quality"], c["output_base"], c["min_kq"],
-        c["subtract_keys"])
+        c["subtract_keys"], want_weights=c["track_w"])
     sc = SpillCounter(c["k"], c["num_parts"], tmpdir=c["spill_dir"],
                       track_weights=c["track_w"], splitters=c["splitters"],
                       suffix="c%06d" % args[0])
@@ -1080,7 +1089,7 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                 keys, good, w = _chunk_observations(
                     rs, k, opts.min_quality_score,
                     opts.fastq_output_base_quality, sopts.min_kmer_quality,
-                    subtract_keys)
+                    subtract_keys, want_weights=track_w)
                 sc.add(keys, good, w)
                 n_reads += rs.n
                 Log.debug(1, "chunk %d reads; %s" % (rs.n, get_memory_usage()))

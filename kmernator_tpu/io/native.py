@@ -284,6 +284,65 @@ def kmer_keys(codes: np.ndarray, offsets: np.ndarray, k: int,
     return keys
 
 
+_RAW_PROB_TABLES = {}
+
+
+def _raw_prob_table(input_base: int, min_quality: int,
+                    output_base: int) -> np.ndarray:
+    """256-entry P(correct) indexed by the RAW quality byte: the
+    phred_probability table pre-composed with phred = raw - input_base
+    (ref: src/Sequence.cpp:522-540)."""
+    key = (input_base, min_quality, output_base)
+    tab = _RAW_PROB_TABLES.get(key)
+    if tab is None:
+        from kmernator_tpu.ops.weights import phred_probability
+        raw = np.arange(256, dtype=np.int16) - np.int16(input_base)
+        tab = np.ascontiguousarray(
+            phred_probability(raw, min_quality, output_base))
+        _RAW_PROB_TABLES[key] = tab
+    return tab
+
+
+def observe_chunk(rs, k: int, min_quality: int, output_base: int,
+                  min_kmer_quality: float, want_weights: bool = True,
+                  n_threads: int = 0):
+    """Fused native _chunk_observations core: raw seq/qual bytes -> canonical
+    u64 keys, good mask (weight threshold AND NOT discarded), and optional
+    f32 weights, all in one pass with no intermediate base-sized temps.
+    Returns (keys u64 [N], good bool [N], w f32 [N] | None) or None when
+    the native lib is unavailable / k > 32."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "observe_chunk"):
+        return None
+    n_threads = _threads(n_threads)
+    from kmernator_tpu.io.reads import BASE_CODE
+    seq = np.ascontiguousarray(rs.seq, dtype=np.uint8)
+    qual = np.ascontiguousarray(rs.qual, dtype=np.uint8)
+    offsets = np.ascontiguousarray(rs.offsets, dtype=np.int64)
+    disc = np.ascontiguousarray(rs.discarded, dtype=np.uint8)
+    hq = np.ascontiguousarray(rs.has_quals, dtype=np.uint8)
+    prob = _raw_prob_table(rs.input_qual_base, min_quality, output_base)
+    nw = np.maximum(offsets[1:] - offsets[:-1] - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+    N = int(woff[-1])
+    keys = np.empty(N, dtype=np.uint64)
+    good = np.empty(N, dtype=np.uint8)
+    w = np.empty(N, dtype=np.float32) if want_weights else None
+    lib.observe_chunk.restype = ctypes.c_long
+    got = lib.observe_chunk(
+        _ptr(seq), _ptr(qual), _ptr(offsets), _ptr(woff), _ptr(disc),
+        _ptr(hq), ctypes.c_long(len(offsets) - 1), ctypes.c_int(k),
+        _ptr(BASE_CODE), _ptr(prob),
+        ctypes.c_float(np.float32(min_kmer_quality)),
+        _ptr(keys), _ptr(good),
+        _ptr(w) if w is not None else None, ctypes.c_int(n_threads))
+    if got != N:
+        return None
+    return keys, good.view(bool), w
+
+
 class HashTable:
     """Caller-owned open-addressing u64 -> i64 table (native probe loops)."""
 

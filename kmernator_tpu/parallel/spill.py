@@ -140,8 +140,28 @@ def _part_files(tmpdir: str, p: int) -> List[str]:
 
 
 def count_one_part(tmpdir: str, p: int, key_dt: np.dtype,
-                   track_weights: bool, min_depth: int):
-    """Sort-count every writer's spill file for part p (poolable)."""
+                   track_weights: bool, min_depth: int,
+                   to_files: bool = False):
+    """Sort-count every writer's spill file for part p (poolable).
+    `to_files=True` writes the part's (keys, counts[, weights]) to
+    out%d.{k,c,w}.bin in tmpdir and returns the row count instead of the
+    arrays — raw .tofile/.fromfile beats pickling ~100 MB of results
+    through the pool result pipe (which the parent deserializes serially)."""
+    res = _count_one_part_arrays(tmpdir, p, key_dt, track_weights, min_depth)
+    if not to_files:
+        return res
+    if res is None:
+        return 0
+    sk, cnt, ws_out = res
+    sk.tofile(os.path.join(tmpdir, "out%d.k.bin" % p))
+    cnt.tofile(os.path.join(tmpdir, "out%d.c.bin" % p))
+    if ws_out is not None:
+        ws_out.tofile(os.path.join(tmpdir, "out%d.w.bin" % p))
+    return len(sk)
+
+
+def _count_one_part_arrays(tmpdir: str, p: int, key_dt: np.dtype,
+                           track_weights: bool, min_depth: int):
     ks, ws = [], []
     for path in _part_files(tmpdir, p):
         if track_weights:
@@ -192,19 +212,41 @@ def count_spill_parts(tmpdir: str, num_parts: int, k: int, key_dtype,
     from kmernator_tpu.parallel.spectrum import KmerSpectrum
     key_dt = (np.dtype(np.uint64) if key_dtype is None
               else np.dtype(key_dtype))
-    args = [(tmpdir, p, key_dt, track_weights, min_depth)
-            for p in range(num_parts)]
-    if pool is not None:
-        results = pool.starmap(count_one_part, args)
-    else:
-        results = [count_one_part(*a) for a in args]
-    results = [r for r in results if r is not None]
     sp = KmerSpectrum(k=k)
-    if results:
-        sp.keys = np.concatenate([r[0] for r in results])
-        sp.counts = np.concatenate([r[1] for r in results])  # int32 fits
-        if track_weights and results[0][2] is not None:
-            sp.weighted = np.concatenate([r[2] for r in results])
+    if pool is not None:
+        # workers leave their outputs as raw files (no pickle IPC)
+        args = [(tmpdir, p, key_dt, track_weights, min_depth, True)
+                for p in range(num_parts)]
+        rows = pool.starmap(count_one_part, args)
+        ks, cs, wss = [], [], []
+        for p, m in enumerate(rows):
+            if not m:
+                continue
+            kp = os.path.join(tmpdir, "out%d.k.bin" % p)
+            cp = os.path.join(tmpdir, "out%d.c.bin" % p)
+            wp = os.path.join(tmpdir, "out%d.w.bin" % p)
+            ks.append(np.fromfile(kp, key_dt))
+            cs.append(np.fromfile(cp, np.int32))
+            if track_weights and os.path.exists(wp):
+                wss.append(np.fromfile(wp, np.float64))
+                os.unlink(wp)
+            os.unlink(kp)
+            os.unlink(cp)
+        if ks:
+            sp.keys = np.concatenate(ks)
+            sp.counts = np.concatenate(cs)
+            if wss:
+                sp.weighted = np.concatenate(wss)
+    else:
+        args = [(tmpdir, p, key_dt, track_weights, min_depth)
+                for p in range(num_parts)]
+        results = [count_one_part(*a) for a in args]
+        results = [r for r in results if r is not None]
+        if results:
+            sp.keys = np.concatenate([r[0] for r in results])
+            sp.counts = np.concatenate([r[1] for r in results])  # int32 fits
+            if track_weights and results[0][2] is not None:
+                sp.weighted = np.concatenate([r[2] for r in results])
     sp.raw_kmers = raw_kmers
     sp.raw_good_kmers = raw_good_kmers
     try:

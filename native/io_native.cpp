@@ -1104,3 +1104,107 @@ void gather_ragged(const uint8_t* data, const int64_t* offs,
 }
 
 }  // extern "C"
+
+// ---- fused chunk observation: raw seq/qual -> canonical keys + good ----
+//
+// Native fast path of the WHOLE of apps/filter_reads._chunk_observations:
+// bases code through code_tab (ACGT -> 0..3, everything else 4 = markup,
+// encoding as 0 in 2-bit space, ref: src/TwoBitSequence.cpp:255-260),
+// probabilities gather from a caller-built 256-entry table indexed by the
+// RAW quality byte (ref: src/Sequence.cpp:522-540), window weights follow
+// the reference's incremental product with 1024-window resync
+// (ref: src/KmerReadUtils.h:176-248), and goodness is the reference's
+// float-cast threshold (float)w > (float)min_kq
+// (ref: src/KmerTrackingData.h:353-364) AND NOT discarded[read].
+// The per-window markup test is a rolling counter (O(1) per window)
+// instead of kmer_observe's k-wide scan.
+
+static void oc_range(const uint8_t* seq, const uint8_t* qual,
+                     const int64_t* offsets, const int64_t* woff,
+                     const uint8_t* discarded, const uint8_t* has_quals,
+                     long r0, long r1, int k,
+                     const uint8_t* code_tab, const double* prob_tab,
+                     float min_kq,
+                     uint64_t* keys_out, uint8_t* good_out, float* w_out) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  for (long r = r0; r < r1; r++) {
+    const long s = offsets[r];
+    const long L = offsets[r + 1] - s;
+    const long nw = L - k + 1;
+    if (nw <= 0) continue;
+    uint64_t* ko = keys_out + woff[r];
+    uint8_t* go = good_out + woff[r];
+    float* wo = w_out ? w_out + woff[r] : nullptr;
+    const bool hq = has_quals[r] != 0;
+    const bool disc = discarded[r] != 0;
+    uint64_t fwd = 0;
+    int marked_cnt = 0;
+    for (int j = 0; j < k - 1; j++) {
+      uint8_t c = code_tab[seq[s + j]];
+      marked_cnt += (c == 4);
+      fwd = (fwd << 2) | (c & 3);
+    }
+    double w = 0.0;
+    bool prev_bad = false;
+    for (long i = 0; i < nw; i++) {
+      uint8_t cin = code_tab[seq[s + i + k - 1]];
+      marked_cnt += (cin == 4);
+      fwd = ((fwd << 2) | (cin & 3)) & kmask;
+      uint64_t rc = ko_revcomp(fwd, k);
+      uint64_t canon = fwd < rc ? fwd : rc;
+      ko[i] = canon << up;
+      bool bad = false;
+      if (i == 0 || (i & 1023) == 0 || prev_bad) {
+        w = 1.0;  // seed: sequential product, matching np.cumprod order
+        if (hq) for (int j = 0; j < k; j++) w = w * prob_tab[qual[s + i + j]];
+      } else if (hq) {
+        w = w * (prob_tab[qual[s + i + k - 1]] / prob_tab[qual[s + i - 1]]);
+      }
+      if (w == 0.0) bad = true;
+      float wf;
+      if (marked_cnt > 0) { bad = true; w = 0.0; wf = 0.0f; }
+      else wf = (float)w;
+      if (wo) wo[i] = wf;
+      go[i] = (wf > min_kq && !disc) ? 1 : 0;
+      prev_bad = bad;
+      marked_cnt -= (code_tab[seq[s + i]] == 4);
+    }
+  }
+}
+
+extern "C" {
+
+// seq/qual: [total] raw bytes; offsets/woff: [n+1]; discarded/has_quals:
+// [n] u8; code_tab: [256] byte -> 0..4; prob_tab: [256] raw qual byte ->
+// P(correct).  keys_out/good_out sized woff[n]; w_out nullable (same
+// size, f32).  Returns total windows written, -1 on bad k.
+long observe_chunk(const uint8_t* seq, const uint8_t* qual,
+                   const int64_t* offsets, const int64_t* woff,
+                   const uint8_t* discarded, const uint8_t* has_quals,
+                   long n_reads, int k,
+                   const uint8_t* code_tab, const double* prob_tab,
+                   float min_kq,
+                   uint64_t* keys_out, uint8_t* good_out, float* w_out,
+                   int n_threads) {
+  if (k < 1 || k > 32) return -1;
+  if (n_threads <= 1 || n_reads < 1024) {
+    oc_range(seq, qual, offsets, woff, discarded, has_quals, 0, n_reads, k,
+             code_tab, prob_tab, min_kq, keys_out, good_out, w_out);
+    return woff[n_reads];
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      oc_range(seq, qual, offsets, woff, discarded, has_quals, s, e, k,
+               code_tab, prob_tab, min_kq, keys_out, good_out, w_out);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return woff[n_reads];
+}
+
+}  // extern "C"
