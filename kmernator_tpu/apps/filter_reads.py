@@ -323,7 +323,8 @@ def first_markup_nor_x(rs: ReadSet) -> np.ndarray:
 def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
                  suffix: str, opts, ropts, input_files,
                  outputs: Dict[str, List[bytes]]):
-    pk = np.asarray(list(picks), dtype=np.int64)
+    pk = np.asarray(picks if isinstance(picks, (list, np.ndarray))
+                    else list(picks), dtype=np.int64)
     pk = pk[(pk >= 0) & (pk < rs.n)]
     if not len(pk):
         return
@@ -335,9 +336,14 @@ def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
                   for fi, g in groups.items()}
     else:
         groups = {"": pk}
+    from kmernator_tpu.io.native import ByteRows
     for key, g in groups.items():
+        if isinstance(trims.label, ByteRows):
+            lab = trims.label.gather(g)  # stays columnar end to end
+        else:
+            lab = [trims.label[i] for i in g]
         rec = format_reads_batch(
-            rs, g, [trims.label[i] for i in g],
+            rs, g, lab,
             trims.offset[g], trims.length[g],
             opts.format_output, opts.fastq_output_base_quality,
             comment_stored=opts.keep_read_comment)
@@ -901,6 +907,10 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
             sopts.min_kmer_quality, sopts.min_depth)
         est = estimate_raw_kmers(opts.input_file, k)
         num_parts = capacity if capacity > 0 else auto_parts(est)
+        if capacity <= 0:
+            # round up to a multiple of the pool width: the finalize
+            # starmap then has no straggler wave
+            num_parts = -(-num_parts // threads) * threads
         from kmernator_tpu.utils.cleanup import register_path
         from kmernator_tpu.utils.memory import fast_temp_dir
         spill_dir = fast_temp_dir(est * 12, "kmtpu-spill-")
@@ -941,9 +951,15 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 if key_dt is None:
                     key_dt = kd
             t_chunks = _time.perf_counter()
+            # singletons are only ever consulted by the histogram /
+            # size-history outputs; when neither is requested, finalize
+            # straight to the >= 2 table the selector uses (the purge in
+            # _spectrum_outputs_and_purge then keeps it unchanged)
+            fin_depth = 1 if (fopts.histogram_file
+                              or fopts.size_history_file) else 2
             spectrum = count_spill_parts(
-                spill_dir, num_parts, k, key_dt, track_w, 1, raw, good,
-                pool=pool)
+                spill_dir, num_parts, k, key_dt, track_w, fin_depth, raw,
+                good, pool=pool)
         t_fin = _time.perf_counter()
         Log.verbose(1, "streamed %d reads through %d spill parts on %d "
                     "workers; spectrum: %d unique kmers; chunks %.2fs "
@@ -1093,7 +1109,9 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                 sc.add(keys, good, w)
                 n_reads += rs.n
                 Log.debug(1, "chunk %d reads; %s" % (rs.n, get_memory_usage()))
-            spectrum = sc.finalize(min_depth=1)
+            fin_depth = 1 if (fopts.histogram_file
+                              or fopts.size_history_file) else 2
+            spectrum = sc.finalize(min_depth=fin_depth)
             Log.verbose(1, "streamed %d reads through %d spill parts; "
                         "spectrum: %d unique kmers"
                         % (n_reads, num_parts, spectrum.n_unique))

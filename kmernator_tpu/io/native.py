@@ -493,7 +493,8 @@ def score_trim(counts: np.ndarray, woff: np.ndarray, nk: np.ndarray,
 def format_fastq(rs, idxs, toff, tlen, hdrs, output_base: int, fastq: bool,
                  n_threads: int = 0):
     """Native FASTQ/FASTA record assembly for format_reads_batch.
-    hdrs: list of per-record header bytes.  Returns bytes or None."""
+    hdrs: list of per-record header bytes, or a prebuilt
+    (hdr_flat u8 array, hlen i64 array) pair.  Returns bytes or None."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "format_fastq"):
         return None
@@ -507,7 +508,11 @@ def format_fastq(rs, idxs, toff, tlen, hdrs, output_base: int, fastq: bool,
     tl = np.minimum(tl0, L - to)
     use_n = rs.discarded[idxs] | (tl0 <= 1) | (tl <= 1)
     blen = np.where(use_n, 1, tl)
-    hlen = np.fromiter((len(h) for h in hdrs), np.int64, n)
+    if isinstance(hdrs, tuple):
+        hdr_flat, hlen = hdrs
+    else:
+        hlen = np.fromiter((len(h) for h in hdrs), np.int64, n)
+        hdr_flat = np.frombuffer(b"".join(hdrs), np.uint8)
     hdr_off = np.concatenate([[0], np.cumsum(hlen)]).astype(np.int64)
     rec_len = 3 + hlen + blen + ((3 + blen) if fastq else 0)
     out_off = np.concatenate([[0], np.cumsum(rec_len)]).astype(np.int64)
@@ -520,11 +525,100 @@ def format_fastq(rs, idxs, toff, tlen, hdrs, output_base: int, fastq: bool,
         _ptr(to), _ptr(tl0),
         _ptr(np.ascontiguousarray(rs.discarded[idxs], np.uint8)),
         _ptr(np.ascontiguousarray(rs.has_quals[idxs], np.uint8)),
-        _ptr(hdr_off), _ptr(np.frombuffer(b"".join(hdrs), np.uint8)),
+        _ptr(hdr_off), _ptr(np.ascontiguousarray(hdr_flat, np.uint8)),
         _ptr(out_off), ctypes.c_int(int(output_base)),
         ctypes.c_int(1 if fastq else 0), _ptr(out),
         ctypes.c_int(n_threads))
     return out.tobytes()
+
+
+class ByteRows:
+    """Columnar list-of-bytes: flat u8 buffer + [n+1] offsets.  Quacks like
+    a list of bytes via __getitem__ (compat for scalar consumers) while the
+    hot paths use .flat/.off directly."""
+
+    __slots__ = ("flat", "off")
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray):
+        self.flat = flat
+        self.off = off
+
+    def __len__(self):
+        return len(self.off) - 1
+
+    def __getitem__(self, i):
+        return self.flat[self.off[i]:self.off[i + 1]].tobytes()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def lengths(self) -> np.ndarray:
+        return self.off[1:] - self.off[:-1]
+
+    def gather(self, idxs: np.ndarray) -> "ByteRows":
+        idxs = np.asarray(idxs, np.int64)
+        lens = (self.off[idxs + 1] - self.off[idxs]).astype(np.int64)
+        out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        out = gather_ragged(self.flat, self.off[idxs].astype(np.int64), lens)
+        if out is None:  # numpy fallback
+            src = (np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], lens)
+                   + np.repeat(self.off[idxs], lens))
+            out = self.flat[src]
+        return ByteRows(out, out_off)
+
+
+def render_labels(t_off: np.ndarray, t_len: np.ndarray, int_sc: np.ndarray,
+                  was_trimmed: np.ndarray, discarded: np.ndarray,
+                  slabel: bytes):
+    """Native per-read trim-label rendering -> ByteRows, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "render_labels"):
+        return None
+    n = len(t_off)
+    lflat = np.empty(n * (len(slabel) + 64), np.uint8)
+    loff = np.empty(n + 1, np.int64)
+    sl = np.frombuffer(slabel, np.uint8)
+    lib.render_labels.restype = ctypes.c_long
+    total = lib.render_labels(
+        ctypes.c_long(n),
+        _ptr(np.ascontiguousarray(t_off, np.int64)),
+        _ptr(np.ascontiguousarray(t_len, np.int64)),
+        _ptr(np.ascontiguousarray(int_sc, np.int64)),
+        _ptr(np.ascontiguousarray(was_trimmed, np.uint8)),
+        _ptr(np.ascontiguousarray(discarded, np.uint8)),
+        _ptr(sl), ctypes.c_int(len(slabel)), _ptr(lflat), _ptr(loff))
+    return ByteRows(lflat[:total].copy(), loff)
+
+
+def build_headers(idxs: np.ndarray, nm2d: np.ndarray, nlen: np.ndarray,
+                  cm2d, clen, labels_sel: ByteRows, n_threads: int = 0):
+    """Native header assembly (name [+ ' ' + comment] [+ ' ' + label]) for
+    the selected records -> (hdr_flat u8, hlen i64), or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "build_headers"):
+        return None
+    n_threads = _threads(n_threads)
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    n = len(idxs)
+    nlen = np.ascontiguousarray(nlen, np.int64)
+    llen = labels_sel.lengths()
+    hlen = nlen[idxs] + np.where(llen > 0, llen + 1, 0)
+    if cm2d is not None:
+        clen = np.ascontiguousarray(clen, np.int64)
+        hlen = hlen + np.where(clen[idxs] > 0, clen[idxs] + 1, 0)
+    hdr_off = np.concatenate([[0], np.cumsum(hlen)]).astype(np.int64)
+    hdr_flat = np.empty(int(hdr_off[-1]), np.uint8)
+    lib.build_headers(
+        ctypes.c_long(n), _ptr(idxs),
+        _ptr(np.ascontiguousarray(nm2d)), ctypes.c_long(nm2d.shape[1]),
+        _ptr(nlen),
+        _ptr(np.ascontiguousarray(cm2d)) if cm2d is not None else None,
+        ctypes.c_long(cm2d.shape[1] if cm2d is not None else 0),
+        _ptr(clen) if cm2d is not None else None,
+        _ptr(labels_sel.flat), _ptr(labels_sel.off),
+        _ptr(hdr_off), _ptr(hdr_flat), ctypes.c_int(n_threads))
+    return hdr_flat, hlen.astype(np.int64)
 
 
 def gather_ragged(data: np.ndarray, offs: np.ndarray, lens: np.ndarray,

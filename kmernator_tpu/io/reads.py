@@ -702,6 +702,30 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
     n = len(idxs)
     if n == 0:
         return b""
+    fastq = fmt in (0, 2)
+    from kmernator_tpu.io import native
+    if isinstance(labels, native.ByteRows):
+        # columnar fast path: one fixed-width conversion per column, header
+        # assembly and record formatting fully native (no per-read Python)
+        nm = np.array(rs.names, dtype=bytes)
+        if nm.dtype.itemsize == 0:
+            nm = nm.astype("S1")
+        nm2d = nm.view(np.uint8).reshape(rs.n, nm.dtype.itemsize)
+        nlen = np.char.str_len(nm).astype(np.int64)
+        cm2d = clen = None
+        if comment_stored:
+            cm = np.array(rs.comments, dtype=bytes)
+            if cm.dtype.itemsize == 0:
+                cm = cm.astype("S1")
+            cm2d = cm.view(np.uint8).reshape(rs.n, cm.dtype.itemsize)
+            clen = np.char.str_len(cm).astype(np.int64)
+        hb = native.build_headers(idxs, nm2d, nlen, cm2d, clen, labels)
+        if hb is not None:
+            rec = native.format_fastq(rs, idxs, trim_offset, trim_length,
+                                      hb, output_base, fastq)
+            if rec is not None:
+                return rec
+        labels = list(labels)  # numpy fallback below needs a list
     if comment_stored:
         hdrs = [(nm if not c else nm + b" " + c) if not lb
                 else (nm if not c else nm + b" " + c) + b" " + lb
@@ -710,8 +734,6 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
     else:
         hdrs = [nm if not lb else nm + b" " + lb
                 for nm, lb in zip((rs.names[i] for i in idxs), labels)]
-    fastq = fmt in (0, 2)
-    from kmernator_tpu.io import native
     rec = native.format_fastq(rs, idxs, trim_offset, trim_length, hdrs,
                               output_base, fastq)
     if rec is not None:

@@ -187,18 +187,24 @@ def _score_and_trim_vectorized(rs: ReadSet, window_counts: np.ndarray,
     t_off = np.where(length > 0, off, 0)
     sc = np.where(length > 0, sc, -1.0)
     slabel = SCORING_LABELS[scoring_type]
-    labels: List[bytes] = [b""] * n
     int_sc = (sc + 0.5).astype(np.int64)  # C-truncation matches for sc >= -1
-    for i in range(n):
-        if rs.discarded[i]:
-            t_off[i] = t_len[i] = 0
-            sc[i] = 0.0
-            continue
-        if was_trimmed[i]:
-            labels[i] = b"Trim:%d+%d %s:%d" % (t_off[i], t_len[i], slabel,
-                                               int_sc[i])
-        else:
-            labels[i] = b"%s:%d" % (slabel, int_sc[i])
+    disc = rs.discarded
+    t_off = np.where(disc, 0, t_off)
+    t_len = np.where(disc, 0, t_len)
+    sc = np.where(disc, 0.0, sc)
+    from kmernator_tpu.io.native import render_labels
+    labels = render_labels(t_off, t_len, int_sc, was_trimmed, disc,
+                           slabel + b":")
+    if labels is None:
+        labels = [b""] * n
+        for i in range(n):
+            if disc[i]:
+                continue
+            if was_trimmed[i]:
+                labels[i] = b"Trim:%d+%d %s:%d" % (t_off[i], t_len[i],
+                                                   slabel, int_sc[i])
+            else:
+                labels[i] = b"%s:%d" % (slabel, int_sc[i])
     return ReadTrims(t_off, t_len, sc, labels, np.ones(n, dtype=bool))
 
 

@@ -1208,3 +1208,82 @@ long observe_chunk(const uint8_t* seq, const uint8_t* qual,
 }
 
 }  // extern "C"
+
+// ---- trim-label rendering + header assembly ----
+//
+// Native fast path of the per-read Python in trim._score_and_trim_vectorized
+// (labels "Trim:%d+%d <S>:%d" / "<S>:%d", ref: ReadSelector trim comments,
+// src/ReadSelector.h:219-247) and of format_reads_batch's header concat
+// (name [+ ' ' + comment] [+ ' ' + label], ref: Read::toFastq,
+// src/Sequence.cpp:761-779).
+
+extern "C" {
+
+// Renders per-read labels into lflat/loff: "" for discarded,
+// "Trim:<off>+<len> <slabel><score>" when trimmed, "<slabel><score>"
+// otherwise.  slabel: e.g. "MedianScore:".  Returns total bytes (caller
+// sizes lflat at n * (slen + 64)).
+long render_labels(long n, const int64_t* t_off, const int64_t* t_len,
+                   const int64_t* int_sc, const uint8_t* was_trimmed,
+                   const uint8_t* discarded, const uint8_t* slabel, int slen,
+                   uint8_t* lflat, int64_t* loff) {
+  uint8_t* p = lflat;
+  loff[0] = 0;
+  for (long i = 0; i < n; i++) {
+    if (!discarded[i]) {
+      if (was_trimmed[i]) {
+        memcpy(p, "Trim:", 5); p += 5;
+        p = write_u64(p, (unsigned long long)t_off[i]);
+        *p++ = '+';
+        p = write_u64(p, (unsigned long long)t_len[i]);
+        *p++ = ' ';
+      }
+      memcpy(p, slabel, slen); p += slen;
+      long long sc = int_sc[i];
+      if (sc < 0) { *p++ = '-'; sc = -sc; }
+      p = write_u64(p, (unsigned long long)sc);
+    }
+    loff[i + 1] = p - lflat;
+  }
+  return p - lflat;
+}
+
+// Assembles selected-record headers: name [+ ' ' + comment] [+ ' ' +
+// label].  Names/comments come as fixed-width ('S' dtype) planes with
+// per-row used lengths; labels as a flat+offsets pair already gathered to
+// the selection order.  hdr_off is precomputed by the caller (prefix sum
+// of hlen); this just scatters the bytes.
+void build_headers(long n, const int64_t* idxs,
+                   const uint8_t* nm2d, long nm_w, const int64_t* nlen,
+                   const uint8_t* cm2d, long cm_w, const int64_t* clen,
+                   const uint8_t* lflat, const int64_t* loff,
+                   const int64_t* hdr_off, uint8_t* hdr_flat,
+                   int n_threads) {
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++) {
+      long i = idxs[r];
+      uint8_t* p = hdr_flat + hdr_off[r];
+      memcpy(p, nm2d + i * nm_w, nlen[i]); p += nlen[i];
+      if (cm2d && clen[i] > 0) {
+        *p++ = ' ';
+        memcpy(p, cm2d + i * cm_w, clen[i]); p += clen[i];
+      }
+      long ll = loff[r + 1] - loff[r];
+      if (ll > 0) {
+        *p++ = ' ';
+        memcpy(p, lflat + loff[r], ll);
+      }
+    }
+  };
+  if (n_threads <= 1 || n < 8192) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
