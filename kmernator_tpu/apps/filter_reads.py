@@ -292,6 +292,9 @@ def window_count_lookup(rs: ReadSet, spectrum: KmerSpectrum, k: int,
     """Per-window spectrum counts for scoring (ref: setKmerValues,
     src/ReadSelector.h:1064-1076)."""
     if keys is None:
+        from kmernator_tpu.io.native import kmer_keys_from_seq
+        keys = kmer_keys_from_seq(rs, k)
+    if keys is None:
         codes_raw = BASE_CODE[rs.seq]
         codes = np.where(codes_raw == 4, 0, codes_raw).astype(np.uint8)
         from kmernator_tpu.io.native import kmer_keys
@@ -329,11 +332,9 @@ def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
     if not len(pk):
         return
     if ropts.separate_outputs:
-        groups = {}
-        for i in pk:
-            groups.setdefault(int(rs.file_idx[i]), []).append(i)
-        groups = {("-" + file_prefix(input_files[fi])): np.asarray(g, np.int64)
-                  for fi, g in groups.items()}
+        fis = rs.file_idx[pk]
+        groups = {("-" + file_prefix(input_files[int(fi)])): pk[fis == fi]
+                  for fi in np.unique(fis)}
     else:
         groups = {"": pk}
     from kmernator_tpu.io.native import ByteRows

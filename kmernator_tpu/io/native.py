@@ -343,6 +343,32 @@ def observe_chunk(rs, k: int, min_quality: int, output_base: int,
     return keys, good.view(bool), w
 
 
+def kmer_keys_from_seq(rs, k: int, n_threads: int = 0):
+    """Canonical u64 window keys straight from the ReadSet's raw sequence
+    bytes (no codes/markup temps); None when unavailable."""
+    if k > 32:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kmer_keys_raw"):
+        return None
+    n_threads = _threads(n_threads)
+    from kmernator_tpu.io.reads import BASE_CODE
+    seq = np.ascontiguousarray(rs.seq, dtype=np.uint8)
+    offsets = np.ascontiguousarray(rs.offsets, dtype=np.int64)
+    nw = np.maximum(offsets[1:] - offsets[:-1] - k + 1, 0)
+    woff = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
+    N = int(woff[-1])
+    keys = np.empty(N, dtype=np.uint64)
+    lib.kmer_keys_raw.restype = ctypes.c_long
+    got = lib.kmer_keys_raw(_ptr(seq), _ptr(offsets), _ptr(woff),
+                            ctypes.c_long(len(offsets) - 1), ctypes.c_int(k),
+                            _ptr(BASE_CODE), _ptr(keys),
+                            ctypes.c_int(n_threads))
+    if got != N:
+        return None
+    return keys
+
+
 class HashTable:
     """Caller-owned open-addressing u64 -> i64 table (native probe loops)."""
 

@@ -336,4 +336,4 @@ def pick_all_passing(rs: ReadSet, trims: ReadTrims, min_score: float,
     else:
         picks = np.flatnonzero(mask)
     trims.available[picks] = False
-    return [int(i) for i in picks]
+    return picks.astype(np.int64)  # ascending (unique/flatnonzero sort)

@@ -1287,3 +1287,53 @@ void build_headers(long n, const int64_t* idxs,
 }
 
 }  // extern "C"
+
+// keys-only variant of observe_chunk: canonical u64 window keys straight
+// from raw sequence bytes (code_tab maps bytes; markup bases encode as 0,
+// matching extract_kmers_flat on pre-zeroed codes).
+static void kr_range(const uint8_t* seq, const int64_t* offsets,
+                     const int64_t* woff, long r0, long r1, int k,
+                     const uint8_t* code_tab, uint64_t* keys_out) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  for (long r = r0; r < r1; r++) {
+    const long s = offsets[r];
+    const long nw = offsets[r + 1] - s - k + 1;
+    if (nw <= 0) continue;
+    uint64_t* ko = keys_out + woff[r];
+    uint64_t fwd = 0;
+    for (int j = 0; j < k - 1; j++)
+      fwd = (fwd << 2) | (code_tab[seq[s + j]] & 3);
+    for (long i = 0; i < nw; i++) {
+      fwd = ((fwd << 2) | (code_tab[seq[s + i + k - 1]] & 3)) & kmask;
+      uint64_t rc = ko_revcomp(fwd, k);
+      ko[i] = (fwd < rc ? fwd : rc) << up;
+    }
+  }
+}
+
+extern "C" {
+
+long kmer_keys_raw(const uint8_t* seq, const int64_t* offsets,
+                   const int64_t* woff, long n_reads, int k,
+                   const uint8_t* code_tab, uint64_t* keys_out,
+                   int n_threads) {
+  if (k < 1 || k > 32) return -1;
+  if (n_threads <= 1 || n_reads < 1024) {
+    kr_range(seq, offsets, woff, 0, n_reads, k, code_tab, keys_out);
+    return woff[n_reads];
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n_reads + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n_reads ? s + chunk : n_reads;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      kr_range(seq, offsets, woff, s, e, k, code_tab, keys_out);
+    });
+  }
+  for (auto& th : ts) th.join();
+  return woff[n_reads];
+}
+
+}  // extern "C"
