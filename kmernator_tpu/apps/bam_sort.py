@@ -16,6 +16,7 @@ import numpy as np
 
 from kmernator_tpu.io.bam import (BamData, coordinate_sort_order,
                                   load_alignments, merge, write_bam)
+from kmernator_tpu.utils.logging import Log
 
 COMP = bytes.maketrans(b"ACGTacgtN", b"TGCAtgcaN")
 
@@ -58,12 +59,23 @@ def run_distributed(out_path, inputs, unmapped_reads, unmapped_pairs,
                                                      global_splitters,
                                                      exchange_blobs)
     rank, size = jax.process_index(), jax.process_count()
-    bd_all = merge([load_alignments(p) for p in inputs])
-    # deterministic record-range partition of the merged inputs (the
-    # reference byte-range-partitions each file; same coverage contract)
-    lo = rank * bd_all.n // size
-    hi = (rank + 1) * bd_all.n // size
-    sel = np.arange(lo, hi)
+    # byte-range partitioned input: every rank parses only its share of
+    # each file's BGZF blocks (header + resync windows aside), matching
+    # the reference's partitioned read (ref: src/SamUtils.h:509-648)
+    from kmernator_tpu.io.bam import load_alignments_partitioned
+    stats: dict = {}
+    parts = []
+    for p in inputs:
+        st: dict = {}
+        parts.append(load_alignments_partitioned(p, rank, size, stats=st))
+        for key, v in st.items():
+            stats[key] = stats.get(key, 0) + v
+    bd_all = merge(parts)
+    if stats.get("file_bytes"):
+        Log.debug(1, "rank %d parsed %d/%d compressed bytes (%.0f%%)"
+                  % (rank, stats["bytes_read"], stats["file_bytes"],
+                     100.0 * stats["bytes_read"] / stats["file_bytes"]))
+    sel = np.arange(bd_all.n)
     unmapped = (bd_all.flag[sel] & FLAG_UNMAPPED) != 0
     placed = bd_all.ref_id[sel] >= 0
     fastq_singles, fastq_pairs = [], []

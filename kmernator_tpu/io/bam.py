@@ -204,6 +204,290 @@ def parse_records_blob(blob: bytes, template: BamData) -> BamData:
     return bd
 
 
+# --------------- byte-range partitioned BAM input ---------------
+#
+# The reference byte-range-partitions each BAM across ranks and resyncs to
+# the next record boundary past each split point, so every rank reads and
+# parses only ~1/size of the compressed input
+# (ref: SamUtils::readBamFile + findNextRecord, src/SamUtils.h:509-648).
+# Same design here: snap the raw split offset to the next BGZF block
+# (validated magic + consistent following block), decompress a bounded
+# window, and resync to the first offset where a chain of records
+# validates.  Both neighbours compute the same cut deterministically, so
+# coverage is exact and disjoint.
+
+_BGZF_MAGIC = b"\x1f\x8b\x08\x04"
+
+
+def _bgzf_block_size(data, off: int):
+    """Compressed size of the BGZF block at off, or None."""
+    if bytes(data[off:off + 4]) != _BGZF_MAGIC or off + 18 > len(data):
+        return None
+    xlen = struct.unpack_from("<H", data, off + 10)[0]
+    p, end = off + 12, off + 12 + xlen
+    if end > len(data):
+        return None
+    while p + 4 <= end:
+        slen = struct.unpack_from("<H", data, p + 2)[0]
+        if data[p] == 0x42 and data[p + 1] == 0x43 and slen == 2:
+            return struct.unpack_from("<H", data, p + 4)[0] + 1
+        p += 4 + slen
+    return None
+
+
+def next_bgzf_block(data, off: int) -> int:
+    """File offset of the first BGZF block at/after off (validated by a
+    consistent following block), or len(data)."""
+    N = len(data)
+    while off < N:
+        idx = bytes(data[off:min(off + (1 << 20), N)]).find(_BGZF_MAGIC)
+        if idx < 0:
+            off += (1 << 20) - 4
+            continue
+        idx += off
+        bs = _bgzf_block_size(data, idx)
+        if bs is not None:
+            nxt = idx + bs
+            if nxt >= N or _bgzf_block_size(data, nxt) is not None:
+                return idx
+        off = idx + 1
+    return N
+
+
+def _valid_record_chain(buf, off: int, n_ref: int, depth: int = 4) -> int:
+    """1 if a chain of plausible BAM records starts at buf[off], 0 if
+    disproven, -1 if the window is too short to decide."""
+    N = len(buf)
+    for _ in range(depth):
+        if off == N:
+            return 1
+        if off + 36 > N:
+            return -1
+        block_size = struct.unpack_from("<i", buf, off)[0]
+        if block_size < 32 or block_size > (1 << 22):
+            return 0
+        ref_id, pos = struct.unpack_from("<ii", buf, off + 4)
+        if ref_id < -1 or ref_id >= n_ref or pos < -1:
+            return 0
+        l_read_name = buf[off + 12]
+        if l_read_name < 1:
+            return 0
+        n_cigar = struct.unpack_from("<H", buf, off + 16)[0]
+        l_seq = struct.unpack_from("<i", buf, off + 20)[0]
+        if l_seq < 0 or l_seq > (1 << 20):
+            return 0
+        body_min = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+        if body_min > block_size:
+            return 0
+        nul = off + 4 + 32 + l_read_name - 1
+        if nul >= N:
+            return -1
+        if buf[nul] != 0:
+            return 0
+        off += 4 + block_size
+    return 1
+
+
+class _BlockReader:
+    """Streamed BGZF decompression with (file offset, in-block offset)
+    addressing and a compressed-bytes-consumed counter."""
+
+    def __init__(self, data):
+        self.data = data
+        self.blocks: List[Tuple[int, int]] = []  # (file_off, decomp_start)
+        self.buf = bytearray()
+        self.next_off = 0
+        self.bytes_read = 0
+
+    def start_at(self, file_off: int):
+        self.blocks = []
+        self.buf = bytearray()
+        self.next_off = file_off
+
+    def grow(self) -> bool:
+        """Decompress one more block into the buffer."""
+        bs = _bgzf_block_size(self.data, self.next_off)
+        if bs is None:
+            return False
+        raw = gzip.decompress(bytes(self.data[self.next_off:
+                                              self.next_off + bs]))
+        self.blocks.append((self.next_off, len(self.buf)))
+        self.buf.extend(raw)
+        self.next_off += bs
+        self.bytes_read += bs
+        return True
+
+    def vaddr(self, decomp_off: int) -> Tuple[int, int]:
+        """(file offset of block, offset within its payload) of a
+        decompressed position; end-of-buffer maps to (next block, 0)."""
+        if decomp_off >= len(self.buf):
+            return (self.next_off, 0)
+        lo, hi = 0, len(self.blocks) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self.blocks[mid][1] <= decomp_off:
+                lo = mid
+            else:
+                hi = mid - 1
+        foff, dstart = self.blocks[lo]
+        return (foff, decomp_off - dstart)
+
+
+def _read_bam_header_stream(data):
+    """(header-only BamData, header-end vaddr, reader) from a BGZF BAM."""
+    r = _BlockReader(data)
+    r.start_at(0)
+    while True:
+        if not r.grow():
+            raise ValueError("truncated BAM header")
+        buf = bytes(r.buf)
+        if len(buf) < 12 or buf[:4] != BAM_MAGIC:
+            if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+                raise ValueError("not a BAM stream")
+            continue
+        l_text = struct.unpack_from("<i", buf, 4)[0]
+        off = 8 + l_text
+        if len(buf) < off + 4:
+            continue
+        n_ref = struct.unpack_from("<i", buf, off)[0]
+        off += 4
+        bd = BamData()
+        bd.header_text = buf[8:8 + l_text].rstrip(b"\x00")
+        ok = True
+        for _ in range(n_ref):
+            if len(buf) < off + 4:
+                ok = False
+                break
+            l_name = struct.unpack_from("<i", buf, off)[0]
+            off += 4
+            if len(buf) < off + l_name + 4:
+                ok = False
+                break
+            bd.ref_names.append(buf[off:off + l_name - 1])
+            off += l_name
+            bd.ref_lens.append(struct.unpack_from("<i", buf, off)[0])
+            off += 4
+        if ok:
+            return bd, r.vaddr(off), r
+        # need more blocks for the ref list
+        continue
+
+
+def _bam_cut(data, target: int, n_ref: int,
+             counter) -> Tuple[int, int]:
+    """Virtual (block file offset, in-block offset) of the first record
+    boundary at/after raw file offset `target`."""
+    N = len(data)
+    if target >= N:
+        return (N, 0)
+    blk = next_bgzf_block(data, target)
+    if blk >= N:
+        return (N, 0)
+    r = _BlockReader(data)
+    r.start_at(blk)
+    r.grow()
+    # adaptive resync window: grow only while the verdict at the first
+    # undisproven offset is "window too short" (records are usually tiny,
+    # so one block decides; deterministic regardless of reader cadence)
+    try:
+        while True:
+            buf = bytes(r.buf)
+            unknown = None
+            for off in range(len(buf)):
+                v = _valid_record_chain(buf, off, n_ref)
+                if v == 1:
+                    return r.vaddr(off)
+                if v == -1:
+                    unknown = off
+                    break
+            if not r.grow():
+                # truncated tail: accept the undecidable offset (EOF-cut)
+                if unknown is not None:
+                    return r.vaddr(unknown)
+                return (r.next_off, 0)
+    finally:
+        counter[0] += r.bytes_read
+
+
+def load_alignments_partitioned(path: str, rank: int, size: int,
+                                stats: Optional[dict] = None) -> BamData:
+    """Parse only this rank's byte range of a BAM file: records whose start
+    lies in [cut(rank), cut(rank+1)) of the virtual (block, offset) space.
+    Every rank reads the header; record blocks are read only within the
+    range (plus the cut-resync windows and any final straddling record).
+    `stats`, when given, receives bytes_read/file_bytes.
+    ref: SamUtils::readBamFile, src/SamUtils.h:509-648."""
+    import mmap as _mmap
+    if not path.endswith(".bam"):
+        # SAM text: no compressed-block structure; record-range fallback
+        bd = load_alignments(path)
+        lo, hi = rank * bd.n // size, (rank + 1) * bd.n // size
+        sel = np.arange(lo, hi)
+        out = BamData(header_text=bd.header_text,
+                      ref_names=bd.ref_names, ref_lens=bd.ref_lens)
+        out.records = [bd.records[i] for i in sel]
+        out.ref_id, out.pos, out.flag = (bd.ref_id[sel], bd.pos[sel],
+                                         bd.flag[sel])
+        return out
+    with open(path, "rb") as f:
+        data = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    counter = [0]
+    template, hdr_end, hreader = _read_bam_header_stream(data)
+    counter[0] += hreader.bytes_read
+    n_ref = len(template.ref_names)
+    fsize = len(data)
+
+    def cut(b: int) -> Tuple[int, int]:
+        if b <= 0:
+            return hdr_end
+        if b >= size:
+            return (fsize, 0)
+        c = _bam_cut(data, fsize * b // size, n_ref, counter)
+        return max(c, hdr_end)
+
+    lo, hi = cut(rank), cut(rank + 1)
+    bd = BamData(header_text=template.header_text,
+                 ref_names=template.ref_names, ref_lens=template.ref_lens)
+    refs, poss, flags = [], [], []
+    if lo < hi:
+        r = _BlockReader(data)
+        r.start_at(lo[0])
+        pos_d = lo[1]
+        while True:
+            # ensure the record header is in the buffer
+            while len(r.buf) < pos_d + 4:
+                if not r.grow():
+                    break
+            if len(r.buf) < pos_d + 4:
+                break
+            va = r.vaddr(pos_d)
+            if va >= hi:
+                break
+            block_size = struct.unpack_from("<i", r.buf, pos_d)[0]
+            while len(r.buf) < pos_d + 4 + block_size:
+                if not r.grow():
+                    break
+            if len(r.buf) < pos_d + 4 + block_size:
+                break  # truncated tail
+            body = bytes(r.buf[pos_d + 4:pos_d + 4 + block_size])
+            ref_id, p = struct.unpack_from("<ii", body, 0)
+            flag = struct.unpack_from("<H", body, 14)[0]
+            bd.records.append(body)
+            refs.append(ref_id)
+            poss.append(p)
+            flags.append(flag)
+            pos_d += 4 + block_size
+        counter[0] += r.bytes_read
+    bd.ref_id = np.array(refs, np.int32)
+    bd.pos = np.array(poss, np.int32)
+    bd.flag = np.array(flags, np.int32)
+    if stats is not None:
+        stats["bytes_read"] = counter[0]
+        stats["file_bytes"] = fsize
+    data.close()
+    return bd
+
+
 # ----------------------------- SAM -----------------------------
 
 def _reg2bin(beg: int, end: int) -> int:
