@@ -262,21 +262,15 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
                  "(hash-skewed input; counts may undercount by 1); raise "
                  "--streaming-parts capacity" % sp.purged_singletons)
     if variant_sigmas > 0.0:
-        # distributed variant purge: gather the (small, compacted) table,
-        # run the vectorized weighted purge, push survivors back to the
-        # shards (ref: PurgeVariantKmerMessage alltoall,
+        # fully on-mesh distributed variant purge: hamming-shell candidates
+        # route to owner shards over the same all_to_all fabric as counting
+        # — no host table materialization
+        # (ref: PurgeVariantKmerMessage alltoall,
         # src/DistributedFunctions.h:607-747)
-        from kmernator_tpu.parallel.spectrum import unpack_keys
-        from kmernator_tpu.ops.kmer import nwords
-        hsp = sp.to_host_spectrum(min_depth=max(min_depth, 2))
-        purged = hsp.purge_variants(variant_sigmas, variant_hamming,
-                                    min_variant_depth,
-                                    min_depth=max(min_depth, 2))
-        Log.verbose(1, "Removed %d kmer-variants (mesh)" % purged)
-        sp.set_table(unpack_keys(hsp.keys, nwords(k)),
-                     hsp.counts.astype(np.int32),
-                     None if hsp.weighted is None
-                     else hsp.weighted.astype(np.float32))
+        purged = sp.purge_variants_mesh(variant_sigmas, variant_hamming,
+                                        min_variant_depth,
+                                        min_depth=max(min_depth, 2))
+        Log.verbose(1, "Removed %d kmer-variants (mesh, on-device)" % purged)
     rows = []
     for bi in range(n_batches):
         bc, bg, bl, _, nreal = batch_at(bi * batch_reads, False)

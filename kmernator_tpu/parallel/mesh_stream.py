@@ -227,6 +227,172 @@ def _lookup_fn(mesh: Mesh, k: int, C: int, cap: int, min_count: int):
     return jax.jit(smapped)
 
 
+def _shell_cols(cols, k: int):
+    """SoA hamming-1 shell on device: W [N] u32 key-word planes -> W
+    [N, 4k] canonical substituted-key planes (jnp twin of
+    parallel/spectrum.hamming_shell_batch, including identity rows)."""
+    from kmernator_tpu.ops.kmer import _reverse_bases_u32, last_word_mask
+    from kmernator_tpu.parallel.device_spectrum import _shift_left_cols
+    W = len(cols)
+    M = 4 * k
+    j = jnp.arange(M)
+    pj = (j // 4).astype(jnp.int32)
+    nb = (j % 4).astype(jnp.uint32)
+    shift = (jnp.uint32(30) - jnp.uint32(2) * (pj % 16).astype(jnp.uint32))
+    fwd = []
+    for w in range(W):
+        in_w = ((pj // 16) == w)[None, :]
+        cleared = cols[w][:, None] & ~(jnp.uint32(3) << shift)[None, :]
+        sub = cleared | (nb << shift)[None, :]
+        fwd.append(jnp.where(in_w, sub, cols[w][:, None]))
+    mask = np.uint32(last_word_mask(k))
+    fwd[W - 1] = fwd[W - 1] & mask
+    rc = [_reverse_bases_u32(jnp, (~fwd[w]) & jnp.uint32(0xFFFFFFFF))
+          for w in range(W - 1, -1, -1)]
+    rc = _shift_left_cols(rc, 16 * W - k)
+    rc[W - 1] = rc[W - 1] & mask
+    lt = rc[W - 1] < fwd[W - 1]
+    for w in range(W - 2, -1, -1):
+        lt = jnp.where(rc[w] == fwd[w], lt, rc[w] < fwd[w])
+    return [jnp.where(lt, rc[w], fwd[w]) for w in range(W)]
+
+
+@functools.lru_cache(maxsize=None)
+def _purge_round_fn(mesh: Mesh, k: int, S: int, edit_distance: int, C: int,
+                    cap: int, sigmas: float, min_var: float):
+    """One source-chunk of the fully on-mesh variant purge
+    (ref: PurgeVariantKmerMessage alltoall, src/DistributedFunctions.h:
+    607-747): each shard takes its active sources [s0, s0+S), generates
+    hamming shells on device (dist 1..edit_distance, expansion without
+    dedup — duplicates re-test the same victim, harmless), routes
+    candidate keys + per-candidate thresholds to owner shards by hash,
+    and owners mark victims (0 < vals0 < thr) in their purge plane.
+    No host table materialization at any point."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    W = nwords(k)
+    probes = int(np.ceil(np.log2(max(cap, 2)))) + 1
+
+    def binsearch(tk, recv):
+        Q = recv[0].shape[0]
+        lo = jnp.zeros(Q, dtype=jnp.int32)
+        hi = jnp.full(Q, cap, dtype=jnp.int32)
+        for _ in range(probes):
+            mid = (lo + hi) // 2
+            cmid = jnp.clip(mid, 0, cap - 1)
+            less = jnp.zeros(Q, dtype=jnp.bool_)
+            eq = jnp.ones(Q, dtype=jnp.bool_)
+            for w in range(W):
+                mk = tk[w][cmid]
+                less = less | (eq & (mk < recv[w]))
+                eq = eq & (mk == recv[w])
+            lo = jnp.where(less, mid + 1, lo)
+            hi = jnp.where(less, hi, mid)
+        pos = jnp.clip(lo, 0, cap - 1)
+        hit = jnp.ones(Q, dtype=jnp.bool_)
+        for w in range(W):
+            hit = hit & (tk[w][pos] == recv[w])
+        return pos, hit
+
+    def step(s0, *planes):
+        tk = [p.reshape(-1) for p in planes[:W]]
+        vals0 = planes[W].reshape(-1)
+        active = planes[W + 1].reshape(-1)
+        marks = planes[W + 2].reshape(-1)
+        # compact active row indices, take this chunk
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        order = jax.lax.sort([jnp.where(active, iota, jnp.int32(cap))],
+                             num_keys=1, is_stable=False)[0]
+        sel = jax.lax.dynamic_slice_in_dim(order, s0[0], S)
+        real = sel < cap
+        idx = jnp.minimum(sel, cap - 1)
+        v = vals0[idx]
+        thr_base = v - jnp.sqrt(jnp.maximum(v, 0.0)) * jnp.float32(sigmas)
+        d = jnp.full(S, edit_distance, jnp.int32)
+        for _ in range(max(edit_distance - 1, 0)):
+            lim = jnp.float32(min_var) * (jnp.int32(20) ^ d).astype(
+                jnp.float32)
+            shrink = (d > 1) & ~(v > lim)
+            d = jnp.where(shrink, d - 1, d)
+        src = [jnp.where(real, tk[w][idx], SENTINEL) for w in range(W)]
+        frontier = [c.reshape(-1) for c in _shell_cols(src, k)]
+        fthr = jnp.repeat(thr_base, 4 * k)
+        fd = jnp.repeat(d, 4 * k)
+        freal = jnp.repeat(real, 4 * k)
+        overflow_total = jnp.zeros((), jnp.int32)
+        a2a = lambda x: jax.lax.all_to_all(x, axis, split_axis=0,
+                                           concat_axis=0)
+        for dist in range(1, edit_distance + 1):
+            ok = freal & (fd >= dist)
+            key_cols = [jnp.where(ok, c, SENTINEL) for c in frontier]
+            owner = (owner_hash_cols(key_cols)
+                     % jnp.uint32(D)).astype(jnp.int32)
+            send_cols, _, slot, overflow = _bucket_scatter_cols(
+                key_cols, ok, owner, D, C)
+            overflow_total = overflow_total + overflow
+            thr_dist = fthr / jnp.float32(20 ^ (dist - 1))
+            tgt = jnp.where(slot >= 0, slot, D * C)
+            tbuf = jnp.full(D * C + 1, jnp.float32(3.4e38))
+            send_thr = tbuf.at[tgt].set(
+                jnp.where(slot >= 0, thr_dist,
+                          jnp.float32(3.4e38)))[:D * C].reshape(D, C)
+            recv = [a2a(c).reshape(D * C) for c in send_cols]
+            recv_thr = a2a(send_thr).reshape(D * C)
+            pos, hit = binsearch(tk, recv)
+            sent = jnp.ones(D * C, dtype=jnp.bool_)
+            for w in range(W):
+                sent = sent & (recv[w] == SENTINEL)
+            victim = (hit & ~sent & (vals0[pos] > 0.0)
+                      & (vals0[pos] < recv_thr))
+            mbuf = jnp.concatenate([marks, jnp.zeros(1, jnp.bool_)])
+            marks = mbuf.at[jnp.where(victim, pos, cap)].set(True)[:cap]
+            if dist < edit_distance:
+                # expand the whole dist shell (no dedup; duplicate
+                # candidates only repeat the same test)
+                frontier = [c.reshape(-1)
+                            for c in _shell_cols(frontier, k)]
+                fthr = jnp.repeat(fthr, 4 * k)
+                fd = jnp.repeat(fd, 4 * k)
+                freal = jnp.repeat(freal, 4 * k)
+        return marks[None, :], overflow_total[None]
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis),) + tuple([P(axis, None)] * (W + 3)),
+        out_specs=(P(axis, None), P(axis)))
+    return jax.jit(smapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_purge_fn(mesh: Mesh, W: int, cap: int, min_depth: int):
+    """Zero marked rows, drop below-min-depth rows to the sentinel, and
+    re-sort each shard so it stays binary-searchable."""
+    axis = mesh.axis_names[0]
+
+    def step(*planes):
+        tk = [p.reshape(-1) for p in planes[:W]]
+        counts = planes[W].reshape(-1)
+        weights = planes[W + 1].reshape(-1)
+        marks = planes[W + 2].reshape(-1)
+        counts = jnp.where(marks, 0, counts)
+        weights = jnp.where(marks, 0.0, weights)
+        drop = counts < min_depth
+        tk = [jnp.where(drop, SENTINEL, c) for c in tk]
+        counts = jnp.where(drop, 0, counts)
+        weights = jnp.where(drop, 0.0, weights)
+        s = jax.lax.sort(tk + [counts, weights], num_keys=W,
+                         is_stable=False)
+        n_purged = jnp.sum(marks.astype(jnp.int32))
+        return (tuple(a[None, :] for a in s[:W])
+                + (s[W][None, :], s[W + 1][None, :], n_purged[None]))
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=tuple([P(axis, None)] * (W + 3)),
+        out_specs=tuple([P(axis, None)] * (W + 2)) + (P(axis),))
+    return jax.jit(smapped)
+
+
 # --------------------------------------------------------------------------
 # host-side driver
 # --------------------------------------------------------------------------
@@ -389,6 +555,79 @@ class MeshStreamingSpectrum:
             self.overflow_retries += 1
             if C > 64 * N:
                 raise RuntimeError("mesh lookup bucket overflow at C=%d" % C)
+
+    # -------------------- on-mesh variant purge --------------------
+
+    def purge_variants_mesh(self, variant_sigmas: float,
+                            edit_distance: int = 2,
+                            min_variant_kmer_depth: float = 512,
+                            use_weighted: bool = True, min_depth: int = 2,
+                            chunk: int = 128) -> int:
+        """Distributed variant purge with no host table materialization
+        (ref: src/DistributedFunctions.h:607-747): hamming-shell candidates
+        route to owner shards over the same all_to_all fabric as counting;
+        the purged-sources-don't-purge fixpoint re-runs rounds until the
+        global purge set stabilizes (identical semantics to the host
+        KmerSpectrum.purge_variants, thresholds in f32 instead of f64 —
+        differences only at exact float boundaries)."""
+        if variant_sigmas <= 0.0:
+            return 0
+        self._drain()
+        mh = self._mh
+        axis = self.axis
+        W, cap, D = self.W, self.cap, self.D
+        dist = max(int(edit_distance), 1)
+        if use_weighted:
+            vals0 = self.table_weights
+        else:
+            vals0 = self.table_counts.astype(jnp.float32)
+        active0 = (vals0 > jnp.float32(min_variant_kmer_depth)) \
+            & (self.table_counts > 0)
+        zeros = mh.to_global(
+            self.mesh, P(axis, None),
+            np.zeros((self.D_local, cap), bool))
+        prev = zeros
+        # all_to_all candidate bucket capacity: per-device candidates per
+        # chunk spread over D owners, with the usual skew headroom
+        n_cand = chunk * (4 * self.k) ** dist
+        C = int(np.ceil(n_cand / D * self.capacity_factor))
+        n_purged = 0
+        for _ in range(32):
+            active = jnp.logical_and(active0, jnp.logical_not(prev))
+            n_src = int(mh.allgather_host(
+                jnp.sum(active, axis=1).astype(jnp.int32)).max())
+            marks = zeros
+            for s0 in range(0, max(n_src, 1), chunk):
+                while True:
+                    fn = _purge_round_fn(self.mesh, self.k, chunk, dist, C,
+                                         cap, float(variant_sigmas),
+                                         float(min_variant_kmer_depth))
+                    s0g = mh.to_global(
+                        self.mesh, P(axis),
+                        np.full(self.D_local, s0, np.int32))
+                    out_marks, overflow = fn(s0g, *self.table_cols, vals0,
+                                             active, marks)
+                    if int(mh.allgather_host(overflow).sum()) == 0:
+                        marks = out_marks
+                        break
+                    C *= 2
+                    self.overflow_retries += 1
+                    if C > 256 * n_cand:
+                        raise RuntimeError("purge bucket overflow")
+            changed = int(mh.allgather_host(
+                jnp.sum(marks != prev, axis=1).astype(jnp.int32)).sum())
+            prev = marks
+            if changed == 0:
+                break
+        n_purged = int(mh.allgather_host(
+            jnp.sum(prev, axis=1).astype(jnp.int32)).sum())
+        fn = _apply_purge_fn(self.mesh, W, cap, max(min_depth, 1))
+        out = fn(*self.table_cols, self.table_counts, self.table_weights,
+                 prev)
+        self.table_cols = list(out[:W])
+        self.table_counts = out[W]
+        self.table_weights = out[W + 1]
+        return n_purged
 
     # -------------------- host extraction --------------------
 

@@ -157,3 +157,29 @@ def test_purge_speed_large():
                       use_weighted=False, min_depth=1)
     dt = time.time() - t0
     assert dt < 30.0, dt
+
+
+@pytest.mark.parametrize("n_devices,ed", [(1, 2), (4, 1), (8, 2)])
+def test_mesh_purge_matches_host(n_devices, ed):
+    """Fully on-mesh variant purge (all_to_all candidate routing, no host
+    table materialization) equals the host KmerSpectrum.purge_variants on
+    the same table (ref: src/DistributedFunctions.h:607-747)."""
+    from kmernator_tpu.ops.kmer import nwords
+    from kmernator_tpu.parallel.mesh import make_mesh
+    from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+    from kmernator_tpu.parallel.spectrum import pack_keys, unpack_keys
+
+    rng = np.random.default_rng(17 + n_devices)
+    sp = _random_spectrum(rng, chain=True)
+    W = nwords(K)
+
+    mesh = make_mesh(n_devices)
+    ms = MeshStreamingSpectrum(mesh, K, capacity=4096)
+    ms.set_table(unpack_keys(sp.keys, W), sp.counts.astype(np.int32))
+    purged_mesh = ms.purge_variants_mesh(2.0, ed, 512.0, min_depth=2)
+    got_keys, got_counts = ms.finalize(min_depth=2)
+
+    purged_host = sp.purge_variants(2.0, ed, 512.0, min_depth=2)
+    assert purged_mesh == purged_host
+    assert np.array_equal(pack_keys(got_keys), sp.keys)
+    assert np.array_equal(got_counts, sp.counts)
