@@ -370,32 +370,33 @@ def kmer_keys_from_seq(rs, k: int, n_threads: int = 0):
 
 
 class HashTable:
-    """Caller-owned open-addressing u64 -> i64 table (native probe loops)."""
+    """Caller-owned open-addressing u64 -> i64 table (native probe loops).
+    (key, val) interleave in one 16-byte slot so a probe costs one cache
+    line, not two."""
 
     def __init__(self, keys: np.ndarray, vals: np.ndarray):
         lib = get_lib()
-        if lib is None or not hasattr(lib, "hash_build"):
+        if lib is None or not hasattr(lib, "hash_build2"):
             raise RuntimeError("native lib unavailable")
         m = len(keys)
         cap = 1
         while cap < max(2 * m, 16):
             cap <<= 1
-        self.tkeys = np.empty(cap, dtype=np.uint64)
-        self.tvals = np.empty(cap, dtype=np.int64)
+        self.slots = np.empty(2 * cap, dtype=np.uint64)
         self.cap = cap
-        lib.hash_build(_ptr(np.ascontiguousarray(keys, np.uint64)),
-                       _ptr(np.ascontiguousarray(vals, np.int64)),
-                       ctypes.c_long(m), _ptr(self.tkeys), _ptr(self.tvals),
-                       ctypes.c_uint64(cap))
+        lib.hash_build2(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                        _ptr(np.ascontiguousarray(vals, np.int64)),
+                        ctypes.c_long(m), _ptr(self.slots),
+                        ctypes.c_uint64(cap))
 
     def lookup(self, query: np.ndarray, n_threads: int = 0) -> np.ndarray:
         lib = get_lib()
         n_threads = _threads(n_threads)
         q = np.ascontiguousarray(query, np.uint64)
         out = np.empty(len(q), dtype=np.int64)
-        lib.hash_lookup(_ptr(self.tkeys), _ptr(self.tvals),
-                        ctypes.c_uint64(self.cap), _ptr(q), _ptr(out),
-                        ctypes.c_long(len(q)), ctypes.c_int(n_threads))
+        lib.hash_lookup2(_ptr(self.slots), ctypes.c_uint64(self.cap),
+                         _ptr(q), _ptr(out), ctypes.c_long(len(q)),
+                         ctypes.c_int(n_threads))
         return out
 
 

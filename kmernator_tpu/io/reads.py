@@ -93,6 +93,10 @@ class ReadSet:
         # per-read trim state applied by the artifact filter (AFTrim)
         self._phred: Optional[np.ndarray] = None
         self._lengths: Optional[np.ndarray] = None
+        # fixed-width 'S' caches of names/comments (size-checked on use;
+        # in-place comment mutation invalidates explicitly)
+        self._names_S: Optional[np.ndarray] = None
+        self._comments_S: Optional[np.ndarray] = None
 
     # ---------- basic accessors ----------
     @property
@@ -120,6 +124,28 @@ class ReadSet:
         if self.n == 0:
             return 0
         return int(self.lengths().max())
+
+    def names_S(self) -> np.ndarray:
+        """Fixed-width 'S' array of read names (one C conversion, cached;
+        size-checked so appends invalidate implicitly)."""
+        if (getattr(self, "_names_S", None) is None
+                or len(self._names_S) != self.n):
+            a = np.array(self.names, dtype=bytes) if self.names \
+                else np.zeros(0, "S1")
+            if a.dtype.itemsize == 0:
+                a = a.astype("S1")
+            self._names_S = a
+        return self._names_S
+
+    def comments_S(self) -> np.ndarray:
+        if (getattr(self, "_comments_S", None) is None
+                or len(self._comments_S) != self.n):
+            a = np.array(self.comments, dtype=bytes) if self.comments \
+                else np.zeros(0, "S1")
+            if a.dtype.itemsize == 0:
+                a = a.astype("S1")
+            self._comments_S = a
+        return self._comments_S
 
     # ---------- construction ----------
     def append_arrays(self, names, comments, seq, qual, offsets, has_quals, file_idx=0):
@@ -262,7 +288,7 @@ class ReadSet:
         # pair candidates when both have nonzero read numbers that differ
         # and their common names match; the loop's prev-reset semantics are
         # exactly "alternating selection within each run of candidates"
-        nm = np.array(self.names, dtype=bytes) if n else None
+        nm = self.names_S() if n else None
         rn = self._read_nums_vec(nm)
         if n >= 2:
             w = nm.dtype.itemsize
@@ -371,6 +397,7 @@ class ReadSet:
             self.comments[i] = lab if not c else c + b"\t" + lab
         self._phred = None
         self._lengths = None
+        self._comments_S = None
 
     # ---------- probabilities ----------
     def base_probabilities(self, min_quality: int, output_base: int) -> np.ndarray:
@@ -707,16 +734,12 @@ def format_reads_batch(rs, idxs: np.ndarray, labels: List[bytes],
     if isinstance(labels, native.ByteRows):
         # columnar fast path: one fixed-width conversion per column, header
         # assembly and record formatting fully native (no per-read Python)
-        nm = np.array(rs.names, dtype=bytes)
-        if nm.dtype.itemsize == 0:
-            nm = nm.astype("S1")
+        nm = rs.names_S()
         nm2d = nm.view(np.uint8).reshape(rs.n, nm.dtype.itemsize)
         nlen = np.char.str_len(nm).astype(np.int64)
         cm2d = clen = None
         if comment_stored:
-            cm = np.array(rs.comments, dtype=bytes)
-            if cm.dtype.itemsize == 0:
-                cm = cm.astype("S1")
+            cm = rs.comments_S()
             cm2d = cm.view(np.uint8).reshape(rs.n, cm.dtype.itemsize)
             clen = np.char.str_len(cm).astype(np.int64)
         hb = native.build_headers(idxs, nm2d, nlen, cm2d, clen, labels)

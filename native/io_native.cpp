@@ -1337,3 +1337,54 @@ long kmer_keys_raw(const uint8_t* seq, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// Interleaved-entry variant of the lookup hash: (key, val) share one
+// 16-byte slot so a probe costs ONE cache line, not two (the split-plane
+// layout pays a second DRAM miss per query on tvals).
+extern "C" {
+
+void hash_build2(const uint64_t* keys, const int64_t* vals, long m,
+                 uint64_t* slots /*2*cap*/, uint64_t cap) {
+  const uint64_t mask = cap - 1;
+  for (uint64_t i = 0; i < cap; i++) slots[2 * i] = ~0ULL;
+  for (long i = 0; i < m; i++) {
+    uint64_t h = ht_mix(keys[i]) & mask;
+    while (slots[2 * h] != ~0ULL) h = (h + 1) & mask;
+    slots[2 * h] = keys[i];
+    slots[2 * h + 1] = (uint64_t)vals[i];
+  }
+}
+
+static void hl2_range(const uint64_t* slots, uint64_t mask,
+                      const uint64_t* q, int64_t* out, long s, long e) {
+  const long AHEAD = 16;
+  for (long i = s; i < e; i++) {
+    if (i + AHEAD < e)
+      __builtin_prefetch(&slots[2 * (ht_mix(q[i + AHEAD]) & mask)]);
+    uint64_t h = ht_mix(q[i]) & mask;
+    while (true) {
+      if (slots[2 * h] == q[i]) { out[i] = (int64_t)slots[2 * h + 1]; break; }
+      if (slots[2 * h] == ~0ULL) { out[i] = 0; break; }
+      h = (h + 1) & mask;
+    }
+  }
+}
+
+void hash_lookup2(const uint64_t* slots, uint64_t cap, const uint64_t* q,
+                  int64_t* out, long n, int n_threads) {
+  const uint64_t mask = cap - 1;
+  if (n_threads <= 1 || n < (1 << 16)) {
+    hl2_range(slots, mask, q, out, 0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { hl2_range(slots, mask, q, out, s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
