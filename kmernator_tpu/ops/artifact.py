@@ -553,24 +553,35 @@ def apply_artifact_filter(rs: ReadSet, filt: ArtifactFilter,
 
     remn_sel = sel(remn)
     if len(remn_sel):
-        ph_all = rs.phred()
-        remnants = []
-        for i in remn_sel:
-            s = rs.offsets[i] + sso[i]
-            e = s + ssl[i]
-            lab = b"AFTrim:%d+%d" % (sso[i], ssl[i])
-            c = rs.comments[i]
-            remnants.append((rs.names[i] + b"-qtrim",
-                             lab if not c else c + b"\t" + lab,
-                             rs.seq[s:e].tobytes(), ph_all[s:e].copy()))
+        # gather remnant bases/quals columnar BEFORE apply_trims rebuilds
+        # the flat arrays (ragged gather; was a per-read slice loop)
+        starts = (rs.offsets[remn_sel] + sso[remn_sel]).astype(np.int64)
+        rlens = ssl[remn_sel].astype(np.int64)
+        from kmernator_tpu.io import native as _nat
+        seq_flat = _nat.gather_ragged(rs.seq, starts, rlens)
+        if seq_flat is not None:
+            qual_flat = _nat.gather_ragged(rs.qual, starts, rlens)
+        else:
+            from kmernator_tpu.io.reads import _ragged_indices
+            idx = _ragged_indices(starts, rlens)
+            seq_flat = rs.seq[idx]
+            qual_flat = rs.qual[idx]
+        labs = [b"AFTrim:%d+%d" % (o, l)
+                for o, l in zip(sso[remn_sel], rlens)]
+        names_r = [rs.names[int(i)] + b"-qtrim" for i in remn_sel]
+        comments_r = [lab if not c else c + b"\t" + lab
+                      for c, lab in zip((rs.comments[int(i)]
+                                         for i in remn_sel), labs)]
+        offs_r = np.concatenate([[0], np.cumsum(rlens)]).astype(np.int64)
 
     if len(trim_sel):
         rs.apply_trims(smn[trim_sel], plen[trim_sel], trim_sel,
                        [b"AFTrim:%d+%d" % (o, l)
                         for o, l in zip(smn[trim_sel], plen[trim_sel])])
     if len(remn_sel):
-        rs.append_reads_batch([r[0] for r in remnants],
-                              [r[1] for r in remnants],
-                              [r[2] for r in remnants],
-                              [r[3] for r in remnants])
+        # matches append_reads_batch semantics for remnants: has_quals True
+        # (remnants only arise from quality-trimmed, qual-bearing reads),
+        # file_idx 0
+        rs.append_arrays(names_r, comments_r, seq_flat, qual_flat, offs_r,
+                         np.ones(len(remn_sel), dtype=bool), file_idx=0)
     return out

@@ -1357,6 +1357,19 @@ void hash_build2(const uint64_t* keys, const int64_t* vals, long m,
 
 static void hl2_range(const uint64_t* slots, uint64_t mask,
                       const uint64_t* q, int64_t* out, long s, long e) {
+  if (mask < (1 << 15)) {
+    // table fits cache: the prefetch (and its second ht_mix) is pure
+    // overhead — tight loop instead
+    for (long i = s; i < e; i++) {
+      uint64_t h = ht_mix(q[i]) & mask;
+      while (true) {
+        if (slots[2 * h] == q[i]) { out[i] = (int64_t)slots[2 * h + 1]; break; }
+        if (slots[2 * h] == ~0ULL) { out[i] = 0; break; }
+        h = (h + 1) & mask;
+      }
+    }
+    return;
+  }
   const long AHEAD = 16;
   for (long i = s; i < e; i++) {
     if (i + AHEAD < e)
