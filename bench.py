@@ -228,14 +228,15 @@ E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "256"))
 E2E_L = 100
 
 
-def e2e_input_path() -> str:
-    path = "/tmp/kmtpu-bench-e2e-%dmb.fastq" % E2E_MB
-    if os.path.exists(path) and os.path.getsize(path) > E2E_MB * 990000:
+def e2e_input_path(mb: int = 0) -> str:
+    mb = mb or E2E_MB
+    path = "/tmp/kmtpu-bench-e2e-%dmb.fastq" % mb
+    if os.path.exists(path) and os.path.getsize(path) > mb * 990000:
         return path
     rng = np.random.default_rng(11)
     genome = rng.integers(0, 4, 5_000_000, dtype=np.uint8)
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
-    n_reads = int(E2E_MB * 1e6 / 215)
+    n_reads = int(mb * 1e6 / 215)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         done = 0
@@ -257,32 +258,37 @@ def e2e_input_path() -> str:
     return path
 
 
-def e2e_reads_per_sec():
+def e2e_reads_per_sec(mb: int = 0):
+    mb = mb or E2E_MB
     here = os.path.dirname(os.path.abspath(__file__))
-    path = e2e_input_path()
-    n_reads = int(E2E_MB * 1e6 / 215)
+    path = e2e_input_path(mb)
+    n_reads = int(mb * 1e6 / 215)
     out = "/tmp/kmtpu-bench-e2e-out"
     env = dict(os.environ, PYTHONPATH=here)
-    t0 = time.perf_counter()
-    _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
-          "--jax-platform", "cpu", "--streaming",
-          "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
-          "--artifact-edit-distance", "1", "--min-read-length", "25",
-          "--out", out, "31", path],
-         env=env, timeout=1200)
-    dt = time.perf_counter() - t0
-    for f in os.listdir("/tmp"):
-        if f.startswith("kmtpu-bench-e2e-out"):
-            os.unlink("/tmp/" + f)
-    return n_reads / dt
+    best = None
+    runs = 2 if (mb <= 512 and _remaining() > 150) else 1  # noisy VM
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+              "--jax-platform", "cpu", "--streaming",
+              "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+              "--artifact-edit-distance", "1", "--min-read-length", "25",
+              "--out", out, "31", path],
+             env=env, timeout=1200)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        for f in os.listdir("/tmp"):
+            if f.startswith("kmtpu-bench-e2e-out"):
+                os.unlink("/tmp/" + f)
+    return n_reads / best
 
 
-def e2e_baseline_reads_per_sec() -> float:
+def e2e_baseline_reads_per_sec(mb: int = 0, max_runs: int = 2) -> float:
     exe = _build_native("baseline_filter")
     best = 0.0
-    runs = 2 if _remaining() > 150 else 1  # best-of-2 on a noisy VM
+    runs = max_runs if _remaining() > 150 else 1  # best-of-N on a noisy VM
     for _ in range(runs):
-        out = _run([exe, e2e_input_path(), "31", "4", "2",
+        out = _run([exe, e2e_input_path(mb), "31", "4", "2",
                     "/tmp/kmtpu-bench-bf-out"], timeout=600)
         for line in out.splitlines():
             if line.startswith("reads_per_sec="):
@@ -302,7 +308,9 @@ def tpu_stage():
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     for attempt in range(2):
-        cap = min(240.0, _remaining() - 120)
+        # leave >= 200 s for the host stages even when the relay is down
+        # and both attempts burn their full caps
+        cap = min(180.0 if attempt == 0 else 60.0, _remaining() - 200)
         if cap < 45:
             return
         try:
@@ -365,6 +373,19 @@ def main():
             REC["e2e_vs_baseline"] = None
     except Exception:
         REC["e2e_value"] = None
+
+    # stage G: the 1 GiB e2e point (BASELINE.md's reference-scale metric)
+    # when the budget allows — input generation only happens with ample
+    # headroom; a cached input needs ~45 s for ours + one baseline run
+    try:
+        cached = os.path.exists("/tmp/kmtpu-bench-e2e-1024mb.fastq")
+        if E2E_MB != 1024 and _remaining() > (120 if cached else 260):
+            e2e1 = e2e_reads_per_sec(1024)
+            REC["e2e_1g_value"] = round(e2e1)
+            base1 = e2e_baseline_reads_per_sec(1024, max_runs=1)
+            REC["e2e_1g_vs_baseline"] = round(e2e1 / base1, 2)
+    except Exception:
+        pass
 
     _flush_and_exit()
 

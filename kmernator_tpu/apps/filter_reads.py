@@ -967,10 +967,14 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     if not opts.output_file:
         return 0
     if spectrum is not None and len(spectrum.keys) >= 4096:
-        # build the lookup hash once pre-fork (multithreaded); workers
-        # inherit the finished table read-only through fork COW instead of
-        # each rebuilding it per chunk
+        # build the lookup hash once pre-fork (multithreaded; the worker
+        # default of 1 thread must not apply here); workers inherit the
+        # finished table read-only through fork COW instead of each
+        # rebuilding it per chunk
+        from kmernator_tpu.io import native as _nat
+        _nat.set_default_threads(os.cpu_count() or 1)
         spectrum.lookup_counts(spectrum.keys[:4096])
+        _nat.set_default_threads(1)
     _PAR["spectrum"] = spectrum
     from kmernator_tpu.io import native as _native
     _native.set_default_threads(1)

@@ -384,10 +384,17 @@ class HashTable:
             cap <<= 1
         self.slots = np.empty(2 * cap, dtype=np.uint64)
         self.cap = cap
-        lib.hash_build2(_ptr(np.ascontiguousarray(keys, np.uint64)),
-                        _ptr(np.ascontiguousarray(vals, np.int64)),
-                        ctypes.c_long(m), _ptr(self.slots),
-                        ctypes.c_uint64(cap))
+        if hasattr(lib, "hash_build2_mt"):
+            lib.hash_build2_mt(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                               _ptr(np.ascontiguousarray(vals, np.int64)),
+                               ctypes.c_long(m), _ptr(self.slots),
+                               ctypes.c_uint64(cap),
+                               ctypes.c_int(_threads(0)))
+        else:
+            lib.hash_build2(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                            _ptr(np.ascontiguousarray(vals, np.int64)),
+                            ctypes.c_long(m), _ptr(self.slots),
+                            ctypes.c_uint64(cap))
 
     def lookup(self, query: np.ndarray, n_threads: int = 0) -> np.ndarray:
         lib = get_lib()

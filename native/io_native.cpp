@@ -1401,3 +1401,57 @@ void hash_lookup2(const uint64_t* slots, uint64_t cap, const uint64_t* q,
 }
 
 }  // extern "C"
+
+// Parallel build of the interleaved hash: spectrum keys are UNIQUE, so a
+// CAS on the key word claims a slot exactly once and the value write
+// races with nothing (no readers during build).
+extern "C" {
+
+void hash_build2_mt(const uint64_t* keys, const int64_t* vals, long m,
+                    uint64_t* slots, uint64_t cap, int n_threads) {
+  const uint64_t mask = cap - 1;
+  if (n_threads <= 1 || m < (1 << 16)) {
+    hash_build2(keys, vals, m, slots, cap);
+    return;
+  }
+  {
+    std::vector<std::thread> ts;
+    long zc = ((long)cap + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      long s = t * zc, e = s + zc < (long)cap ? s + zc : (long)cap;
+      if (s >= e) break;
+      ts.emplace_back([=]() {
+        for (long i = s; i < e; i++) slots[2 * i] = ~0ULL;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  std::vector<std::thread> ts;
+  long chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < m ? s + chunk : m;
+    if (s >= e) break;
+    ts.emplace_back([=]() {
+      for (long i = s; i < e; i++) {
+        uint64_t h = ht_mix(keys[i]) & mask;
+        while (true) {
+          uint64_t cur = __atomic_load_n(&slots[2 * h], __ATOMIC_RELAXED);
+          if (cur == ~0ULL) {
+            uint64_t expect = ~0ULL;
+            if (__atomic_compare_exchange_n(&slots[2 * h], &expect, keys[i],
+                                            false, __ATOMIC_ACQ_REL,
+                                            __ATOMIC_RELAXED)) {
+              slots[2 * h + 1] = (uint64_t)vals[i];
+              break;
+            }
+            continue;  // lost the race; re-examine this slot
+          }
+          h = (h + 1) & mask;
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
