@@ -343,6 +343,35 @@ def observe_chunk(rs, k: int, min_quality: int, output_base: int,
     return keys, good.view(bool), w
 
 
+def artifact_scan(codes: np.ndarray, offsets: np.ndarray, k: int,
+                  start_hop: np.ndarray, byte_hops: np.ndarray,
+                  table, phix_idx: int, n_threads: int = 0):
+    """Fused byte-hop artifact scan against a HashTable: per-read
+    (value, min_hit, max_hit, was_phix) or None when unavailable."""
+    if k > 32 or table is None:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "artifact_scan"):
+        return None
+    n_threads = _threads(n_threads)
+    n = len(offsets) - 1
+    value = np.empty(n, np.int64)
+    min_hit = np.empty(n, np.int64)
+    max_hit = np.empty(n, np.int64)
+    was_phix = np.empty(n, np.uint8)
+    lib.artifact_scan(
+        _ptr(np.ascontiguousarray(codes, np.uint8)),
+        _ptr(np.ascontiguousarray(offsets, np.int64)),
+        ctypes.c_long(n), ctypes.c_int(k),
+        _ptr(np.ascontiguousarray(start_hop, np.int64)),
+        _ptr(np.ascontiguousarray(byte_hops, np.int64)),
+        _ptr(table.slots), ctypes.c_uint64(table.cap),
+        ctypes.c_long(phix_idx),
+        _ptr(value), _ptr(min_hit), _ptr(max_hit), _ptr(was_phix),
+        ctypes.c_int(n_threads))
+    return value, min_hit, max_hit, was_phix.view(bool)
+
+
 def kmer_keys_from_seq(rs, k: int, n_threads: int = 0):
     """Canonical u64 window keys straight from the ReadSet's raw sequence
     bytes (no codes/markup temps); None when unavailable."""

@@ -344,6 +344,40 @@ class ArtifactFilter:
             flat_codes = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
             flat_codes = np.where(flat_codes == 4, 0,
                                   flat_codes).astype(np.uint8)
+            # fused native scan: canonical byte-hop windows probed against
+            # the artifact hash in one pass (no [n, H] key/mask planes)
+            fused = None
+            if W <= 2:
+                ht = getattr(self, "_ht", None)
+                if ht is None:
+                    from kmernator_tpu.io.native import make_hash
+                    self._ht = ht = (make_hash(self._table_keys,
+                                               self._table_vals),)
+                fused = native.artifact_scan(
+                    flat_codes, rs.offsets - base, k, start_hop, byte_hops,
+                    ht[0], self.phix_idx if self.phix_idx >= 0 else -1)
+            if fused is not None:
+                value, fmin, fmax, was_phix = fused
+                any_hit = value > 0
+                min_aff = np.where(any_hit, np.minimum(min_aff, fmin),
+                                   min_aff)
+                max_aff = np.where(any_hit, np.maximum(max_aff, fmax + k),
+                                   max_aff)
+                if self.simple_repeat_range[1] > 0:
+                    is_sr = ((value >= self.simple_repeat_range[0])
+                             & (value < self.simple_repeat_range[1]))
+                    good_margin = (((min_aff - min_pass) >= (3 * k) // 2)
+                                   & ((max_pass - max_aff) >= (3 * k) // 2))
+                    clear = is_sr & good_margin & ~was_phix
+                    value = np.where(clear, 0, value)
+                    min_aff = np.where(clear, max_pass, min_aff)
+                    max_aff = np.where(clear, min_pass, max_aff)
+                act = (value > 0) & (min_aff <= max_aff)
+                keep_left = (min_aff - min_pass) >= (max_pass - max_aff)
+                max_pass = np.where(act & keep_left, min_aff, max_pass)
+                min_pass = np.where(act & ~keep_left, max_aff, min_pass)
+                return (value, min_pass, max_pass, sec_off, sec_len,
+                        was_phix)
             keys2d = native.artifact_keys(flat_codes, rs.offsets - base,
                                           k, H) if W <= 2 else None
             if keys2d is None:

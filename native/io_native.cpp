@@ -1455,3 +1455,72 @@ void hash_build2_mt(const uint64_t* keys, const int64_t* vals, long m,
 }
 
 }  // extern "C"
+
+// Fused artifact scan: rolling canonical windows probed at byte-aligned
+// positions directly against the (small, interleaved) artifact hash — no
+// [n, H] key plane or mask algebra on the Python side
+// (ref: FilterKnownOddities::applyFilterToRead byte-hop scan,
+// src/FilterKnownOddities.h:446-490).
+extern "C" {
+
+void artifact_scan(const uint8_t* codes, const int64_t* offsets, long n,
+                   int k, const int64_t* start_hop, const int64_t* byte_hops,
+                   const uint64_t* slots, uint64_t cap, long phix_idx,
+                   int64_t* value, int64_t* min_hit, int64_t* max_hit,
+                   uint8_t* was_phix, int n_threads) {
+  const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int up = 64 - 2 * k;
+  const uint64_t hmask = cap - 1;
+  auto range = [=](long r0, long r1) {
+    for (long r = r0; r < r1; r++) {
+      value[r] = 0;
+      min_hit[r] = INT64_MAX;
+      max_hit[r] = -1;
+      was_phix[r] = 0;
+      const long s = offsets[r], L = offsets[r + 1] - s;
+      const long Lp = 4 * ((L + 3) / 4);
+      if (Lp < k || L < k) continue;
+      const long NWp = Lp - k + 1;
+      long h0 = start_hop[r] > 0 ? start_hop[r] : 0;
+      long h1 = byte_hops[r];
+      if ((NWp - 1) / 4 < h1) h1 = (NWp - 1) / 4;
+      if (h1 < h0) continue;
+      uint64_t fwd = 0;
+      for (long j = 4 * h0; j < 4 * h0 + k - 1; j++)
+        fwd = (fwd << 2) | (j < L ? codes[s + j] : 0);
+      // iterate positions 4*h0 .. 4*h1 rolling one base at a time
+      for (long pos = 4 * h0; pos <= 4 * h1; pos++) {
+        const long i = pos + k - 1;
+        fwd = ((fwd << 2) | (i < L ? codes[s + i] : 0)) & kmask;
+        if ((pos & 3) != 0) continue;
+        uint64_t rc = ko_revcomp(fwd, k);
+        uint64_t key = (fwd < rc ? fwd : rc) << up;
+        uint64_t h = ht_mix(key) & hmask;
+        long v = 0;
+        while (true) {
+          if (slots[2 * h] == key) { v = (long)slots[2 * h + 1]; break; }
+          if (slots[2 * h] == ~0ULL) break;
+          h = (h + 1) & hmask;
+        }
+        if (v > 0) {
+          value[r] = v;
+          if (pos < min_hit[r]) min_hit[r] = pos;
+          if (pos > max_hit[r]) max_hit[r] = pos;
+          if (v == phix_idx) was_phix[r] = 1;
+        }
+      }
+      if (was_phix[r]) value[r] = phix_idx;
+    }
+  };
+  if (n_threads <= 1 || n < 4096) { range(0, n); return; }
+  std::vector<std::thread> ts;
+  long chunk = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    long s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([=]() { range(s, e); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
