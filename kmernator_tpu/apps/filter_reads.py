@@ -966,6 +966,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
 
     if not opts.output_file:
         return 0
+    import time as _time
+    t_g0 = _time.perf_counter()
     if spectrum is not None and len(spectrum.keys) >= 4096:
         # build the lookup hash once pre-fork (multithreaded; the worker
         # default of 1 thread must not apply here); workers inherit the
@@ -978,6 +980,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     _PAR["spectrum"] = spectrum
     from kmernator_tpu.io import native as _native
     _native.set_default_threads(1)
+    t_g1 = _time.perf_counter()
     written = set()
     with ctx.Pool(threads) as pool:
         for outputs in pool.imap(_par_pass2, work, chunksize=1):
@@ -986,6 +989,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 written.add(path)
                 with open(path, mode) as f:
                     f.write(blob)
+    Log.debug(1, "pass2: hash %.2fs score+write %.2fs"
+              % (t_g1 - t_g0, _time.perf_counter() - t_g1))
     for path in written:
         Log.verbose(1, "wrote %s (%d bytes)" % (path, os.path.getsize(path)))
     return 0

@@ -847,26 +847,38 @@ extern "C" {
 long spill_count(const uint64_t* keys, long n, int min_depth,
                  uint64_t* out_keys, int32_t* out_counts) {
   if (n == 0) return 0;
-  size_t cap = 1;
-  while ((long)cap < 2 * n) cap <<= 1;
-  // grow-only arenas: a fresh 100MB-scale vector per part mmap/munmap-
-  // churns; reuse keeps the pages resident (one memset is still required)
+  // at real coverage uniques are a small fraction of observations —
+  // start the table at ~n/2 slots (the memset of an obs-sized table
+  // dominated this kernel) and grow on load factor > 0.7 (rare)
+  size_t cap = 1 << 14;
+  while ((long)cap < n / 2) cap <<= 1;
   static thread_local std::vector<uint64_t> tk;
   static thread_local std::vector<uint32_t> tc;
+  long used;
+restart:
+  // grow-only arenas: a fresh 100MB-scale vector per part mmap/munmap-
+  // churns; reuse keeps the pages resident (one memset is still required)
   if (tk.size() < cap) { tk.resize(cap); tc.resize(cap); }
   memset(tk.data(), 0xff, cap * sizeof(uint64_t));
   memset(tc.data(), 0, cap * sizeof(uint32_t));
-  const uint64_t mask = cap - 1;
-  const long AHEAD = 16;  // hide the first-probe DRAM miss
-  for (long i = 0; i < n; i++) {
-    if (i + AHEAD < n)
-      __builtin_prefetch(&tk[ht_mix(keys[i + AHEAD]) & mask], 1);
-    uint64_t key = keys[i];
-    uint64_t h = ht_mix(key) & mask;
-    while (true) {
-      if (tk[h] == key) { tc[h]++; break; }
-      if (tk[h] == ~0ULL) { tk[h] = key; tc[h] = 1; break; }
-      h = (h + 1) & mask;
+  used = 0;
+  {
+    const uint64_t mask = cap - 1;
+    const long AHEAD = 16;  // hide the first-probe DRAM miss
+    for (long i = 0; i < n; i++) {
+      if (i + AHEAD < n)
+        __builtin_prefetch(&tk[ht_mix(keys[i + AHEAD]) & mask], 1);
+      uint64_t key = keys[i];
+      uint64_t h = ht_mix(key) & mask;
+      while (true) {
+        if (tk[h] == key) { tc[h]++; break; }
+        if (tk[h] == ~0ULL) {
+          tk[h] = key; tc[h] = 1;
+          if (++used * 10 > (long)cap * 7) { cap <<= 1; goto restart; }
+          break;
+        }
+        h = (h + 1) & mask;
+      }
     }
   }
   long m = 0;
