@@ -154,12 +154,18 @@ def _host_oracle(codes: np.ndarray):
     return uk, uc.astype(np.int64)
 
 
-def tpu_child():
+def tpu_child(platform=None, steps=STEPS):
     """Runs inside the guarded subprocess: golden check + timed rate.
-    Prints GOLDEN=ok|mismatch and RATE=<kmers/s>."""
+    Prints GOLDEN=ok|mismatch and RATE=<kmers/s>.
+
+    platform="cpu" is the host fallback used only when the TPU relay is
+    unreachable — same code, same shapes, clearly labeled in the record.
+    """
     from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
     enable_compilation_cache()
     import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
     from kmernator_tpu.parallel.device_spectrum import (count_batch,
                                                        extract_canonical_cols,
@@ -204,12 +210,12 @@ def tpu_child():
     n_windows = B * (L - K + 1)
     t0 = time.perf_counter()
     acc = jnp.int32(0)
-    for _ in range(STEPS):
+    for _ in range(steps):
         acc = acc + build(codes, logp, lengths)
     total = int(acc)  # single readback forces completion of every step
     dt = time.perf_counter() - t0
-    assert total == STEPS * n, (total, n)
-    print("RATE=%.1f" % (n_windows * STEPS / dt), flush=True)
+    assert total == steps * n, (total, n)
+    print("RATE=%.1f" % (n_windows * steps / dt), flush=True)
 
 
 # ---- secondary metric: end-to-end FilterReads throughput (1 host) ----
@@ -328,6 +334,31 @@ def tpu_stage():
             return
 
 
+def host_fallback_stage():
+    """When the TPU relay is unreachable, measure the identical counting
+    path on host CPU so the record never lands with value=null.  The
+    metric string is rewritten so the number cannot be mistaken for a
+    chip rate."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    cap = min(120.0, _remaining() - 90)
+    if cap < 30:
+        return
+    try:
+        out = _run([sys.executable, "-c",
+                    "import bench; bench.tpu_child(platform='cpu', steps=20)"],
+                   env=env, timeout=cap)
+    except Exception:
+        return
+    for line in out.splitlines():
+        if line.startswith("RATE="):
+            REC["value"] = round(float(line.split("=")[1]))
+            REC["metric"] = ("canonical 31-mers counted/sec "
+                             "(HOST-CPU FALLBACK - TPU relay unreachable)")
+            REC["platform"] = "cpu-fallback"
+
+
 def main():
     signal.signal(signal.SIGTERM, _flush_and_exit)
     signal.signal(signal.SIGALRM, _flush_and_exit)
@@ -352,6 +383,11 @@ def main():
         tpu_stage()
     except Exception:
         pass
+    if REC["value"] is None:  # relay down: labeled host measurement
+        try:
+            host_fallback_stage()
+        except Exception:
+            pass
 
     # stage D: C++ kmer-count baseline
     try:

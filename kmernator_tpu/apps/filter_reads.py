@@ -267,6 +267,9 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
         # — no host table materialization
         # (ref: PurgeVariantKmerMessage alltoall,
         # src/DistributedFunctions.h:607-747)
+        # parity with the host purge order: singletons leave the table
+        # BEFORE the variant purge, so they are never purge candidates
+        sp.purge_min_depth(max(min_depth, 2))
         purged = sp.purge_variants_mesh(variant_sigmas, variant_hamming,
                                         min_variant_depth,
                                         min_depth=max(min_depth, 2))

@@ -616,6 +616,20 @@ class ByteRows:
         for i in range(len(self)):
             yield self[i]
 
+    def __eq__(self, other):
+        if isinstance(other, ByteRows):
+            return (np.array_equal(self.off, other.off)
+                    and np.array_equal(self.flat[:self.off[-1]],
+                                       other.flat[:other.off[-1]]))
+        try:
+            if len(other) != len(self):
+                return False
+            return all(a == b for a, b in zip(self, other))
+        except TypeError:
+            return NotImplemented
+
+    __hash__ = None
+
     def lengths(self) -> np.ndarray:
         return self.off[1:] - self.off[:-1]
 

@@ -629,6 +629,26 @@ class MeshStreamingSpectrum:
         self.table_weights = out[W + 1]
         return n_purged
 
+    def purge_min_depth(self, min_depth: int) -> None:
+        """Physically drop below-min-depth rows from the shard tables
+        (the mesh analogue of KmerSpectrum.purge_min_depth).  Must run
+        BEFORE purge_variants_mesh for parity with the host purge order —
+        the host path removes singletons from the table first, so they are
+        never variant-purge candidates (ref: src/KmerSpectrum.h purge
+        order used by apps/FilterReads.cpp:196)."""
+        if min_depth <= 1:
+            return
+        self._drain()
+        zeros = self._mh.to_global(
+            self.mesh, P(self.axis, None),
+            np.zeros((self.D_local, self.cap), bool))
+        fn = _apply_purge_fn(self.mesh, self.W, self.cap, min_depth)
+        out = fn(*self.table_cols, self.table_counts, self.table_weights,
+                 zeros)
+        self.table_cols = list(out[:self.W])
+        self.table_counts = out[self.W]
+        self.table_weights = out[self.W + 1]
+
     # -------------------- host extraction --------------------
 
     def finalize(self, min_depth: int = 2, with_weights: bool = False):
