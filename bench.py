@@ -221,16 +221,19 @@ def tpu_child(platform=None, steps=STEPS):
 # ---- secondary metric: end-to-end FilterReads throughput (1 host) ----
 #
 # BASELINE.json's second metric ("reads filtered/sec at 1/N hosts").
-# Input: a generated Illumina-like FASTQ (default 256 MB; KMTPU_E2E_MB
-# overrides — use 1024 for the 1 GiB point).  Ours: the streaming host
-# engine (bounded memory, fork worker pool) at MEDIAN/min-depth-2 — the
-# 1000.fastq golden config.  Baseline: native/baseline_filter.cpp, a
-# multithreaded C++ parse -> count -> median-score -> write pipeline that
-# deliberately does LESS work per read (no artifact filter, no pairing) —
-# a generous stand-in, since the reference itself does not build here
-# (Boost/MPI absent).
+# Input: a generated Illumina-like FASTQ (default 1024 MB — BASELINE.md's
+# reference-scale point; KMTPU_E2E_MB overrides, e.g. 256 for a quick
+# run).  Ours: the streaming host engine (bounded memory, fork worker
+# pool) at MEDIAN/min-depth-2 — the 1000.fastq golden config.  Baseline:
+# native/baseline_filter.cpp, a multithreaded C++ parse -> count ->
+# median-score -> write pipeline that deliberately does LESS work per
+# read (no artifact filter, no pairing) — a generous stand-in, since the
+# reference itself does not build here (Boost/MPI absent).  The ratio is
+# size-dependent in the baseline's favor at small inputs (its in-memory
+# hash is cheap until it outgrows cache); the 1 GiB point is the one
+# BASELINE.md records.
 
-E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "256"))
+E2E_MB = int(os.environ.get("KMTPU_E2E_MB", "1024"))
 E2E_L = 100
 
 
@@ -272,7 +275,9 @@ def e2e_reads_per_sec(mb: int = 0):
     out = "/tmp/kmtpu-bench-e2e-out"
     env = dict(os.environ, PYTHONPATH=here)
     best = None
-    runs = 2 if (mb <= 512 and _remaining() > 150) else 1  # noisy VM
+    # best-of-2 whenever the budget allows — the VM is noisy (5x wall
+    # variance observed under relay/neighbor load)
+    runs = 2 if _remaining() > (150 if mb <= 512 else 120 + mb * 0.06) else 1
     for _ in range(runs):
         t0 = time.perf_counter()
         _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
@@ -410,16 +415,23 @@ def main():
     except Exception:
         REC["e2e_value"] = None
 
-    # stage G: the 1 GiB e2e point (BASELINE.md's reference-scale metric)
-    # when the budget allows — input generation only happens with ample
-    # headroom; a cached input needs ~45 s for ours + one baseline run
+    # stage G: a second e2e size point when the budget allows — the 1 GiB
+    # reference-scale point when the default was overridden smaller, else
+    # the 256 MB small-input point (the ratio is size-dependent; recording
+    # both sizes keeps the story honest)
     try:
-        cached = os.path.exists("/tmp/kmtpu-bench-e2e-1024mb.fastq")
-        if E2E_MB != 1024 and _remaining() > (120 if cached else 260):
-            e2e1 = e2e_reads_per_sec(1024)
-            REC["e2e_1g_value"] = round(e2e1)
-            base1 = e2e_baseline_reads_per_sec(1024, max_runs=1)
-            REC["e2e_1g_vs_baseline"] = round(e2e1 / base1, 2)
+        if E2E_MB != 1024:
+            cached = os.path.exists("/tmp/kmtpu-bench-e2e-1024mb.fastq")
+            if _remaining() > (120 if cached else 260):
+                e2e1 = e2e_reads_per_sec(1024)
+                REC["e2e_1g_value"] = round(e2e1)
+                base1 = e2e_baseline_reads_per_sec(1024, max_runs=1)
+                REC["e2e_1g_vs_baseline"] = round(e2e1 / base1, 2)
+        elif _remaining() > 90:
+            e2e256 = e2e_reads_per_sec(256)
+            REC["e2e_256_value"] = round(e2e256)
+            base256 = e2e_baseline_reads_per_sec(256, max_runs=1)
+            REC["e2e_256_vs_baseline"] = round(e2e256 / base256, 2)
     except Exception:
         pass
 

@@ -1424,7 +1424,14 @@ def _trim_by_markup(rs: ReadSet) -> ReadTrims:
 
 
 def main():
-    sys.exit(run(sys.argv[1:]))
+    rc = run(sys.argv[1:])
+    # fast exit: temp teardown runs explicitly, then skip interpreter
+    # finalization (GC of multi-GB numpy heaps costs ~0.3 s per run)
+    from kmernator_tpu.utils import cleanup
+    cleanup._flush()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
 
 
 if __name__ == "__main__":
