@@ -160,8 +160,8 @@ def build_spectrum_in_parts(rs: ReadSet, k: int, min_quality: int,
     and every observation is spilled to its hash part's disk bucket; parts
     are then counted independently — kmer-table peak memory is
     O(slice + windows/parts), never O(all windows)."""
-    from kmernator_tpu.parallel.spill import SpillCounter
-    sc = SpillCounter(k, num_parts)
+    from kmernator_tpu.parallel.spill import make_spill_counter
+    sc = make_spill_counter(k, num_parts)
     for s in range(0, rs.n, reads_per_slice):
         e = min(s + reads_per_slice, rs.n)
         keys, good, w = _slice_observations(rs, s, e, k, min_quality,
@@ -764,9 +764,50 @@ def _par_load_chunk(args, replay: bool):
     return rs, o
 
 
+# per-process (worker or parent) persistent spill counter: observations
+# aggregate in a native hash ACROSS chunks and spill only under memory
+# pressure — spill IO and finalize hashing shrink by the dataset's
+# duplication factor (ref: spill-under-pressure build,
+# src/KmerSpectrum.h:1818-1902).  Re-created on PID change so fork
+# children never share the parent's table or append fds.
+_WSPILL = None
+_WSPILL_PID = 0
+
+
+def _worker_spill():
+    global _WSPILL, _WSPILL_PID
+    c = _PAR
+    if _WSPILL is None or _WSPILL_PID != os.getpid():
+        from kmernator_tpu.parallel.spill import make_spill_counter
+        _WSPILL = make_spill_counter(
+            c["k"], c["num_parts"], tmpdir=c["spill_dir"],
+            track_weights=c["track_w"], splitters=c["splitters"],
+            suffix="w%d" % os.getpid(),
+            cap_slots=c.get("agg_slots", 1 << 22))
+        _WSPILL_PID = os.getpid()
+    return _WSPILL
+
+
+def _flush_worker_spill():
+    """Flush + close this process's persistent spill counter (if any)."""
+    global _WSPILL
+    if _WSPILL is not None and _WSPILL_PID == os.getpid():
+        _WSPILL.close()
+        _WSPILL = None
+
+
+def _par_flush_spill(_):
+    """Pool task: rendezvous so every worker flushes exactly once (the
+    barrier holds each worker until all have a flush task)."""
+    b = _PAR.get("flush_barrier")
+    if b is not None:
+        b.wait(timeout=600)
+    _flush_worker_spill()
+    return 0
+
+
 def _par_pass1(args):
-    """Count one chunk into per-chunk spill files (range splitters shared)."""
-    from kmernator_tpu.parallel.spill import SpillCounter
+    """Count one chunk into the process-persistent aggregated spill."""
     c = _PAR
     rs, _ = _par_load_chunk(args, replay=False)
     if c["k"] <= 0:
@@ -774,12 +815,11 @@ def _par_pass1(args):
     keys, good, w = _chunk_observations(
         rs, c["k"], c["min_quality"], c["output_base"], c["min_kq"],
         c["subtract_keys"], want_weights=c["track_w"])
-    sc = SpillCounter(c["k"], c["num_parts"], tmpdir=c["spill_dir"],
-                      track_weights=c["track_w"], splitters=c["splitters"],
-                      suffix="c%06d" % args[0])
+    sc = _worker_spill()
+    r0, g0 = sc.raw_kmers, sc.raw_good_kmers
     sc.add(keys, good, w)
-    sc.close()
-    return rs.n, sc.raw_kmers, sc.raw_good_kmers, sc.key_dtype, sc.splitters
+    return (rs.n, sc.raw_kmers - r0, sc.raw_good_kmers - g0,
+            sc.key_dtype, sc.splitters)
 
 
 def _par_pass2(args):
@@ -933,6 +973,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 key_dt = kd
             wi += 1
         _PAR["splitters"] = splitters
+        _PAR["flush_barrier"] = ctx.Barrier(threads)
         # pool workers own whole cores; native kernels inside them must not
         # fan out another cpu_count threads each (forked state)
         from kmernator_tpu.io import native as _native
@@ -948,6 +989,12 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 good += rgk
                 if key_dt is None:
                     key_dt = kd
+            # every worker (and the parent, if it seeded chunks) flushes
+            # its aggregated spill before the parts are counted
+            for _ in pool.imap_unordered(_par_flush_spill, range(threads),
+                                         chunksize=1):
+                pass
+            _flush_worker_spill()
             t_chunks = _time.perf_counter()
             # singletons are only ever consulted by the histogram /
             # size-history outputs; when neither is requested, finalize
@@ -1102,11 +1149,12 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                 opts.fastq_output_base_quality, sopts.min_kmer_quality,
                 mesh_devices, mesh_batch, capacity, subtract_keys, track_w)
         else:
-            from kmernator_tpu.parallel.spill import SpillCounter, auto_parts
+            from kmernator_tpu.parallel.spill import (auto_parts,
+                                                      make_spill_counter)
             from kmernator_tpu.utils.memory import get_memory_usage
             est = estimate_raw_kmers(opts.input_file, k)
             num_parts = capacity if capacity > 0 else auto_parts(est)
-            sc = SpillCounter(k, num_parts, track_weights=track_w)
+            sc = make_spill_counter(k, num_parts, track_weights=track_w)
             n_reads = 0
             for rs in chunks():
                 keys, good, w = _chunk_observations(

@@ -504,6 +504,120 @@ def spill_count(keys: np.ndarray, min_depth: int):
     return ok[:m].copy(), oc[:m].copy()
 
 
+class ObservationAggregator:
+    """Persistent native open-addressing aggregator for the streaming
+    pass-1: key -> (count u32, wsum f64).  insert() consumes a key batch
+    until the load cap, signalling the caller to flush via export()
+    (exact counts: flushed partials re-merge at finalize).  Mirrors the
+    reference's spill-under-pressure build
+    (ref: src/KmerSpectrum.h:1818-1902)."""
+
+    def __init__(self, cap_slots: int, track_weights: bool):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "agg_create"):
+            raise RuntimeError("native aggregator unavailable")
+        self._lib = lib
+        lib.agg_create.restype = ctypes.c_void_p
+        lib.agg_insert.restype = ctypes.c_long
+        lib.agg_export.restype = ctypes.c_long
+        lib.agg_used.restype = ctypes.c_long
+        self._h = ctypes.c_void_p(lib.agg_create(
+            ctypes.c_long(int(cap_slots)),
+            ctypes.c_int(1 if track_weights else 0)))
+        self.track_weights = track_weights
+        # cap at 65% load: linear probing stays short and export slack
+        # is deterministic
+        cap = 1 << 14
+        while cap < cap_slots:
+            cap <<= 1
+        self.cap = cap
+        self.stop_used = int(cap * 0.65)
+
+    def insert(self, keys: np.ndarray, weights=None) -> int:
+        """Insert a prefix of keys; returns how many were consumed.  When
+        the return is < len(keys), export() then re-insert the rest."""
+        n = len(keys)
+        w = np.ascontiguousarray(weights, np.float32) \
+            if (weights is not None and self.track_weights) \
+            else np.zeros(0, np.float32)
+        return self._lib.agg_insert(
+            self._h, _ptr(np.ascontiguousarray(keys)), _ptr(w),
+            ctypes.c_long(n), ctypes.c_long(self.stop_used))
+
+    def used(self) -> int:
+        return self._lib.agg_used(self._h)
+
+    def export(self):
+        """(keys u64 [m], counts u32 [m], wsums f64 [m]|None), clearing
+        the table."""
+        m_cap = self.used()
+        ko = np.empty(m_cap, np.uint64)
+        co = np.empty(m_cap, np.uint32)
+        wo = np.empty(m_cap, np.float64) if self.track_weights \
+            else np.zeros(0, np.float64)
+        m = self._lib.agg_export(self._h, _ptr(ko), _ptr(co), _ptr(wo))
+        return (ko[:m], co[:m],
+                (wo[:m] if self.track_weights else None))
+
+    def close(self):
+        if self._h:
+            self._lib.agg_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def spill_route_agg(keys: np.ndarray, cnts: np.ndarray, wsums,
+                    splitters: np.ndarray):
+    """Native range-partition routing of aggregated (key, count[, wsum])
+    records (8+4[+8] bytes).  Returns (rec_bytes u8, part_off i64 [P+1])
+    or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spill_route_agg") \
+            or keys.dtype != np.uint64:
+        return None
+    n = len(keys)
+    P = len(splitters) + 1
+    has_w = wsums is not None
+    rb = 20 if has_w else 12
+    out = np.empty(n * rb, np.uint8)
+    part_off = np.empty(P + 1, np.int64)
+    warr = np.ascontiguousarray(wsums, np.float64) if has_w else \
+        np.zeros(0, np.float64)
+    lib.spill_route_agg.restype = ctypes.c_long
+    lib.spill_route_agg(_ptr(np.ascontiguousarray(keys)),
+                        _ptr(np.ascontiguousarray(cnts, np.uint32)),
+                        _ptr(warr), ctypes.c_int(1 if has_w else 0),
+                        ctypes.c_long(n),
+                        _ptr(np.ascontiguousarray(splitters, np.uint64)),
+                        ctypes.c_int(P), _ptr(out), _ptr(part_off))
+    return out, part_off
+
+
+def spill_count_agg(keys: np.ndarray, cnts: np.ndarray, min_depth: int):
+    """Native hash-merge of aggregated (key, count) records.  Returns
+    (keys u64 [m], counts i32 [m]) sorted by key, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "spill_count_agg") \
+            or keys.dtype != np.uint64:
+        return None
+    n = len(keys)
+    ok = np.empty(n, np.uint64)
+    oc = np.empty(n, np.int32)
+    lib.spill_count_agg.restype = ctypes.c_long
+    m = lib.spill_count_agg(_ptr(np.ascontiguousarray(keys)),
+                            _ptr(np.ascontiguousarray(cnts, np.uint32)),
+                            ctypes.c_long(n), ctypes.c_int(int(min_depth)),
+                            _ptr(ok), _ptr(oc))
+    if m < 0:
+        return None
+    return ok[:m].copy(), oc[:m].copy()
+
+
 def spill_route(keys: np.ndarray, weights, splitters: np.ndarray):
     """Native range-partition routing: records grouped by part (input
     order preserved within parts).  Returns (rec_bytes ndarray u8,

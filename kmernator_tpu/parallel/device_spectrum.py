@@ -263,6 +263,49 @@ def count_and_score(canon: jax.Array, good: jax.Array, k: int,
     return counts.reshape(B, NW), (skeys, boundary, seg, cnt_sorted)
 
 
+def _use_sort1() -> bool:
+    """Route the 2-word count sort through the 1-key variant when
+    KMTPU_SORT1=1: sort on the hi word only (half the comparator cost in
+    XLA's O(N log^2 N) sorting network — the lo word rides as payload)
+    then repair the rare equal-hi runs with odd-even cleanup sweeps.
+    Exact: counting only needs equal (hi, lo) keys contiguous, and the
+    cleanup loop runs until no adjacent (hi==hi, lo>lo) inversion remains.
+    Expected inversions per batch ~ N^2/2^33 (distinct keys colliding on
+    the hi word), so the while_loop typically runs 1-2 sweeps.
+    Default OFF until measured on-chip (vs_baseline work is
+    measurement-driven; see README perf notes)."""
+    import os
+    return os.environ.get("KMTPU_SORT1", "0") in ("1", "on", "true")
+
+
+def _sort2_via_1key(hi: jax.Array, lo: jax.Array):
+    s = jax.lax.sort([hi, lo], num_keys=1, is_stable=False)
+    hi, lo = s
+
+    def one_parity(l, h, parity):
+        n1 = h.shape[0] - 1
+        at = (jnp.arange(n1, dtype=jnp.int32) & 1) == parity
+        sw = at & (h[:-1] == h[1:]) & (l[:-1] > l[1:])
+        swl = jnp.concatenate([sw, jnp.zeros(1, jnp.bool_)])
+        swr = jnp.concatenate([jnp.zeros(1, jnp.bool_), sw])
+        l_next = jnp.concatenate([l[1:], l[-1:]])
+        l_prev = jnp.concatenate([l[:1], l[:-1]])
+        return jnp.where(swl, l_next, jnp.where(swr, l_prev, l))
+
+    def body(state):
+        h, l = state
+        l = one_parity(l, h, 0)
+        l = one_parity(l, h, 1)
+        return h, l
+
+    def cond(state):
+        h, l = state
+        return jnp.any((h[:-1] == h[1:]) & (l[:-1] > l[1:]))
+
+    hi, lo = jax.lax.while_loop(cond, body, (hi, lo))
+    return [hi, lo]
+
+
 @functools.partial(jax.jit, static_argnames=("min_count",))
 def count_batch(keys: jax.Array, good: jax.Array, min_count: int = 1):
     """Spectrum-build-only counting (no per-window scatter-back): the lean
@@ -284,6 +327,8 @@ def count_batch(keys: jax.Array, good: jax.Array, min_count: int = 1):
     if _use_merge_sort(N, W):
         from kmernator_tpu.parallel.pallas_sort import merge_sort_2key
         s = list(merge_sort_2key(masked[0], masked[1]))
+    elif W == 2 and _use_sort1():
+        s = _sort2_via_1key(masked[0], masked[1])
     else:
         s = jax.lax.sort(masked, num_keys=W, is_stable=False)
     neq = jnp.zeros(N - 1, dtype=jnp.bool_)

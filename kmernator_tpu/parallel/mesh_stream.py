@@ -50,23 +50,65 @@ from kmernator_tpu.parallel.mesh import (shard_map, make_mesh,
 # --------------------------------------------------------------------------
 # jitted steps (built per (mesh, k, shape) and cached)
 # --------------------------------------------------------------------------
+#
+# Wire format: base codes cross the host->device link 2-bit packed and
+# window masks bit-packed (the dev tunnel runs ~50 MB/s, and a real pod's
+# PCIe/DMA link also prefers ~12x fewer bytes); devices unpack with shift
+# masks at step entry.  Weights transfer as f32 only when actually
+# tracked — untracked builds route a constant 1.0.
+
+
+def pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """[B, L] u8 base codes -> [B, ceil(L/4)] u8, base i at bits 2*(i%4)."""
+    B, L = codes.shape
+    L4 = -(-L // 4) * 4
+    if L4 != L:
+        codes = np.concatenate(
+            [codes, np.zeros((B, L4 - L), np.uint8)], axis=1)
+    c = codes.reshape(B, L4 // 4, 4).astype(np.uint16)
+    packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) \
+        | (c[:, :, 3] << 6)
+    return packed.astype(np.uint8)
+
+
+def pack_bits_host(mask: np.ndarray) -> np.ndarray:
+    """[B, NW] bool -> [B, ceil(NW/8)] u8 (little-endian bit order)."""
+    return np.packbits(mask, axis=1, bitorder="little")
+
+
+def _unpack_codes_dev(packed: jax.Array, L: int) -> jax.Array:
+    B = packed.shape[0]
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    codes = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    return codes.reshape(B, -1)[:, :L]
+
+
+def _unpack_bits_dev(packed: jax.Array, NW: int) -> jax.Array:
+    B = packed.shape[0]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(B, -1)[:, :NW].astype(jnp.bool_)
+
 
 @functools.lru_cache(maxsize=None)
-def _route_build_fn(mesh: Mesh, k: int, C: int):
-    """Batch route step for the streaming build: codes/good/lengths/weights
-    -> received key planes (W x [D, C] per device, sentinel = no
-    observation) + a received weight plane + overflow count.  Only good
-    windows are routed (count=1 rows); the float window weight rides along
-    so owners can accumulate weightedCount
+def _route_build_fn(mesh: Mesh, k: int, C: int, L: int, has_w: bool):
+    """Batch route step for the streaming build: packed codes/good,
+    lengths [, weights] -> received key planes (W x [D, C] per device,
+    sentinel = no observation) + a received weight plane + overflow count.
+    Only good windows are routed (count=1 rows); the float window weight
+    rides along (when tracked) so owners can accumulate weightedCount
     (ref: StoreKmerMessageHeader carries the weight,
     src/DistributedFunctions.h:274-303)."""
     D = mesh.devices.size
     axis = mesh.axis_names[0]
+    NW = L - k + 1
 
-    def step(codes, good_in, lengths, wts):
+    def step(codes_p, good_p, lengths, *wts):
+        codes = _unpack_codes_dev(codes_p, L)
+        good_in = _unpack_bits_dev(good_p, NW)
         cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
-        B, NW = valid.shape
-        N = B * NW
+        B, NW_ = valid.shape
+        N = B * NW_
         g = good_in.reshape(N) & valid.reshape(N)
         # pre-mask: non-good windows are dropped before routing (the build
         # only counts good observations; ref: DistributedFunctions.h:429
@@ -75,7 +117,8 @@ def _route_build_fn(mesh: Mesh, k: int, C: int):
         owner = (owner_hash_cols(key_cols) % jnp.uint32(D)).astype(jnp.int32)
         send_cols, _, win_slot, overflow = _bucket_scatter_cols(
             key_cols, g, owner, D, C)
-        wflat = wts.reshape(N).astype(jnp.float32)
+        wflat = wts[0].reshape(N).astype(jnp.float32) if has_w \
+            else jnp.ones(N, jnp.float32)
         tgt = jnp.where(win_slot >= 0, win_slot, D * C)
         wbuf = jnp.zeros(D * C + 1, jnp.float32)
         send_w = wbuf.at[tgt].set(
@@ -86,9 +129,12 @@ def _route_build_fn(mesh: Mesh, k: int, C: int):
         recv_w = a2a(send_w).reshape(1, D * C)
         return tuple(recv) + (recv_w, overflow[None])
 
+    in_specs = [P(axis, None), P(axis, None), P(axis)]
+    if has_w:
+        in_specs.append(P(axis, None))
     smapped = shard_map(
         step, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=tuple([P(axis, None)] * (nwords(k) + 1)) + (P(axis),))
     return jax.jit(smapped)
 
@@ -162,23 +208,28 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_fn(mesh: Mesh, k: int, C: int, cap: int, min_count: int):
+def _lookup_fn(mesh: Mesh, k: int, C: int, cap: int, min_count: int,
+               L: int):
     """Sharded-table lookup (the ReqResp RPC analogue): every valid query
     window routes to its owner, the owner binary-searches its sorted shard
     table, counts ride the reverse all_to_all back.
 
-    Inputs:  codes [B, L], valid_q [B, NW] (which windows want counts),
-             lengths [B], table key planes [D, cap] x W, table counts [D, cap]
+    Inputs:  packed codes [B, ceil(L/4)], packed valid_q [B, ceil(NW/8)]
+             (which windows want counts), lengths [B], table key planes
+             [D, cap] x W, table counts [D, cap]
     Outputs: counts [B, NW] i32 (0 if absent or below min_count), overflow.
     """
     D = mesh.devices.size
     axis = mesh.axis_names[0]
     W = nwords(k)
     probes = int(np.ceil(np.log2(max(cap, 2)))) + 1
+    NW_in = L - k + 1
 
-    def step(codes, want, lengths, *table):
+    def step(codes_p, want_p, lengths, *table):
         tk = [t.reshape(-1) for t in table[:W]]
         tc = table[W].reshape(-1)
+        codes = _unpack_codes_dev(codes_p, L)
+        want = _unpack_bits_dev(want_p, NW_in)
         cols, is_fwd, valid = extract_canonical_cols(codes, lengths, k)
         B, NW = valid.shape
         N = B * NW
@@ -473,22 +524,27 @@ class MeshStreamingSpectrum:
                                            np.asarray(lengths))
         B, L = codes.shape
         NW = L - self.k + 1
-        if weights2d is None:
-            weights2d = good2d.astype(np.float32)
-        elif weights2d.shape[0] != B:
+        has_w = weights2d is not None
+        if has_w and weights2d.shape[0] != B:
             weights2d = np.concatenate(
                 [weights2d, np.zeros((B - weights2d.shape[0], NW),
                                      np.float32)])
+        # 2-bit/1-bit wire packing: the host->device link carries ~12x
+        # fewer bytes (devices unpack with shift masks)
+        codes_p = pack_codes_host(codes)
+        good_p = pack_bits_host(good2d)
         N = B * NW // self.D_local   # per-device window count
         C = int(np.ceil(N / self.D * self.capacity_factor))
         axis = self.axis
         while True:
-            fn = _route_build_fn(self.mesh, self.k, C)
-            out = fn(mh.to_global(self.mesh, P(axis, None), codes),
-                     mh.to_global(self.mesh, P(axis, None), good2d),
-                     mh.to_global(self.mesh, P(axis), lengths),
-                     mh.to_global(self.mesh, P(axis, None),
-                                  weights2d.astype(np.float32)))
+            fn = _route_build_fn(self.mesh, self.k, C, L, has_w)
+            args = [mh.to_global(self.mesh, P(axis, None), codes_p),
+                    mh.to_global(self.mesh, P(axis, None), good_p),
+                    mh.to_global(self.mesh, P(axis), lengths)]
+            if has_w:
+                args.append(mh.to_global(self.mesh, P(axis, None),
+                                         weights2d.astype(np.float32)))
+            out = fn(*args)
             recv, overflow = out[:self.W + 1], out[self.W + 1]
             if int(mh.allgather_host(overflow).sum()) == 0:
                 break
@@ -538,14 +594,16 @@ class MeshStreamingSpectrum:
                                            np.asarray(lengths))
         B, L = codes.shape
         NW = L - self.k + 1
+        codes_p = pack_codes_host(codes)
+        good_p = pack_bits_host(good2d)
         N = B * NW // self.D_local
         C = int(np.ceil(N / self.D * self.capacity_factor))
         axis = self.axis
         while True:
-            fn = _lookup_fn(self.mesh, self.k, C, self.cap, min_count)
+            fn = _lookup_fn(self.mesh, self.k, C, self.cap, min_count, L)
             counts2d, overflow = fn(
-                mh.to_global(self.mesh, P(axis, None), codes),
-                mh.to_global(self.mesh, P(axis, None), good2d),
+                mh.to_global(self.mesh, P(axis, None), codes_p),
+                mh.to_global(self.mesh, P(axis, None), good_p),
                 mh.to_global(self.mesh, P(axis), lengths),
                 *self.table_cols, self.table_counts)
             if int(mh.allgather_host(overflow).sum()) == 0:

@@ -132,6 +132,146 @@ class SpillCounter:
             self.raw_good_kmers)
 
 
+class AggSpillCounter:
+    """Cross-chunk aggregated spill: observations accumulate in a
+    persistent native hash (bounded slots) and flush
+    (key, count[, wsum f64]) records to the range-partitioned part files
+    only under memory pressure — the reference's spill-under-pressure
+    build (ref: src/KmerSpectrum.h:1818-1902) with EXACT final counts
+    (flushed partials re-merge at finalize).  Cuts spill IO and finalize
+    hashing by the dataset's duplication factor vs raw-observation spills.
+
+    Requires u64 keys (k <= 32) and the native lib; use
+    make_spill_counter() to fall back to SpillCounter otherwise."""
+
+    def __init__(self, k: int, num_parts: int,
+                 tmpdir: Optional[str] = None,
+                 track_weights: bool = True,
+                 splitters: Optional[np.ndarray] = None, suffix: str = "",
+                 cap_slots: int = 1 << 22):
+        from kmernator_tpu.io.native import ObservationAggregator
+        self.k = k
+        self.W = nwords(k)
+        self.num_parts = num_parts
+        self.track_weights = track_weights
+        self.suffix = ("-" + suffix) if suffix else ""
+        self.agg = ObservationAggregator(cap_slots, track_weights)
+        if tmpdir is None:
+            from kmernator_tpu.utils.memory import fast_temp_dir
+            tmpdir = fast_temp_dir(num_parts * (64 << 20), "kmtpu-spill-")
+        self.tmpdir = tmpdir
+        register_path(self.tmpdir)
+        self._files = {}
+        self.raw_kmers = 0
+        self.raw_good_kmers = 0
+        self.key_dtype = np.dtype(np.uint64)
+        self.splitters = splitters
+
+    def _file(self, p: int):
+        f = self._files.get(p)
+        if f is None:
+            f = open(os.path.join(
+                self.tmpdir, "part%d%s.agg.bin" % (p, self.suffix)), "ab")
+            self._files[p] = f
+        return f
+
+    def _flush(self):
+        from kmernator_tpu.io.native import spill_route_agg
+        ko, co, wo = self.agg.export()
+        if not len(ko):
+            return
+        routed = spill_route_agg(ko, co, wo, self.splitters)
+        if routed is None:  # numpy fallback routing
+            part = _part_of(ko, self.splitters)
+            order = np.argsort(part, kind="stable")
+            ko, co = ko[order], co[order]
+            if wo is not None:
+                wo = wo[order]
+            counts = np.bincount(part, minlength=self.num_parts)
+            off = np.concatenate([[0], np.cumsum(counts)])
+            for p in range(self.num_parts):
+                s, e = int(off[p]), int(off[p + 1])
+                if s == e:
+                    continue
+                if wo is not None:
+                    rec = np.empty(e - s, dtype=np.dtype(
+                        [("k", np.uint64), ("c", np.uint32),
+                         ("w", np.float64)]))
+                    rec["w"] = wo[s:e]
+                else:
+                    rec = np.empty(e - s, dtype=np.dtype(
+                        [("k", np.uint64), ("c", np.uint32)]))
+                rec["k"] = ko[s:e]
+                rec["c"] = co[s:e]
+                self._file(p).write(rec.tobytes())
+            return
+        out, part_off = routed
+        rb = 20 if self.track_weights else 12
+        mv = memoryview(out)
+        for p in range(self.num_parts):
+            s, e = int(part_off[p]) * rb, int(part_off[p + 1]) * rb
+            if s != e:
+                self._file(p).write(mv[s:e])
+
+    def add(self, keys: np.ndarray, good: np.ndarray,
+            weights: Optional[np.ndarray] = None):
+        self.raw_kmers += int(len(keys))
+        gk = keys[good]
+        self.raw_good_kmers += int(len(gk))
+        if not len(gk):
+            return
+        if gk.dtype != np.uint64:
+            raise TypeError("AggSpillCounter requires u64 keys")
+        if self.splitters is None:
+            step = max(1, len(gk) // 65536)
+            self.splitters = key_range_splitters(gk[::step], self.num_parts)
+        track = weights is not None and self.track_weights
+        gw = weights[good].astype(np.float32) if track else None
+        pos = 0
+        n = len(gk)
+        while pos < n:
+            consumed = self.agg.insert(gk[pos:],
+                                       gw[pos:] if track else None)
+            pos += consumed
+            if pos < n:
+                self._flush()
+
+    def close(self):
+        if self.agg is not None:
+            if self.splitters is not None and self.agg.used():
+                self._flush()
+            self.agg.close()
+            self.agg = None
+        for f in self._files.values():
+            f.close()
+        self._files = {}
+
+    def finalize(self, min_depth: int = 1):
+        self.close()
+        return count_spill_parts(
+            self.tmpdir, self.num_parts, self.k, self.key_dtype,
+            self.track_weights, min_depth, self.raw_kmers,
+            self.raw_good_kmers)
+
+
+def make_spill_counter(k: int, num_parts: int,
+                       tmpdir: Optional[str] = None,
+                       track_weights: bool = True,
+                       splitters: Optional[np.ndarray] = None,
+                       suffix: str = "", cap_slots: int = 1 << 22):
+    """AggSpillCounter when the native aggregator applies (u64 keys:
+    k <= 32), else the raw-record SpillCounter.  Both spill into the same
+    part-file namespace and count_spill_parts merges either (or a mix)."""
+    if k <= 32:
+        try:
+            return AggSpillCounter(k, num_parts, tmpdir, track_weights,
+                                   splitters, suffix, cap_slots)
+        except Exception:
+            pass
+    return SpillCounter(k, num_parts, tmpdir, track_weights, splitters,
+                        suffix)
+
+
 def _part_files(tmpdir: str, p: int) -> List[str]:
     pre = "part%d." % p
     pre2 = "part%d-" % p
@@ -163,39 +303,68 @@ def count_one_part(tmpdir: str, p: int, key_dt: np.dtype,
 def _count_one_part_arrays(tmpdir: str, p: int, key_dt: np.dtype,
                            track_weights: bool, min_depth: int):
     ks, ws = [], []
+    cs = []          # per-record pre-summed counts (None => all ones)
+    any_agg = False
     for path in _part_files(tmpdir, p):
-        if track_weights:
+        if path.endswith(".agg.bin"):
+            # aggregated records from AggSpillCounter: key + count [+ wsum]
+            any_agg = True
+            if track_weights:
+                rec_dt = np.dtype([("k", np.uint64), ("c", np.uint32),
+                                   ("w", np.float64)])
+            else:
+                rec_dt = np.dtype([("k", np.uint64), ("c", np.uint32)])
+            arr = np.fromfile(path, rec_dt)
+            ks.append(arr["k"])
+            cs.append(arr["c"].astype(np.int64))
+            if track_weights:
+                ws.append(arr["w"])
+        elif track_weights:
             rec_dt = np.dtype([("k", key_dt), ("w", np.float32)])
             arr = np.fromfile(path, rec_dt)
             ks.append(arr["k"])
-            ws.append(arr["w"])
+            cs.append(None)
+            ws.append(arr["w"].astype(np.float64))
         else:
             ks.append(np.fromfile(path, key_dt))
+            cs.append(None)
         os.unlink(path)
     if not ks:
         return None
     k_arr = ks[0] if len(ks) == 1 else np.concatenate(ks)
     w = None if not track_weights else \
         (ws[0] if len(ws) == 1 else np.concatenate(ws))
-    del ks, ws
+    c_arr = None
+    if any_agg:
+        c_arr = np.concatenate([
+            c if c is not None else np.ones(len(k), np.int64)
+            for c, k in zip(cs, ks)])
+    del ks, ws, cs
     if not len(k_arr):
         return None
     if w is None:
         # unweighted: grouping is all counting needs — the native
         # hash-count + sorted-uniques path beats a full argsort ~5x
-        from kmernator_tpu.io.native import spill_count
-        res = spill_count(k_arr, min_depth)
+        from kmernator_tpu.io.native import spill_count, spill_count_agg
+        if c_arr is not None:
+            res = spill_count_agg(k_arr, c_arr, min_depth)
+        else:
+            res = spill_count(k_arr, min_depth)
         if res is not None:
             return res[0], res[1], None
     order = np.argsort(k_arr, kind="stable")
     sk = k_arr[order]
     if w is not None:
         w = w[order]
+    if c_arr is not None:
+        c_arr = c_arr[order]
     del k_arr, order
     boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
     seg = (np.cumsum(boundary, dtype=np.int64) - 1)
     M = int(seg[-1]) + 1
-    cnt = np.bincount(seg, minlength=M)
+    cnt = (np.bincount(seg, minlength=M) if c_arr is None
+           else np.bincount(seg, weights=c_arr.astype(np.float64),
+                            minlength=M).astype(np.int64))
     keep = cnt >= min_depth
     ws_out = None
     if w is not None:

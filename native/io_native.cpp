@@ -1536,3 +1536,202 @@ void artifact_scan(const uint8_t* codes, const int64_t* offsets, long n,
 }
 
 }  // extern "C"
+
+// ---- persistent observation aggregator (cross-chunk spill compression) --
+//
+// The streaming engine's pass-1 used to spill every good observation as a
+// raw (key[,weight]) record: ~12 B x raw_good_kmers of spill IO, all
+// re-hashed at finalize.  This open-addressing aggregator lives across
+// chunks inside each pool worker and spills (key, count[, wsum]) records
+// only when the table reaches its memory cap — the reference's
+// purge-under-pressure idea (ref: src/KmerSpectrum.h:1818-1902 spill
+// parts; src/Kmer.h:2161-2299 bucket map) applied to the spill stream,
+// with EXACT final counts because flushed partials re-merge at finalize.
+
+extern "C" {
+
+typedef struct {
+  uint64_t* tk;
+  uint32_t* tc;
+  double* tw;    // NULL when weights are untracked
+  uint64_t cap;  // power of two
+  long used;
+  int has_w;
+} kmt_agg;
+
+void* agg_create(long cap_slots, int has_w) {
+  uint64_t cap = 1 << 14;
+  while ((long)cap < cap_slots) cap <<= 1;
+  kmt_agg* a = new kmt_agg();
+  a->tk = (uint64_t*)malloc(cap * sizeof(uint64_t));
+  a->tc = (uint32_t*)malloc(cap * sizeof(uint32_t));
+  a->tw = has_w ? (double*)malloc(cap * sizeof(double)) : NULL;
+  a->cap = cap;
+  a->has_w = has_w;
+  memset(a->tk, 0xff, cap * sizeof(uint64_t));
+  a->used = 0;
+  return a;
+}
+
+// Insert keys[0..n) (with optional f32 weights) until the table's used
+// count would pass stop_used; returns the number of keys consumed.  The
+// caller flushes (agg_export) and re-calls with the remainder.
+long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
+                long stop_used) {
+  kmt_agg* a = (kmt_agg*)ap;
+  const uint64_t mask = a->cap - 1;
+  const long AHEAD = 16;
+  long i = 0;
+  for (; i < n; i++) {
+    if (a->used >= stop_used) break;
+    if (i + AHEAD < n)
+      __builtin_prefetch(&a->tk[ht_mix(keys[i + AHEAD]) & mask], 1);
+    uint64_t key = keys[i];
+    uint64_t h = ht_mix(key) & mask;
+    while (true) {
+      if (a->tk[h] == key) {
+        a->tc[h]++;
+        if (a->has_w) a->tw[h] += (double)w[i];
+        break;
+      }
+      if (a->tk[h] == ~0ULL) {
+        a->tk[h] = key;
+        a->tc[h] = 1;
+        if (a->has_w) a->tw[h] = (double)w[i];
+        a->used++;
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return i;
+}
+
+// Dump all occupied slots (unordered) and clear the table.
+long agg_export(void* ap, uint64_t* keys_out, uint32_t* cnt_out,
+                double* w_out) {
+  kmt_agg* a = (kmt_agg*)ap;
+  long m = 0;
+  for (uint64_t i = 0; i < a->cap; i++) {
+    if (a->tk[i] != ~0ULL) {
+      keys_out[m] = a->tk[i];
+      cnt_out[m] = a->tc[i];
+      if (a->has_w && w_out) w_out[m] = a->tw[i];
+      m++;
+    }
+  }
+  memset(a->tk, 0xff, a->cap * sizeof(uint64_t));
+  a->used = 0;
+  return m;
+}
+
+long agg_used(void* ap) { return ((kmt_agg*)ap)->used; }
+
+void agg_free(void* ap) {
+  kmt_agg* a = (kmt_agg*)ap;
+  free(a->tk);
+  free(a->tc);
+  if (a->tw) free(a->tw);
+  delete a;
+}
+
+// Route aggregated (key, count[, wsum]) triples into range parts — the
+// aggregated-record sibling of spill_route (record: 8+4[+8] bytes).
+long spill_route_agg(const uint64_t* keys, const uint32_t* cnts,
+                     const double* w, int has_w, long n,
+                     const uint64_t* splitters, int P,
+                     uint8_t* out_rec, int64_t* part_off) {
+  const int rb = has_w ? 20 : 12;
+  static thread_local std::vector<int32_t> part;
+  if ((long)part.size() < n) part.resize(n);
+  std::vector<int64_t> cnt(P + 1, 0);
+  std::vector<int32_t> radix(1 << 16);
+  {
+    int p = 0;
+    for (long t = 0; t < (1 << 16); t++) {
+      while (p < P - 1 && (splitters[p] >> 48) < (uint64_t)t) p++;
+      radix[t] = p;
+    }
+  }
+  for (long i = 0; i < n; i++) {
+    uint64_t k = keys[i];
+    uint64_t t = k >> 48;
+    int lo = radix[t];
+    int hi = t < 65535 ? radix[t + 1] : P - 1;
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (splitters[mid] <= k) lo = mid + 1; else hi = mid;
+    }
+    part[i] = lo;
+    cnt[lo + 1]++;
+  }
+  for (int p = 0; p < P; p++) cnt[p + 1] += cnt[p];
+  for (int p = 0; p <= P; p++) part_off[p] = cnt[p];
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  for (long i = 0; i < n; i++) {
+    int64_t pos = cursor[part[i]]++;
+    uint8_t* dst = out_rec + pos * rb;
+    memcpy(dst, &keys[i], 8);
+    memcpy(dst + 8, &cnts[i], 4);
+    if (has_w) memcpy(dst + 12, &w[i], 8);
+  }
+  return n;
+}
+
+// Hash-merge aggregated (key, count) records for one part: like
+// spill_count but each record carries a pre-summed count.
+long spill_count_agg(const uint64_t* keys, const uint32_t* cnts, long n,
+                     int min_depth, uint64_t* out_keys,
+                     int32_t* out_counts) {
+  if (n == 0) return 0;
+  size_t cap = 1 << 14;
+  while ((long)cap < n) cap <<= 1;  // aggregated records are mostly unique
+  static thread_local std::vector<uint64_t> tk;
+  static thread_local std::vector<uint32_t> tc;
+  long used;
+restart:
+  if (tk.size() < cap) { tk.resize(cap); tc.resize(cap); }
+  memset(tk.data(), 0xff, cap * sizeof(uint64_t));
+  memset(tc.data(), 0, cap * sizeof(uint32_t));
+  used = 0;
+  {
+    const uint64_t mask = cap - 1;
+    const long AHEAD = 16;
+    for (long i = 0; i < n; i++) {
+      if (i + AHEAD < n)
+        __builtin_prefetch(&tk[ht_mix(keys[i + AHEAD]) & mask], 1);
+      uint64_t key = keys[i];
+      uint64_t h = ht_mix(key) & mask;
+      while (true) {
+        if (tk[h] == key) { tc[h] += cnts[i]; break; }
+        if (tk[h] == ~0ULL) {
+          tk[h] = key; tc[h] = cnts[i];
+          if (++used * 10 > (long)cap * 7) { cap <<= 1; goto restart; }
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+    }
+  }
+  long m = 0;
+  for (size_t i = 0; i < cap; i++) {
+    if (tk[i] != ~0ULL && (int)tc[i] >= min_depth) {
+      out_keys[m] = tk[i];
+      out_counts[m] = (int32_t)tc[i];
+      m++;
+    }
+  }
+  std::vector<long> idx(m);
+  for (long i = 0; i < m; i++) idx[i] = i;
+  std::sort(idx.begin(), idx.end(), [&](long a, long b) {
+    return out_keys[a] < out_keys[b];
+  });
+  std::vector<uint64_t> sk(m);
+  std::vector<int32_t> sc(m);
+  for (long i = 0; i < m; i++) { sk[i] = out_keys[idx[i]]; sc[i] = out_counts[idx[i]]; }
+  memcpy(out_keys, sk.data(), m * sizeof(uint64_t));
+  memcpy(out_counts, sc.data(), m * sizeof(int32_t));
+  return m;
+}
+
+}  // extern "C"

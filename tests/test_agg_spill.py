@@ -1,0 +1,86 @@
+"""Aggregated spill counter (cross-chunk native aggregation with
+flush-under-pressure) must produce byte-identical spectra to the
+raw-record SpillCounter, for both weighted and unweighted tracking, at
+any flush cadence — and the two record formats must merge when mixed in
+one part dir (ref: spill-under-pressure build,
+src/KmerSpectrum.h:1818-1902)."""
+import tempfile
+
+import numpy as np
+import pytest
+
+from kmernator_tpu.parallel.spill import (AggSpillCounter, SpillCounter,
+                                          make_spill_counter)
+
+
+@pytest.fixture(scope="module")
+def obs():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 30000, 200000).astype(np.uint64) \
+        * np.uint64(2654435761)
+    good = rng.random(200000) < 0.9
+    w = rng.random(200000).astype(np.float32)
+    return keys, good, w
+
+
+def _run(cls, track, obs, **kw):
+    keys, good, w = obs
+    sc = cls(31, 7, tmpdir=tempfile.mkdtemp(), track_weights=track, **kw)
+    for s in range(0, len(keys), 37000):
+        sc.add(keys[s:s + 37000], good[s:s + 37000], w[s:s + 37000])
+    return sc.finalize(min_depth=2)
+
+
+@pytest.mark.parametrize("track", [False, True])
+def test_agg_matches_raw(track, obs):
+    a = _run(SpillCounter, track, obs)
+    # tiny cap -> many mid-batch flushes (the pressure path)
+    b = _run(AggSpillCounter, track, obs, cap_slots=4096)
+    assert np.array_equal(a.keys, b.keys)
+    assert np.array_equal(a.counts, b.counts)
+    assert a.raw_kmers == b.raw_kmers
+    assert a.raw_good_kmers == b.raw_good_kmers
+    if track:
+        assert np.allclose(a.weighted, b.weighted, rtol=1e-12)
+
+
+@pytest.mark.parametrize("track", [False, True])
+def test_mixed_record_formats_merge(track, obs):
+    """Raw and aggregated writers sharing one part dir (the k>32 fallback
+    mixing with u64 workers can't happen in practice, but the finalize
+    must not depend on it)."""
+    keys, good, w = obs
+    d = tempfile.mkdtemp()
+    from kmernator_tpu.parallel.spill import key_range_splitters
+    splits = key_range_splitters(keys[good][::16], 7)
+    a = SpillCounter(31, 7, tmpdir=d, track_weights=track,
+                     splitters=splits, suffix="raw")
+    b = AggSpillCounter(31, 7, tmpdir=d, track_weights=track,
+                        splitters=splits, suffix="agg", cap_slots=4096)
+    h = len(keys) // 2
+    a.add(keys[:h], good[:h], w[:h])
+    b.add(keys[h:], good[h:], w[h:])
+    a.close()
+    b.close()
+    from kmernator_tpu.parallel.spill import count_spill_parts
+    sp = count_spill_parts(d, 7, 31, np.dtype(np.uint64), track, 2,
+                           a.raw_kmers + b.raw_kmers,
+                           a.raw_good_kmers + b.raw_good_kmers)
+    ref = _run(SpillCounter, track, obs)
+    assert np.array_equal(sp.keys, ref.keys)
+    assert np.array_equal(sp.counts, ref.counts)
+    if track:
+        assert np.allclose(sp.weighted, ref.weighted, rtol=1e-12)
+
+
+def test_factory_picks_agg_for_u64():
+    sc = make_spill_counter(31, 4, tmpdir=tempfile.mkdtemp())
+    try:
+        assert isinstance(sc, AggSpillCounter)
+    finally:
+        sc.close()
+    sc = make_spill_counter(95, 4, tmpdir=tempfile.mkdtemp())
+    try:
+        assert isinstance(sc, SpillCounter)
+    finally:
+        sc.close()
