@@ -345,9 +345,13 @@ def observe_chunk(rs, k: int, min_quality: int, output_base: int,
 
 def artifact_scan(codes: np.ndarray, offsets: np.ndarray, k: int,
                   start_hop: np.ndarray, byte_hops: np.ndarray,
-                  table, phix_idx: int, n_threads: int = 0):
+                  table, phix_idx: int, n_threads: int = 0,
+                  raw_ascii: bool = False):
     """Fused byte-hop artifact scan against a HashTable: per-read
-    (value, min_hit, max_hit, was_phix) or None when unavailable."""
+    (value, min_hit, max_hit, was_phix) or None when unavailable.
+    raw_ascii=True accepts the normalized ASCII sequence directly (bases
+    map inline; non-ACGT scans as 'A'), skipping the caller's
+    BASE_CODE gather + markup where over the whole chunk."""
     if k > 32 or table is None:
         return None
     lib = get_lib()
@@ -368,7 +372,7 @@ def artifact_scan(codes: np.ndarray, offsets: np.ndarray, k: int,
         _ptr(table.slots), ctypes.c_uint64(table.cap),
         ctypes.c_long(phix_idx),
         _ptr(value), _ptr(min_hit), _ptr(max_hit), _ptr(was_phix),
-        ctypes.c_int(n_threads))
+        ctypes.c_int(n_threads), ctypes.c_int(1 if raw_ascii else 0))
     return value, min_hit, max_hit, was_phix.view(bool)
 
 

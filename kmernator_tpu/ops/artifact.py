@@ -341,11 +341,11 @@ class ArtifactFilter:
             NWp = Lp - k + 1
             H = Lp // 4
             W = nwords(k)
-            flat_codes = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
-            flat_codes = np.where(flat_codes == 4, 0,
-                                  flat_codes).astype(np.uint8)
             # fused native scan: canonical byte-hop windows probed against
-            # the artifact hash in one pass (no [n, H] key/mask planes)
+            # the artifact hash in one pass (no [n, H] key/mask planes) —
+            # fed the raw ASCII sequence (bases map inline; non-ACGT scans
+            # as 'A' exactly like BASE_CODE==4 -> 0 below), so the two
+            # whole-chunk passes building flat_codes are skipped entirely
             fused = None
             if W <= 2:
                 ht = getattr(self, "_ht", None)
@@ -354,8 +354,10 @@ class ArtifactFilter:
                     self._ht = ht = (make_hash(self._table_keys,
                                                self._table_vals),)
                 fused = native.artifact_scan(
-                    flat_codes, rs.offsets - base, k, start_hop, byte_hops,
-                    ht[0], self.phix_idx if self.phix_idx >= 0 else -1)
+                    rs.seq[base:int(rs.offsets[-1])], rs.offsets - base, k,
+                    start_hop, byte_hops, ht[0],
+                    self.phix_idx if self.phix_idx >= 0 else -1,
+                    raw_ascii=True)
             if fused is not None:
                 value, fmin, fmax, was_phix = fused
                 any_hit = value > 0
@@ -378,6 +380,9 @@ class ArtifactFilter:
                 min_pass = np.where(act & ~keep_left, max_aff, min_pass)
                 return (value, min_pass, max_pass, sec_off, sec_len,
                         was_phix)
+            flat_codes = BASE_CODE[rs.seq[base:int(rs.offsets[-1])]]
+            flat_codes = np.where(flat_codes == 4, 0,
+                                  flat_codes).astype(np.uint8)
             keys2d = native.artifact_keys(flat_codes, rs.offsets - base,
                                           k, H) if W <= 2 else None
             if keys2d is None:

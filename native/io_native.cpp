@@ -1479,10 +1479,16 @@ void artifact_scan(const uint8_t* codes, const int64_t* offsets, long n,
                    int k, const int64_t* start_hop, const int64_t* byte_hops,
                    const uint64_t* slots, uint64_t cap, long phix_idx,
                    int64_t* value, int64_t* min_hit, int64_t* max_hit,
-                   uint8_t* was_phix, int n_threads) {
+                   uint8_t* was_phix, int n_threads, int raw_ascii) {
   const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
   const int up = 64 - 2 * k;
   const uint64_t hmask = cap - 1;
+  // raw_ascii: codes is the normalized ASCII sequence; map bases inline
+  // (markup/'N' scans as 'A', matching BASE_CODE==4 -> 0 on the py side)
+  // so the caller skips two full passes (gather + where) over the chunk
+  uint8_t bc[256];
+  memset(bc, 0, sizeof(bc));
+  bc['C'] = 1; bc['G'] = 2; bc['T'] = 3;
   auto range = [=](long r0, long r1) {
     for (long r = r0; r < r1; r++) {
       value[r] = 0;
@@ -1499,11 +1505,14 @@ void artifact_scan(const uint8_t* codes, const int64_t* offsets, long n,
       if (h1 < h0) continue;
       uint64_t fwd = 0;
       for (long j = 4 * h0; j < 4 * h0 + k - 1; j++)
-        fwd = (fwd << 2) | (j < L ? codes[s + j] : 0);
+        fwd = (fwd << 2)
+            | (j < L ? (raw_ascii ? bc[codes[s + j]] : codes[s + j]) : 0);
       // iterate positions 4*h0 .. 4*h1 rolling one base at a time
       for (long pos = 4 * h0; pos <= 4 * h1; pos++) {
         const long i = pos + k - 1;
-        fwd = ((fwd << 2) | (i < L ? codes[s + i] : 0)) & kmask;
+        fwd = ((fwd << 2)
+               | (i < L ? (raw_ascii ? bc[codes[s + i]] : codes[s + i]) : 0))
+            & kmask;
         if ((pos & 3) != 0) continue;
         uint64_t rc = ko_revcomp(fwd, k);
         uint64_t key = (fwd < rc ? fwd : rc) << up;
