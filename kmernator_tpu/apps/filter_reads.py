@@ -824,23 +824,46 @@ def _par_pass1(args):
 
 def _par_pass2(args):
     """Score one chunk against the finalized spectrum -> {path: bytes}."""
+    import time as _t
     c = _PAR
+    t0 = _t.perf_counter()
     rs, o = _par_load_chunk(args, replay=True)
+    t1 = _t.perf_counter()
     rs.identify_pairs()
+    t2 = _t.perf_counter()
     if c["k"] > 0:
         counts, w_off = window_count_lookup(rs, c["spectrum"], c["k"])
+        t3 = _t.perf_counter()
         trims = score_and_trim(rs, counts, w_off, c["k"],
                                float(c["sopts"].min_depth),
                                c["ropts"].kmer_scoring_type,
                                first_markup_nor_x(rs),
                                c["ropts"].bimodal_sigmas)
     else:
+        t3 = _t.perf_counter()
         trims = _trim_by_markup(rs)
+    t4 = _t.perf_counter()
     outputs = select_reads(rs, trims, c["spectrum"], c["opts"], c["kopts"],
                            c["sopts"], c["ropts"], c["opts"].input_file)
     if o is not None:
         outputs.update(divert_blobs(rs, o, c["opts"], c["aopts"]))
-    return outputs
+    t5 = _t.perf_counter()
+    if os.environ.get("KMTPU_STAGE_TIMES"):
+        Log.debug(1, "p2 stages: load %.3f pairs %.3f lookup %.3f "
+                  "trim %.3f select %.3f"
+                  % (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4))
+    d = c.get("p2_dir")
+    if not d:
+        return outputs
+    # hand blobs to the parent as tmpfs files, not pool pickle IPC — the
+    # pipe would copy the entire output twice more per chunk
+    manifest = {}
+    for j, (path, blob) in enumerate(outputs.items()):
+        fn = os.path.join(d, "p2-%06d-%d.bin" % (args[0], j))
+        with open(fn, "wb") as f:
+            f.write(blob)
+        manifest[path] = fn
+    return manifest
 
 
 def _sample_splitters(rs0: ReadSet, k: int, num_parts: int):
@@ -915,17 +938,27 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     if not work:
         return 0
 
-    # chunk 0 runs in the parent: detects the quality base and (pass 1)
-    # seeds the spill range splitters every worker shares
+    # a head sample runs in the parent: detects the quality base and
+    # (pass 1) seeds the spill range splitters every worker shares.  A few
+    # MB suffice for both (the reference examines only the first 20000
+    # reads for the base, ref: src/ReadSet.h:171-209; splitter skew only
+    # shifts per-part memory, never correctness), and the full chunk 0 is
+    # processed again by the pool — so keep this serial head small
+    from kmernator_tpu.io.reads import find_next_record
     fi0, path0, s0, e0 = ranges[0]
     data = open_maybe_gzip(path0, use_mmap=not path0.endswith(".gz"))
+    e_s = e0
+    if e0 - s0 > (5 << 20):
+        e_s = find_next_record(data, s0 + (4 << 20), by_pair=True)
+        if not s0 < e_s <= e0:
+            e_s = e0
     rs0 = ReadSet()
-    rs0.append_arrays(*parse_fastq_bytes(bytes(data[s0:e0]),
+    rs0.append_arrays(*parse_fastq_bytes(bytes(data[s0:e_s]),
                                          opts.keep_read_comment),
                       file_idx=fi0)
     base = rs0.detect_quality_base(opts.fastq_output_base_quality)
     del data
-    Log.debug(1, "chunk-0 sample parsed (%d reads)" % rs0.n)
+    Log.debug(1, "head sample parsed (%d reads)" % rs0.n)
 
     _PAR.clear()
     _PAR.update(
@@ -1029,16 +1062,28 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         _nat.set_default_threads(1)
     _PAR["spectrum"] = spectrum
     from kmernator_tpu.io import native as _native
+    from kmernator_tpu.utils.cleanup import register_path
+    from kmernator_tpu.utils.memory import fast_temp_dir
     _native.set_default_threads(1)
+    p2_dir = fast_temp_dir(chunk_bytes * 2 * threads, "kmtpu-p2-")
+    register_path(p2_dir)
+    _PAR["p2_dir"] = p2_dir
     t_g1 = _time.perf_counter()
     written = set()
     with ctx.Pool(threads) as pool:
         for outputs in pool.imap(_par_pass2, work, chunksize=1):
-            for path, blob in outputs.items():
+            for path, src_fn in outputs.items():
                 mode = "ab" if path in written else "wb"
                 written.add(path)
-                with open(path, mode) as f:
-                    f.write(blob)
+                with open(path, mode) as f, open(src_fn, "rb") as src:
+                    try:
+                        os.sendfile(f.fileno(), src.fileno(), 0,
+                                    os.fstat(src.fileno()).st_size)
+                    except OSError:
+                        f.write(src.read())
+                os.unlink(src_fn)
+    import shutil
+    shutil.rmtree(p2_dir, ignore_errors=True)
     Log.debug(1, "pass2: hash %.2fs score+write %.2fs"
               % (t_g1 - t_g0, _time.perf_counter() - t_g1))
     for path in written:

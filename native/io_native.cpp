@@ -1560,9 +1560,11 @@ void artifact_scan(const uint8_t* codes, const int64_t* offsets, long n,
 extern "C" {
 
 typedef struct {
-  uint64_t* tk;
+  uint64_t* tk;  // split-plane keys (weights-tracked layout), else NULL
   uint32_t* tc;
   double* tw;    // NULL when weights are untracked
+  uint64_t* ti;  // interleaved {key, count} 16B slots (no-weights layout):
+                 // ONE cache line per probe instead of two (tk + tc)
   uint64_t cap;  // power of two
   long used;
   int has_w;
@@ -1572,13 +1574,22 @@ void* agg_create(long cap_slots, int has_w) {
   uint64_t cap = 1 << 14;
   while ((long)cap < cap_slots) cap <<= 1;
   kmt_agg* a = new kmt_agg();
-  a->tk = (uint64_t*)malloc(cap * sizeof(uint64_t));
-  a->tc = (uint32_t*)malloc(cap * sizeof(uint32_t));
-  a->tw = has_w ? (double*)malloc(cap * sizeof(double)) : NULL;
   a->cap = cap;
   a->has_w = has_w;
-  memset(a->tk, 0xff, cap * sizeof(uint64_t));
   a->used = 0;
+  if (has_w) {
+    a->tk = (uint64_t*)malloc(cap * sizeof(uint64_t));
+    a->tc = (uint32_t*)malloc(cap * sizeof(uint32_t));
+    a->tw = (double*)malloc(cap * sizeof(double));
+    a->ti = NULL;
+    memset(a->tk, 0xff, cap * sizeof(uint64_t));
+  } else {
+    a->tk = NULL;
+    a->tc = NULL;
+    a->tw = NULL;
+    a->ti = (uint64_t*)aligned_alloc(64, cap * 2 * sizeof(uint64_t));
+    for (uint64_t i = 0; i < cap; i++) a->ti[2 * i] = ~0ULL;
+  }
   return a;
 }
 
@@ -1591,6 +1602,27 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
   const uint64_t mask = a->cap - 1;
   const long AHEAD = 16;
   long i = 0;
+  if (!a->has_w) {
+    uint64_t* ti = a->ti;
+    for (; i < n; i++) {
+      if (a->used >= stop_used) break;
+      if (i + AHEAD < n)
+        __builtin_prefetch(&ti[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
+      uint64_t key = keys[i];
+      uint64_t h = ht_mix(key) & mask;
+      while (true) {
+        uint64_t* s = &ti[2 * h];
+        if (s[0] == key) { s[1]++; break; }
+        if (s[0] == ~0ULL) {
+          s[0] = key; s[1] = 1;
+          a->used++;
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+    }
+    return i;
+  }
   for (; i < n; i++) {
     if (a->used >= stop_used) break;
     if (i + AHEAD < n)
@@ -1600,13 +1632,13 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
     while (true) {
       if (a->tk[h] == key) {
         a->tc[h]++;
-        if (a->has_w) a->tw[h] += (double)w[i];
+        a->tw[h] += (double)w[i];
         break;
       }
       if (a->tk[h] == ~0ULL) {
         a->tk[h] = key;
         a->tc[h] = 1;
-        if (a->has_w) a->tw[h] = (double)w[i];
+        a->tw[h] = (double)w[i];
         a->used++;
         break;
       }
@@ -1621,11 +1653,24 @@ long agg_export(void* ap, uint64_t* keys_out, uint32_t* cnt_out,
                 double* w_out) {
   kmt_agg* a = (kmt_agg*)ap;
   long m = 0;
+  if (!a->has_w) {
+    uint64_t* ti = a->ti;
+    for (uint64_t i = 0; i < a->cap; i++) {
+      if (ti[2 * i] != ~0ULL) {
+        keys_out[m] = ti[2 * i];
+        cnt_out[m] = (uint32_t)ti[2 * i + 1];
+        m++;
+        ti[2 * i] = ~0ULL;
+      }
+    }
+    a->used = 0;
+    return m;
+  }
   for (uint64_t i = 0; i < a->cap; i++) {
     if (a->tk[i] != ~0ULL) {
       keys_out[m] = a->tk[i];
       cnt_out[m] = a->tc[i];
-      if (a->has_w && w_out) w_out[m] = a->tw[i];
+      if (w_out) w_out[m] = a->tw[i];
       m++;
     }
   }
@@ -1638,9 +1683,10 @@ long agg_used(void* ap) { return ((kmt_agg*)ap)->used; }
 
 void agg_free(void* ap) {
   kmt_agg* a = (kmt_agg*)ap;
-  free(a->tk);
-  free(a->tc);
+  if (a->tk) free(a->tk);
+  if (a->tc) free(a->tc);
   if (a->tw) free(a->tw);
+  if (a->ti) free(a->ti);
   delete a;
 }
 
@@ -1695,26 +1741,26 @@ long spill_count_agg(const uint64_t* keys, const uint32_t* cnts, long n,
   if (n == 0) return 0;
   size_t cap = 1 << 14;
   while ((long)cap < n) cap <<= 1;  // aggregated records are mostly unique
-  static thread_local std::vector<uint64_t> tk;
-  static thread_local std::vector<uint32_t> tc;
+  // interleaved {key, count} 16B slots: one cache line per probe
+  static thread_local std::vector<uint64_t> ti;
   long used;
 restart:
-  if (tk.size() < cap) { tk.resize(cap); tc.resize(cap); }
-  memset(tk.data(), 0xff, cap * sizeof(uint64_t));
-  memset(tc.data(), 0, cap * sizeof(uint32_t));
+  if (ti.size() < 2 * cap) ti.resize(2 * cap);
+  for (size_t i = 0; i < cap; i++) ti[2 * i] = ~0ULL;
   used = 0;
   {
     const uint64_t mask = cap - 1;
     const long AHEAD = 16;
     for (long i = 0; i < n; i++) {
       if (i + AHEAD < n)
-        __builtin_prefetch(&tk[ht_mix(keys[i + AHEAD]) & mask], 1);
+        __builtin_prefetch(&ti[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
       uint64_t key = keys[i];
       uint64_t h = ht_mix(key) & mask;
       while (true) {
-        if (tk[h] == key) { tc[h] += cnts[i]; break; }
-        if (tk[h] == ~0ULL) {
-          tk[h] = key; tc[h] = cnts[i];
+        uint64_t* s = &ti[2 * h];
+        if (s[0] == key) { s[1] += cnts[i]; break; }
+        if (s[0] == ~0ULL) {
+          s[0] = key; s[1] = cnts[i];
           if (++used * 10 > (long)cap * 7) { cap <<= 1; goto restart; }
           break;
         }
@@ -1724,9 +1770,9 @@ restart:
   }
   long m = 0;
   for (size_t i = 0; i < cap; i++) {
-    if (tk[i] != ~0ULL && (int)tc[i] >= min_depth) {
-      out_keys[m] = tk[i];
-      out_counts[m] = (int32_t)tc[i];
+    if (ti[2 * i] != ~0ULL && (int)(uint32_t)ti[2 * i + 1] >= min_depth) {
+      out_keys[m] = ti[2 * i];
+      out_counts[m] = (int32_t)(uint32_t)ti[2 * i + 1];
       m++;
     }
   }
