@@ -808,16 +808,23 @@ def _par_flush_spill(_):
 
 def _par_pass1(args):
     """Count one chunk into the process-persistent aggregated spill."""
+    import time as _t
     c = _PAR
+    t0 = _t.perf_counter()
     rs, _ = _par_load_chunk(args, replay=False)
+    t1 = _t.perf_counter()
     if c["k"] <= 0:
         return rs.n, 0, 0, None, None
     keys, good, w = _chunk_observations(
         rs, c["k"], c["min_quality"], c["output_base"], c["min_kq"],
         c["subtract_keys"], want_weights=c["track_w"])
+    t2 = _t.perf_counter()
     sc = _worker_spill()
     r0, g0 = sc.raw_kmers, sc.raw_good_kmers
     sc.add(keys, good, w)
+    if os.environ.get("KMTPU_STAGE_TIMES"):
+        Log.debug(1, "p1 stages: load %.3f observe %.3f spill %.3f"
+                  % (t1 - t0, t2 - t1, _t.perf_counter() - t2))
     return (rs.n, sc.raw_kmers - r0, sc.raw_good_kmers - g0,
             sc.key_dtype, sc.splitters)
 

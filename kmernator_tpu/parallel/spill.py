@@ -166,6 +166,29 @@ class AggSpillCounter:
         self.raw_good_kmers = 0
         self.key_dtype = np.dtype(np.uint64)
         self.splitters = splitters
+        self._gk_buf = None   # reusable compact_good output buffers
+        self._gw_buf = None
+        # grow-vs-spill budget: the aggregator may grow (keeping dedup
+        # state warm — a full-table flush resets it, and then EVERY later
+        # chunk re-floods the table with "new" keys: measured 12.9 core-s
+        # of flushes on a 1 GiB run) until tables across the worker pool
+        # would exceed ~1/4 of MemAvailable-at-start; past that it spills
+        # under pressure exactly as before (bounded memory preserved).
+        from kmernator_tpu.utils.memory import available_mb
+        try:
+            import multiprocessing as _mp
+            nw = min(_mp.cpu_count(), max(1, num_parts))
+        except Exception:
+            nw = 4
+        slot_b = 20 if track_weights else 16
+        # hard cap 16M slots/worker (256 MB): beyond that the table blows
+        # the dTLB and page-fault budget and inserts slow more than the
+        # saved flushes gain (measured: uncapped growth to 64M+ slots took
+        # the spill stage 18.7 -> 37.8 core-s on the 1 GiB run)
+        self._max_slots = min(
+            1 << 24,
+            max(cap_slots,
+                int(available_mb() * (1 << 20) / 4 / nw / slot_b)))
 
     def _file(self, p: int):
         f = self._files.get(p)
@@ -213,27 +236,48 @@ class AggSpillCounter:
             if s != e:
                 self._file(p).write(mv[s:e])
 
+    def _grow(self) -> bool:
+        """Migrate to a 4x table when the RAM budget allows; False ->
+        caller must spill instead."""
+        from kmernator_tpu.io.native import ObservationAggregator
+        new_cap = self.agg.cap * 4
+        if new_cap > self._max_slots:
+            return False
+        ko, co, wo = self.agg.export()
+        self.agg.close()
+        self.agg = ObservationAggregator(new_cap, self.track_weights)
+        if len(ko):
+            self.agg.insert_counted(ko, co, wo)
+        return True
+
     def add(self, keys: np.ndarray, good: np.ndarray,
             weights: Optional[np.ndarray] = None):
         self.raw_kmers += int(len(keys))
-        gk = keys[good]
+        if keys.dtype != np.uint64:
+            raise TypeError("AggSpillCounter requires u64 keys")
+        track = weights is not None and self.track_weights
+        from kmernator_tpu.io.native import compact_good
+        got = compact_good(keys, good, weights if track else None,
+                           self._gk_buf, self._gw_buf)
+        if got is not None:
+            gk, gw, self._gk_buf, self._gw_buf = got
+        else:
+            gk = keys[good]
+            gw = weights[good].astype(np.float32) if track else None
         self.raw_good_kmers += int(len(gk))
         if not len(gk):
             return
-        if gk.dtype != np.uint64:
-            raise TypeError("AggSpillCounter requires u64 keys")
         if self.splitters is None:
             step = max(1, len(gk) // 65536)
-            self.splitters = key_range_splitters(gk[::step], self.num_parts)
-        track = weights is not None and self.track_weights
-        gw = weights[good].astype(np.float32) if track else None
+            self.splitters = key_range_splitters(
+                np.ascontiguousarray(gk[::step]), self.num_parts)
         pos = 0
         n = len(gk)
         while pos < n:
             consumed = self.agg.insert(gk[pos:],
                                        gw[pos:] if track else None)
             pos += consumed
-            if pos < n:
+            if pos < n and not self._grow():
                 self._flush()
 
     def close(self):

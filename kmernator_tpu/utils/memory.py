@@ -18,6 +18,19 @@ def get_memory_usage() -> str:
         return "mem: unavailable"
 
 
+def available_mb() -> float:
+    """MemAvailable from /proc/meminfo (0.0 when unreadable) — gates
+    grow-vs-spill decisions in the streaming aggregator."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / 1024.0
+    except (OSError, ValueError):
+        pass
+    return 0.0
+
+
 def rss_mb() -> float:
     try:
         with open("/proc/self/statm") as f:

@@ -1681,6 +1681,168 @@ long agg_export(void* ap, uint64_t* keys_out, uint32_t* cnt_out,
 
 long agg_used(void* ap) { return ((kmt_agg*)ap)->used; }
 
+// Compact keys[good] (and optionally weights) into caller buffers in one
+// sequential pass — numpy's boolean fancy-index was 9.9 core-s of a
+// 1 GiB FilterReads pass 1 (fresh 40 MB allocation + page faults per
+// chunk under worker contention); this is allocation-free at memcpy
+// speed into a reused buffer.
+long compact_good(const uint64_t* keys, const uint8_t* good, long n,
+                  const float* w_in, uint64_t* keys_out, float* w_out) {
+  long m = 0;
+  if (w_in && w_out) {
+    for (long i = 0; i < n; i++) {
+      keys_out[m] = keys[i];
+      w_out[m] = w_in[i];
+      m += good[i] != 0;
+    }
+  } else {
+    for (long i = 0; i < n; i++) {
+      keys_out[m] = keys[i];
+      m += good[i] != 0;
+    }
+  }
+  return m;
+}
+
+// Merge pre-aggregated (key, count[, wsum]) records into the table with
+// no load-factor stop — the caller guarantees capacity.  Used when the
+// aggregator GROWS: the old table's export re-inserts here, preserving
+// exact counts (ref: the reference's KmerMap resize,
+// src/Kmer.h:2161-2299).
+void agg_insert_counted(void* ap, const uint64_t* keys,
+                        const uint32_t* cnts, const double* wsums, long n) {
+  kmt_agg* a = (kmt_agg*)ap;
+  const uint64_t mask = a->cap - 1;
+  const long AHEAD = 16;
+  if (!a->has_w) {
+    uint64_t* ti = a->ti;
+    for (long i = 0; i < n; i++) {
+      if (i + AHEAD < n)
+        __builtin_prefetch(&ti[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
+      uint64_t key = keys[i];
+      uint64_t h = ht_mix(key) & mask;
+      while (true) {
+        uint64_t* s = &ti[2 * h];
+        if (s[0] == key) { s[1] += cnts[i]; break; }
+        if (s[0] == ~0ULL) {
+          s[0] = key; s[1] = cnts[i];
+          a->used++;
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+    }
+    return;
+  }
+  for (long i = 0; i < n; i++) {
+    if (i + AHEAD < n)
+      __builtin_prefetch(&a->tk[ht_mix(keys[i + AHEAD]) & mask], 1);
+    uint64_t key = keys[i];
+    uint64_t h = ht_mix(key) & mask;
+    while (true) {
+      if (a->tk[h] == key) {
+        a->tc[h] += cnts[i];
+        a->tw[h] += wsums ? wsums[i] : 0.0;
+        break;
+      }
+      if (a->tk[h] == ~0ULL) {
+        a->tk[h] = key;
+        a->tc[h] = cnts[i];
+        a->tw[h] = wsums ? wsums[i] : 0.0;
+        a->used++;
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+}
+
+// Bucketed insert (no-weights layout): radix-partition the batch by the
+// probe slot's high bits so each bucket's probes land in one ~1 MB table
+// region that stays cache-resident while the bucket drains.
+//
+// MEASURED NEGATIVE RESULT on the dev host (kept, with unit coverage,
+// as the record): the host's L3 is 260 MiB, so a 64 MB table is already
+// L3-resident and the prefetched linear agg_insert hits ~48 Mkeys/s;
+// the partition passes are pure overhead there (18 Mk/s bucketed vs
+// 48 Mk/s linear, single-thread; 35-42 Mk/s linear under 4-way
+// contention).  The production fix for the observed 12.9 core-s flush
+// cost was adaptive table growth (agg_insert_counted) instead.  On a
+// small-L3 part this path may still win; it is correct and exact.
+//
+// Contract differs from agg_insert: buckets are processed in region
+// order, so consumption is NOT a prefix.  Keys not consumed when the
+// table crosses stop_used are compacted to the FRONT of the caller's
+// (writable) keys buffer; returns how many remain (0 = all consumed).
+long agg_insert_bucketed(void* ap, uint64_t* keys, long n, long stop_used) {
+  kmt_agg* a = (kmt_agg*)ap;
+  if (a->has_w) return -1;  // weights path keeps the prefix contract
+  const uint64_t mask = a->cap - 1;
+  uint64_t* ti = a->ti;
+  // region = 1 MB of interleaved slots (64K slots); >=8 regions or the
+  // partition is pure overhead
+  uint64_t nb = a->cap >> 16;
+  if (nb < 8 || n < (1 << 15)) {
+    long consumed = agg_insert(ap, keys, NULL, n, stop_used);
+    long rem = n - consumed;
+    if (rem > 0) memmove(keys, keys + consumed, rem * sizeof(uint64_t));
+    return rem;
+  }
+  if (nb > 256) nb = 256;
+  const int rshift = __builtin_ctzll(a->cap / nb);  // slot -> region
+  static thread_local std::vector<uint64_t> hs;      // ht_mix per key
+  static thread_local std::vector<uint64_t> pk;      // (hash, key) pairs
+  static thread_local std::vector<int64_t> boff;
+  if ((long)hs.size() < n) hs.resize(n);
+  if ((long)pk.size() < 2 * n) pk.resize(2 * n);
+  if ((long)boff.size() < (long)nb + 1) boff.resize(nb + 1);
+  int64_t* off = boff.data();
+  memset(off, 0, (nb + 1) * sizeof(int64_t));
+  for (long i = 0; i < n; i++) {
+    uint64_t h = ht_mix(keys[i]) & mask;
+    hs[i] = h;
+    off[(h >> rshift) + 1]++;
+  }
+  for (uint64_t b = 0; b < nb; b++) off[b + 1] += off[b];
+  {
+    static thread_local std::vector<int64_t> cur;
+    if ((long)cur.size() < (long)nb) cur.resize(nb);
+    memcpy(cur.data(), off, nb * sizeof(int64_t));
+    for (long i = 0; i < n; i++) {
+      int64_t p = cur[hs[i] >> rshift]++;
+      pk[2 * p] = hs[i];
+      pk[2 * p + 1] = keys[i];
+    }
+  }
+  const long AHEAD = 8;
+  for (uint64_t b = 0; b < nb; b++) {
+    if (a->used >= stop_used) {
+      // compact the untouched buckets back to the caller's buffer
+      long rem = n - off[b];
+      uint64_t* dst = keys;
+      for (long i = off[b]; i < n; i++) *dst++ = pk[2 * i + 1];
+      return rem;
+    }
+    const long s = off[b], e = off[b + 1];
+    for (long i = s; i < e; i++) {
+      if (i + AHEAD < e) __builtin_prefetch(&ti[2 * pk[2 * (i + AHEAD)]], 1);
+      uint64_t h = pk[2 * i];
+      const uint64_t key = pk[2 * i + 1];
+      while (true) {
+        uint64_t* sl = &ti[2 * h];
+        if (sl[0] == key) { sl[1]++; break; }
+        if (sl[0] == ~0ULL) {
+          sl[0] = key; sl[1] = 1;
+          a->used++;
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+    }
+  }
+  return 0;
+}
+
 void agg_free(void* ap) {
   kmt_agg* a = (kmt_agg*)ap;
   if (a->tk) free(a->tk);

@@ -32,16 +32,72 @@ def _run(cls, track, obs, **kw):
 
 
 @pytest.mark.parametrize("track", [False, True])
-def test_agg_matches_raw(track, obs):
+@pytest.mark.parametrize("grow", [False, True])
+def test_agg_matches_raw(track, grow, obs):
     a = _run(SpillCounter, track, obs)
-    # tiny cap -> many mid-batch flushes (the pressure path)
-    b = _run(AggSpillCounter, track, obs, cap_slots=4096)
-    assert np.array_equal(a.keys, b.keys)
-    assert np.array_equal(a.counts, b.counts)
-    assert a.raw_kmers == b.raw_kmers
-    assert a.raw_good_kmers == b.raw_good_kmers
+    # tiny cap: with growth forbidden it's the flush-under-pressure path,
+    # with growth allowed it's the adaptive-resize (insert_counted) path
+    keys, good, w = obs
+    b = AggSpillCounter(31, 7, tmpdir=tempfile.mkdtemp(),
+                        track_weights=track, cap_slots=4096)
+    if not grow:
+        b._max_slots = 4096
+    for s in range(0, len(keys), 37000):
+        b.add(keys[s:s + 37000], good[s:s + 37000], w[s:s + 37000])
+    if grow:
+        assert b.agg.cap > 4096  # the resize actually happened
+    bsp = b.finalize(min_depth=2)
+    assert np.array_equal(a.keys, bsp.keys)
+    assert np.array_equal(a.counts, bsp.counts)
+    assert a.raw_kmers == bsp.raw_kmers
+    assert a.raw_good_kmers == bsp.raw_good_kmers
     if track:
-        assert np.allclose(a.weighted, b.weighted, rtol=1e-12)
+        assert np.allclose(a.weighted, bsp.weighted, rtol=1e-12)
+
+
+def test_native_compact_good_matches_numpy():
+    from kmernator_tpu.io.native import compact_good
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 1 << 62, 100001, dtype=np.uint64)
+    good = rng.random(100001) < 0.4
+    w = rng.random(100001).astype(np.float32)
+    got = compact_good(keys, good, w)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    gk, gw, _, _ = got
+    assert np.array_equal(gk, keys[good])
+    assert np.array_equal(gw, w[good])
+    gk2, gw2, _, _ = compact_good(keys, good, None)
+    assert np.array_equal(gk2, keys[good])
+    assert gw2 is None
+
+
+def test_bucketed_insert_exact():
+    """Regression for the (measured-negative, kept) radix-bucketed insert
+    kernel: exact counts across flush cycles."""
+    from kmernator_tpu.io.native import ObservationAggregator
+    try:
+        # >= 1<<19 slots so the kernel takes the bucketed path (>= 8
+        # regions), not its small-table linear fallback
+        agg = ObservationAggregator(1 << 19, False)
+    except RuntimeError:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    want = {}
+    for _ in range(4):
+        keys = rng.integers(0, 120_000, 90_000, dtype=np.uint64)
+        for k_, c_ in zip(*np.unique(keys, return_counts=True)):
+            want[int(k_)] = want.get(int(k_), 0) + int(c_)
+        gk = keys.copy()
+        rem = agg.insert_bucketed(gk)
+        while rem > 0:
+            for k_, c_ in zip(*agg.export()[:2]):
+                want[int(k_)] -= int(c_)
+            rem = agg.insert_bucketed(gk[:rem])
+        assert rem == 0
+    for k_, c_ in zip(*agg.export()[:2]):
+        want[int(k_)] -= int(c_)
+    assert not any(want.values())
 
 
 @pytest.mark.parametrize("track", [False, True])
