@@ -158,6 +158,12 @@ def tpu_child(platform=None, steps=STEPS):
     """Runs inside the guarded subprocess: golden check + timed rate.
     Prints GOLDEN=ok|mismatch and RATE=<kmers/s>.
 
+    The timed loop is ONE dispatch (lax.fori_loop over the step count,
+    each step counting a different dynamic slice of a rolled batch so
+    nothing hoists out of the loop): per-dispatch relay latency was
+    ~7 ms, which made a 160-dispatch loop measure the tunnel, not the
+    chip (80 Mk/s dispatch-bound vs the compute-bound rate).
+
     platform="cpu" is the host fallback used only when the TPU relay is
     unreachable — same code, same shapes, clearly labeled in the record.
     """
@@ -167,12 +173,12 @@ def tpu_child(platform=None, steps=STEPS):
     if platform:
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
+    from jax import lax
     from kmernator_tpu.parallel.device_spectrum import (count_batch,
                                                        extract_canonical_cols,
                                                        window_good)
 
-    @jax.jit
-    def build_full(codes, logp, lengths):
+    def build_count(codes, logp, lengths):
         cols, is_fwd, valid = extract_canonical_cols(codes, lengths, K)
         wsum, good = window_good(logp, lengths, K, -3.3219281)
         g = (good & valid).reshape(-1)
@@ -181,13 +187,23 @@ def tpu_child(platform=None, steps=STEPS):
         return keys, counts, n_unique
 
     @jax.jit
-    def build(codes, logp, lengths):
-        return build_full(codes, logp, lengths)[2]
+    def build_full(codes, logp, lengths):
+        return build_count(codes, logp, lengths)
+
+    @jax.jit
+    def run_steps(big_codes, logp, lengths):
+        def body(i, acc):
+            c = lax.dynamic_slice_in_dim(big_codes, i, B, 0)
+            return acc + build_count(c, logp, lengths)[2]
+        return lax.fori_loop(0, steps, body, jnp.int32(0))
 
     codes_h, logp_h, lengths_h = _bench_batch()
     codes = jnp.asarray(codes_h)
     logp = jnp.asarray(logp_h)
     lengths = jnp.asarray(lengths_h)
+    # steps extra rows so step i counts rows [i, i+B) — real, distinct
+    # work every iteration, immune to loop-invariant hoisting
+    big_codes = jnp.concatenate([codes, codes[:steps]], axis=0)
 
     # ---- chip golden: device table == host-oracle table, byte for byte ----
     dk, dc, dn = build_full(codes, logp, lengths)
@@ -204,17 +220,14 @@ def tpu_child(platform=None, steps=STEPS):
           and np.array_equal(dev_counts, want_counts))
     print("GOLDEN=%s" % ("ok" if ok else "mismatch"), flush=True)
 
-    # ---- timed rate (golden pass above doubled as compile+warm) ----
-    n = int(build(codes, logp, lengths))
-    assert 0 < n <= B * (L - K + 1)
+    # ---- timed rate: warm once (compile), then one timed dispatch ----
     n_windows = B * (L - K + 1)
+    total = int(run_steps(big_codes, logp, lengths))  # compile + warm
+    assert 0 < total <= steps * n_windows, total
     t0 = time.perf_counter()
-    acc = jnp.int32(0)
-    for _ in range(steps):
-        acc = acc + build(codes, logp, lengths)
-    total = int(acc)  # single readback forces completion of every step
+    total2 = int(run_steps(big_codes, logp, lengths))
     dt = time.perf_counter() - t0
-    assert total == steps * n, (total, n)
+    assert total2 == total, (total2, total)
     print("RATE=%.1f" % (n_windows * steps / dt), flush=True)
 
 
@@ -267,47 +280,58 @@ def e2e_input_path(mb: int = 0) -> str:
     return path
 
 
-def e2e_reads_per_sec(mb: int = 0):
-    mb = mb or E2E_MB
+def _e2e_one_run(mb: int) -> float:
+    """One timed streaming-FilterReads run -> reads/sec."""
     here = os.path.dirname(os.path.abspath(__file__))
     path = e2e_input_path(mb)
     n_reads = int(mb * 1e6 / 215)
     out = "/tmp/kmtpu-bench-e2e-out"
     env = dict(os.environ, PYTHONPATH=here)
-    best = None
-    # best-of-2 whenever the budget allows — the VM is noisy (5x wall
-    # variance observed under relay/neighbor load)
-    runs = 2 if _remaining() > (150 if mb <= 512 else 120 + mb * 0.06) else 1
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
-              "--jax-platform", "cpu", "--streaming",
-              "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
-              "--artifact-edit-distance", "1", "--min-read-length", "25",
-              "--out", out, "31", path],
-             env=env, timeout=1200)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-        for f in os.listdir("/tmp"):
-            if f.startswith("kmtpu-bench-e2e-out"):
-                os.unlink("/tmp/" + f)
-    return n_reads / best
+    t0 = time.perf_counter()
+    _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+          "--jax-platform", "cpu", "--streaming",
+          "--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+          "--artifact-edit-distance", "1", "--min-read-length", "25",
+          "--out", out, "31", path],
+         env=env, timeout=1200)
+    dt = time.perf_counter() - t0
+    for f in os.listdir("/tmp"):
+        if f.startswith("kmtpu-bench-e2e-out"):
+            os.unlink("/tmp/" + f)
+    return n_reads / dt
 
 
-def e2e_baseline_reads_per_sec(mb: int = 0, max_runs: int = 2) -> float:
+def _e2e_baseline_one_run(mb: int) -> float:
     exe = _build_native("baseline_filter")
-    best = 0.0
-    runs = max_runs if _remaining() > 150 else 1  # best-of-N on a noisy VM
-    for _ in range(runs):
-        out = _run([exe, e2e_input_path(mb), "31", "4", "2",
-                    "/tmp/kmtpu-bench-bf-out"], timeout=600)
-        for line in out.splitlines():
-            if line.startswith("reads_per_sec="):
-                best = max(best, float(line.split("=")[1]))
-    os.unlink("/tmp/kmtpu-bench-bf-out")
-    if not best:
-        raise RuntimeError("baseline_filter produced no rate")
-    return best
+    out = _run([exe, e2e_input_path(mb), "31", "4", "2",
+                "/tmp/kmtpu-bench-bf-out"], timeout=600)
+    for line in out.splitlines():
+        if line.startswith("reads_per_sec="):
+            os.unlink("/tmp/kmtpu-bench-bf-out")
+            return float(line.split("=")[1])
+    raise RuntimeError("baseline_filter produced no rate")
+
+
+def e2e_pair(mb: int = 0, reserve_s: float = 60.0):
+    """(ours reads/s, baseline reads/s) measured INTERLEAVED —
+    ours, base, ours, base — taking each side's best.  The VM's
+    throughput is bimodal (measured 13 s vs 150 s for the identical
+    run under neighbor load), so back-to-back pairs keep a slow phase
+    from landing on only one side of the ratio."""
+    mb = mb or E2E_MB
+    ours = _e2e_one_run(mb)
+    base = _e2e_baseline_one_run(mb)
+    # second pair only when the budget clearly allows (scale: measured
+    # fast-phase pair is ~45 s at 1 GiB, slow-phase ~5x that)
+    est_pair = 10 + mb * 0.08
+    if _remaining() > est_pair + reserve_s:
+        ours = max(ours, _e2e_one_run(mb))
+        base = max(base, _e2e_baseline_one_run(mb))
+    return ours, base
+
+
+def e2e_reads_per_sec(mb: int = 0):
+    return e2e_pair(mb)[0]
 
 
 def tpu_stage():
@@ -318,10 +342,13 @@ def tpu_stage():
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
-    for attempt in range(2):
+    for attempt in range(3):
         # leave >= 200 s for the host stages even when the relay is down
-        # and both attempts burn their full caps
-        cap = min(180.0 if attempt == 0 else 60.0, _remaining() - 200)
+        # and every attempt burns its full cap.  Attempt 0 covers a cold
+        # compile (~140 s observed); later ones ride the compilation
+        # cache (~25 s warm) and exist because the relay intermittently
+        # drops a run mid-readback (FailedPrecondition).
+        cap = min((180.0, 90.0, 60.0)[attempt], _remaining() - 200)
         if cap < 45:
             return
         try:
@@ -402,16 +429,12 @@ def main():
     except Exception:
         pass
 
-    # stage E/F: e2e ours, then e2e baseline
+    # stage E/F: e2e ours + baseline, interleaved pairs
     try:
-        e2e = e2e_reads_per_sec()
+        e2e, e2e_base = e2e_pair()
         REC["e2e_metric"] = "reads filtered/sec (1 host, %d MB)" % E2E_MB
         REC["e2e_value"] = round(e2e)
-        try:
-            e2e_base = e2e_baseline_reads_per_sec()
-            REC["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
-        except Exception:
-            REC["e2e_vs_baseline"] = None
+        REC["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
     except Exception:
         REC["e2e_value"] = None
 
@@ -422,15 +445,13 @@ def main():
     try:
         if E2E_MB != 1024:
             cached = os.path.exists("/tmp/kmtpu-bench-e2e-1024mb.fastq")
-            if _remaining() > (120 if cached else 260):
-                e2e1 = e2e_reads_per_sec(1024)
+            if _remaining() > (140 if cached else 280):
+                e2e1, base1 = e2e_pair(1024)
                 REC["e2e_1g_value"] = round(e2e1)
-                base1 = e2e_baseline_reads_per_sec(1024, max_runs=1)
                 REC["e2e_1g_vs_baseline"] = round(e2e1 / base1, 2)
         elif _remaining() > 90:
-            e2e256 = e2e_reads_per_sec(256)
+            e2e256, base256 = e2e_pair(256)
             REC["e2e_256_value"] = round(e2e256)
-            base256 = e2e_baseline_reads_per_sec(256, max_runs=1)
             REC["e2e_256_vs_baseline"] = round(e2e256 / base256, 2)
     except Exception:
         pass

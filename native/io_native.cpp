@@ -10,8 +10,10 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
 #include <thread>
 #include <vector>
+#include <sys/mman.h>
 
 extern "C" {
 
@@ -1587,6 +1589,11 @@ void* agg_create(long cap_slots, int has_w) {
     a->tk = NULL;
     a->tc = NULL;
     a->tw = NULL;
+    // NOTE (measured negative): MADV_HUGEPAGE here looked like a free
+    // dTLB win for the big tables, but the host runs THP defrag in
+    // madvise mode, so every fault attempted synchronous compaction —
+    // the 1 GiB FilterReads run went 13 s -> 150-200 s.  Plain pages it
+    // is.
     a->ti = (uint64_t*)aligned_alloc(64, cap * 2 * sizeof(uint64_t));
     for (uint64_t i = 0; i < cap; i++) a->ti[2 * i] = ~0ULL;
   }
