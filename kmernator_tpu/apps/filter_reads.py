@@ -829,6 +829,23 @@ def _par_pass1(args):
             sc.key_dtype, sc.splitters)
 
 
+def _iter_pool(it, n_tasks: int, what: str, timeout_s: float = 900.0):
+    """Consume a Pool imap/imap_unordered iterator with a per-item
+    timeout.  multiprocessing.Pool hangs FOREVER when a worker dies
+    (SIGKILL/OOM/native crash) mid-task; this converts that silent hang
+    into a hard error naming the phase — the streaming engine's failure
+    detector (ref: the reference aborts the MPI world on worker death,
+    src/MPIUtils.h)."""
+    import multiprocessing as mp
+    for _ in range(n_tasks):
+        try:
+            yield it.next(timeout=timeout_s)
+        except mp.TimeoutError:
+            raise RuntimeError(
+                "%s: no chunk completed in %.0f s — a pool worker "
+                "likely died (OOM or native crash)" % (what, timeout_s))
+
+
 def _par_pass2(args):
     """Score one chunk against the finalized spectrum -> {path: bytes}."""
     import time as _t
@@ -1022,8 +1039,9 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         t_p1 = _time.perf_counter()
         Log.debug(1, "pass1 pool start (head done)")
         with ctx.Pool(threads) as pool:
-            for rn, rk, rgk, kd, _ in pool.imap_unordered(
-                    _par_pass1, work[wi:], chunksize=1):
+            for rn, rk, rgk, kd, _ in _iter_pool(
+                    pool.imap_unordered(_par_pass1, work[wi:], chunksize=1),
+                    len(work) - wi, "pass1"):
                 n_reads += rn
                 raw += rk
                 good += rgk
@@ -1078,7 +1096,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     t_g1 = _time.perf_counter()
     written = set()
     with ctx.Pool(threads) as pool:
-        for outputs in pool.imap(_par_pass2, work, chunksize=1):
+        for outputs in _iter_pool(pool.imap(_par_pass2, work, chunksize=1),
+                                  len(work), "pass2"):
             for path, src_fn in outputs.items():
                 mode = "ab" if path in written else "wb"
                 written.add(path)
