@@ -58,6 +58,21 @@ def _use_merge_sort(N: int, W: int) -> bool:
 # batch packing (host -> device layout)
 # --------------------------------------------------------------------------
 
+def pow2_aligned_batch(L: int, k: int, target_reads: int) -> int:
+    """Largest batch <= target_reads whose window count B*(L-k+1) sits
+    just under a power of two.  XLA pads the count sort's row axis to
+    the next power of two, so alignment is worth ~1.6x: the bench sweep
+    measured 780 Mk/s at 99.9% pad utilization (B=468, L=100, k=31) vs
+    483 Mk/s at 55% (B=8192).  Use for directly-attached devices; over a
+    high-RTT relay, larger batches amortizing per-dispatch latency win
+    instead."""
+    nw = max(L - k + 1, 1)
+    m = 1
+    while (2 * m) // nw <= target_reads and m < (1 << 40):
+        m *= 2
+    return max(m // nw, 1)
+
+
 def pack_readset(rs, L: int, min_quality: int, output_base: int):
     """ReadSet -> (codes [B, L] uint8, logp [B, L] f32, lengths [B] i32).
 

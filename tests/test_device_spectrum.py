@@ -120,3 +120,14 @@ def test_extract_canonical_cols_matches_stacked():
         assert (np.asarray(v1) == np.asarray(v2)).all()
         for w in range(canon.shape[-1]):
             assert (np.asarray(canon[..., w]) == np.asarray(cols[w])).all(), (k, w)
+
+
+def test_pow2_aligned_batch():
+    from kmernator_tpu.parallel.device_spectrum import pow2_aligned_batch
+    # L=100, k=31 -> NW=70: largest B with B*70 just under a power of
+    # two and B <= 8192 is 2^19 // 70 = 7489
+    assert pow2_aligned_batch(100, 31, 8192) == 7489
+    b = pow2_aligned_batch(100, 31, 500)
+    assert b == 468 and b * 70 <= (1 << 15) and 2 * b * 70 > (1 << 15)
+    # degenerate: single-window reads, tiny target
+    assert pow2_aligned_batch(31, 31, 1) == 1
