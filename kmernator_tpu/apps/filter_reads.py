@@ -806,8 +806,13 @@ def _par_flush_spill(_):
     return 0
 
 
+_CG_BUFS = [None, None]  # per-process compact_good reusable buffers
+
+
 def _par_pass1(args):
-    """Count one chunk into the process-persistent aggregated spill."""
+    """Count one chunk: into the SHARED CAS table when one is active
+    (remainder past its load stop diverts to the private spill), else
+    into the process-persistent aggregated spill."""
     import time as _t
     c = _PAR
     t0 = _t.perf_counter()
@@ -819,6 +824,26 @@ def _par_pass1(args):
         rs, c["k"], c["min_quality"], c["output_base"], c["min_kq"],
         c["subtract_keys"], want_weights=c["track_w"])
     t2 = _t.perf_counter()
+    shct = c.get("shct")
+    if shct is not None:
+        from kmernator_tpu.io.native import compact_good
+        got = compact_good(keys, good, None, _CG_BUFS[0], _CG_BUFS[1])
+        if got is not None:
+            gk, _, _CG_BUFS[0], _CG_BUFS[1] = got
+        else:
+            gk = keys[good]
+        consumed = shct.insert(gk)
+        if consumed < len(gk):
+            sc = _worker_spill()
+            rem = np.ascontiguousarray(gk[consumed:])
+            sc.add(rem, np.ones(len(rem), bool))
+            sc.raw_kmers -= len(rem)       # raw/good tallied below, once
+            sc.raw_good_kmers -= len(rem)
+        if os.environ.get("KMTPU_STAGE_TIMES"):
+            Log.debug(1, "p1 stages: load %.3f observe %.3f spill %.3f"
+                      % (t1 - t0, t2 - t1, _t.perf_counter() - t2))
+        return (rs.n, len(keys), len(gk), np.dtype(np.uint64),
+                c.get("splitters"))
     sc = _worker_spill()
     r0, g0 = sc.raw_kmers, sc.raw_good_kmers
     sc.add(keys, good, w)
@@ -1030,6 +1055,29 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 key_dt = kd
             wi += 1
         _PAR["splitters"] = splitters
+        # shared CAS count table (one table, all workers; the reference's
+        # shared bucket map re-done for fork workers).  MEASURED NEGATIVE
+        # on this host, kept opt-in (KMTPU_SHCT=1) with the numbers:
+        # interleaved A/B at 1 GiB ran 31-41 s shared vs 20-23 s private.
+        # The hoped-for win (the 20x-repeated genome keys resident ONCE,
+        # shared in L3) inverts under atomics: every fetch_add needs the
+        # line EXCLUSIVE, so exactly the hot lines ping-pong between all
+        # 4 cores, and the 2 GB mapping adds 8x the dTLB reach of the
+        # 256 MB private tables.  Exact (unit-tested) but slower; the
+        # private grow-under-pressure tables stand.
+        shct = None
+        if splitters is not None and not track_w and k <= 32 \
+                and os.environ.get("KMTPU_SHCT"):
+            from kmernator_tpu.utils.memory import available_mb
+            try:
+                from kmernator_tpu.io.native import SharedCountTable
+                budget = int(available_mb() * (1 << 20) / 8 / 16)
+                want = max(est // 3, 1 << 22)
+                if want <= budget:
+                    shct = SharedCountTable(want)
+            except RuntimeError:
+                shct = None
+        _PAR["shct"] = shct
         _PAR["flush_barrier"] = ctx.Barrier(threads)
         # pool workers own whole cores; native kernels inside them must not
         # fan out another cpu_count threads each (forked state)
@@ -1053,6 +1101,17 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                                          chunksize=1):
                 pass
             _flush_worker_spill()
+            if shct is not None:
+                # export the shared table into the part files (exact:
+                # merges with any pressure-spilled partials at count)
+                _native.set_default_threads(threads)
+                s_ko, s_co = shct.export()
+                _native.set_default_threads(1)
+                from kmernator_tpu.parallel.spill import append_agg_records
+                append_agg_records(spill_dir, num_parts, splitters, "shct",
+                                   s_ko, s_co)
+                shct.close()
+                _PAR["shct"] = None
             t_chunks = _time.perf_counter()
             # singletons are only ever consulted by the histogram /
             # size-history outputs; when neither is requested, finalize

@@ -533,6 +533,85 @@ def compact_good(keys: np.ndarray, good: np.ndarray, weights=None,
     return out_keys[:m], (out_w[:m] if has_w else None), out_keys, out_w
 
 
+class SharedCountTable:
+    """Anonymous-shared-mmap CAS count table for the streaming pass 1:
+    create in the parent BEFORE the pool forks, then every worker
+    inserts into the ONE table (native shct_insert; the reference's
+    shared bucket map, src/Kmer.h:2161-2299, re-done for fork workers).
+    Empty cells are 0 ({key+1, count} slots), so the kernel's lazy zero
+    pages are the initialized table — untouched slots cost no RSS.
+
+    insert() returns the consumed prefix length; less than len(keys)
+    means the table hit its load stop and the caller must divert the
+    remainder to its private spill counter (exactness: the final table
+    export merges with spilled partials)."""
+
+    HDR = 8  # u64s reserved for {used, stop} + cacheline padding
+
+    def __init__(self, cap_slots: int):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "shct_insert"):
+            raise RuntimeError("native shared count table unavailable")
+        self._lib = lib
+        lib.shct_insert.restype = ctypes.c_long
+        lib.shct_export.restype = ctypes.c_long
+        cap = 1 << 14
+        while cap < cap_slots:
+            cap <<= 1
+        self.cap = cap
+        import mmap
+        self._mm = mmap.mmap(-1, (self.HDR + 2 * cap) * 8)
+        self._arr = np.frombuffer(self._mm, dtype=np.uint64)
+        self._hdr = self._arr[:self.HDR]
+        self._slots = self._arr[self.HDR:]
+        self._hdr[1] = int(cap * 0.60)  # load stop
+
+    def used(self) -> int:
+        return int(self._hdr[0])
+
+    def insert(self, keys: np.ndarray) -> int:
+        return self._lib.shct_insert(
+            _ptr(self._hdr), _ptr(self._slots), ctypes.c_ulonglong(self.cap),
+            _ptr(np.ascontiguousarray(keys, np.uint64)),
+            ctypes.c_long(len(keys)))
+
+    def export(self, n_threads: int = 0):
+        """(keys u64 [m], counts u32 [m]) over all occupied slots,
+        range-scanned in parallel."""
+        import threading
+        n_threads = max(1, _threads(n_threads))
+        n = self.used() + 64  # claimed-but-mid-increment slack
+        bounds = [self.cap * t // n_threads for t in range(n_threads + 1)]
+        outs = [None] * n_threads
+
+        def scan(t):
+            lo, hi = bounds[t], bounds[t + 1]
+            ko = np.empty(min(n, hi - lo), np.uint64)
+            co = np.empty(min(n, hi - lo), np.uint32)
+            m = self._lib.shct_export(
+                _ptr(self._slots), ctypes.c_ulonglong(lo),
+                ctypes.c_ulonglong(hi), _ptr(ko), _ptr(co))
+            outs[t] = (ko[:m], co[:m])
+
+        if n_threads == 1:
+            scan(0)
+        else:
+            ts = [threading.Thread(target=scan, args=(t,))
+                  for t in range(n_threads)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+        return (np.concatenate([o[0] for o in outs]),
+                np.concatenate([o[1] for o in outs]))
+
+    def close(self):
+        if self._mm is not None:
+            self._arr = self._hdr = self._slots = None
+            self._mm.close()
+            self._mm = None
+
+
 class ObservationAggregator:
     """Persistent native open-addressing aggregator for the streaming
     pass-1: key -> (count u32, wsum f64).  insert() consumes a key batch

@@ -132,6 +132,71 @@ class SpillCounter:
             self.raw_good_kmers)
 
 
+def _route_agg_to_files(file_of, num_parts: int, splitters: np.ndarray,
+                        ko: np.ndarray, co: np.ndarray, wo=None):
+    """Range-route aggregated (key, count[, wsum]) records and append
+    them to the part files (file_of(p) -> open append handle).  Shared
+    by AggSpillCounter flushes and the shared-CAS-table export."""
+    if not len(ko):
+        return
+    from kmernator_tpu.io.native import spill_route_agg
+    routed = spill_route_agg(ko, co, wo, splitters)
+    if routed is None:  # numpy fallback routing
+        part = _part_of(ko, splitters)
+        order = np.argsort(part, kind="stable")
+        ko, co = ko[order], co[order]
+        if wo is not None:
+            wo = wo[order]
+        counts = np.bincount(part, minlength=num_parts)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        for p in range(num_parts):
+            s, e = int(off[p]), int(off[p + 1])
+            if s == e:
+                continue
+            if wo is not None:
+                rec = np.empty(e - s, dtype=np.dtype(
+                    [("k", np.uint64), ("c", np.uint32),
+                     ("w", np.float64)]))
+                rec["w"] = wo[s:e]
+            else:
+                rec = np.empty(e - s, dtype=np.dtype(
+                    [("k", np.uint64), ("c", np.uint32)]))
+            rec["k"] = ko[s:e]
+            rec["c"] = co[s:e]
+            file_of(p).write(rec.tobytes())
+        return
+    out, part_off = routed
+    rb = 20 if wo is not None else 12
+    mv = memoryview(out)
+    for p in range(num_parts):
+        s, e = int(part_off[p]) * rb, int(part_off[p + 1]) * rb
+        if s != e:
+            file_of(p).write(mv[s:e])
+
+
+def append_agg_records(tmpdir: str, num_parts: int, splitters: np.ndarray,
+                       suffix: str, ko: np.ndarray, co: np.ndarray,
+                       wo=None):
+    """One-shot append of aggregated records into a spill part dir — the
+    parent uses this to merge the shared CAS table's export with any
+    worker-spilled partials before count_spill_parts."""
+    files = {}
+
+    def file_of(p):
+        f = files.get(p)
+        if f is None:
+            f = open(os.path.join(tmpdir, "part%d-%s.agg.bin" % (p, suffix)),
+                     "ab")
+            files[p] = f
+        return f
+
+    try:
+        _route_agg_to_files(file_of, num_parts, splitters, ko, co, wo)
+    finally:
+        for f in files.values():
+            f.close()
+
+
 class AggSpillCounter:
     """Cross-chunk aggregated spill: observations accumulate in a
     persistent native hash (bounded slots) and flush
@@ -199,42 +264,9 @@ class AggSpillCounter:
         return f
 
     def _flush(self):
-        from kmernator_tpu.io.native import spill_route_agg
         ko, co, wo = self.agg.export()
-        if not len(ko):
-            return
-        routed = spill_route_agg(ko, co, wo, self.splitters)
-        if routed is None:  # numpy fallback routing
-            part = _part_of(ko, self.splitters)
-            order = np.argsort(part, kind="stable")
-            ko, co = ko[order], co[order]
-            if wo is not None:
-                wo = wo[order]
-            counts = np.bincount(part, minlength=self.num_parts)
-            off = np.concatenate([[0], np.cumsum(counts)])
-            for p in range(self.num_parts):
-                s, e = int(off[p]), int(off[p + 1])
-                if s == e:
-                    continue
-                if wo is not None:
-                    rec = np.empty(e - s, dtype=np.dtype(
-                        [("k", np.uint64), ("c", np.uint32),
-                         ("w", np.float64)]))
-                    rec["w"] = wo[s:e]
-                else:
-                    rec = np.empty(e - s, dtype=np.dtype(
-                        [("k", np.uint64), ("c", np.uint32)]))
-                rec["k"] = ko[s:e]
-                rec["c"] = co[s:e]
-                self._file(p).write(rec.tobytes())
-            return
-        out, part_off = routed
-        rb = 20 if self.track_weights else 12
-        mv = memoryview(out)
-        for p in range(self.num_parts):
-            s, e = int(part_off[p]) * rb, int(part_off[p + 1]) * rb
-            if s != e:
-                self._file(p).write(mv[s:e])
+        _route_agg_to_files(self._file, self.num_parts, self.splitters,
+                            ko, co, wo)
 
     def _grow(self) -> bool:
         """Migrate to a 4x table when the RAM budget allows; False ->

@@ -1764,6 +1764,79 @@ void agg_insert_counted(void* ap, const uint64_t* keys,
   }
 }
 
+// ---- shared CAS count table (cross-process pass-1 aggregation) ----
+//
+// One anonymous-shared mmap table ALL pool workers insert into, the
+// reference's shared OpenMP bucket map re-done for fork workers
+// (ref: src/Kmer.h:2161-2299 + DistributedFunctions.h thread-sharded
+// appends).  vs per-worker private tables this stores the dataset's
+// repeated working set ONCE — the ~20x-coverage genome keys become
+// shared L3-resident lines instead of 4 private DRAM-resident copies —
+// and removes growth migrations and pressure flushes entirely when the
+// unique count fits.  Layout: slot = {key+1, count} u64 pairs, empty
+// cell = 0 so the kernel's lazy zero pages ARE the initialized table
+// (no 2 GB memset, no resident pages for untouched slots).  Valid
+// canonical keys for k <= 31 are < 2^62, so key+1 never collides with
+// the sentinel.  hdr[0] = used (atomic), hdr[1] = stop.
+//
+// Exactness: every observation performs exactly one relaxed fetch_add
+// on its slot's count; claims go through CAS, and a worker that sees
+// used >= stop BEFORE claiming returns its consumed prefix so the
+// caller diverts the remainder to its private spill counter — final
+// counts are the shared export merged with the spilled partials.
+
+long shct_insert(uint64_t* hdr, uint64_t* slots, uint64_t cap,
+                 const uint64_t* keys, long n) {
+  const uint64_t mask = cap - 1;
+  const uint64_t stop = hdr[1];
+  const long AHEAD = 16;
+  for (long i = 0; i < n; i++) {
+    if (i + AHEAD < n)
+      __builtin_prefetch(&slots[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
+    const uint64_t k1 = keys[i] + 1;
+    uint64_t h = ht_mix(keys[i]) & mask;
+    while (true) {
+      uint64_t cur = __atomic_load_n(&slots[2 * h], __ATOMIC_RELAXED);
+      if (cur == k1) {
+        __atomic_fetch_add(&slots[2 * h + 1], 1ULL, __ATOMIC_RELAXED);
+        break;
+      }
+      if (cur == 0) {
+        if (__atomic_load_n(&hdr[0], __ATOMIC_RELAXED) >= stop)
+          return i;  // pressure: caller spills the rest privately
+        if (__atomic_compare_exchange_n(&slots[2 * h], &cur, k1, false,
+                                        __ATOMIC_RELAXED,
+                                        __ATOMIC_RELAXED)) {
+          __atomic_fetch_add(&slots[2 * h + 1], 1ULL, __ATOMIC_RELAXED);
+          __atomic_fetch_add(&hdr[0], 1ULL, __ATOMIC_RELAXED);
+          break;
+        }
+        continue;  // lost the race; cur was reloaded — re-examine slot
+      }
+      h = (h + 1) & mask;
+    }
+  }
+  return n;
+}
+
+// Export occupied slots in [s_lo, s_hi) -> (key, u32 count) arrays.
+// Counts larger than u32 clamp (the spill record format is u32; a
+// single k-mer observed 4 billion times is beyond any real input).
+long shct_export(const uint64_t* slots, uint64_t s_lo, uint64_t s_hi,
+                 uint64_t* keys_out, uint32_t* cnt_out) {
+  long m = 0;
+  for (uint64_t i = s_lo; i < s_hi; i++) {
+    uint64_t k1 = slots[2 * i];
+    if (k1) {
+      keys_out[m] = k1 - 1;
+      uint64_t c = slots[2 * i + 1];
+      cnt_out[m] = c > 0xFFFFFFFFULL ? 0xFFFFFFFFu : (uint32_t)c;
+      m++;
+    }
+  }
+  return m;
+}
+
 // Bucketed insert (no-weights layout): radix-partition the batch by the
 // probe slot's high bits so each bucket's probes land in one ~1 MB table
 // region that stays cache-resident while the bucket drains.

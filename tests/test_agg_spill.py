@@ -140,3 +140,44 @@ def test_factory_picks_agg_for_u64():
         assert isinstance(sc, SpillCounter)
     finally:
         sc.close()
+
+
+def test_shared_cas_table_exact_multiprocess():
+    """The (measured-negative, opt-in) shared CAS count table: exact
+    counts across concurrent fork workers, pressure prefix honored."""
+    import multiprocessing as mp
+    from kmernator_tpu.io.native import SharedCountTable
+    try:
+        t = SharedCountTable(1 << 18)
+    except RuntimeError:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(6)
+    batches = [rng.integers(0, 60_000, 80_000, dtype=np.uint64)
+               for _ in range(4)]
+    _SHCT_STATE["t"] = t
+    _SHCT_STATE["batches"] = batches
+    ctx = mp.get_context("fork")
+    with ctx.Pool(4) as pool:
+        consumed = pool.map(_shct_worker, range(4))
+    assert consumed == [80_000] * 4
+    ko, co = t.export()
+    want = {}
+    for b in batches:
+        for k_, c_ in zip(*np.unique(b, return_counts=True)):
+            want[int(k_)] = want.get(int(k_), 0) + int(c_)
+    got = dict(zip(ko.tolist(), co.tolist()))
+    assert got == want
+    # pressure: a too-small table consumes only a prefix
+    t2 = SharedCountTable(1 << 14)
+    big = rng.integers(0, 1 << 60, 50_000, dtype=np.uint64)
+    c = t2.insert(big)
+    assert 0 < c < 50_000
+    t.close()
+    t2.close()
+
+
+_SHCT_STATE = {}
+
+
+def _shct_worker(i):
+    return _SHCT_STATE["t"].insert(_SHCT_STATE["batches"][i])
