@@ -287,8 +287,15 @@ def _use_sort1() -> bool:
     cleanup loop runs until no adjacent (hi==hi, lo>lo) inversion remains.
     Expected inversions per batch ~ N^2/2^33 (distinct keys colliding on
     the hi word), so the while_loop typically runs 1-2 sweeps.
-    Default OFF until measured on-chip (vs_baseline work is
-    measurement-driven; see README perf notes)."""
+    MEASURED NEGATIVE on v5e (2026-08-19, fori_loop single-dispatch
+    harness): 349 vs 361 Mk/s at B=468 and 385 vs 398 Mk/s at B=16384 —
+    XLA fuses multi-word keys into one comparator, so halving the key
+    width saves nothing, and the cleanup while_loop adds a sequential
+    tail.  A bucketed [G, N/G] row-sort (partition by key high bits,
+    sort the minor axis; G=8/16/32) measured 63-72 Mk/s at the same
+    shapes: the pad-scatter needed to square up ragged buckets costs
+    more than the whole default sort.  Both kept as env-gated
+    experiments; the 2-key lax.sort stands (see README perf notes)."""
     import os
     return os.environ.get("KMTPU_SORT1", "0") in ("1", "on", "true")
 
