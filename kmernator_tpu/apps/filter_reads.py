@@ -229,6 +229,11 @@ def window_count_lookup_mesh(rs: ReadSet, k: int, min_depth: int,
         n_good = int(exact_good.sum())
     if capacity <= 0:
         capacity = max(int(np.ceil(n_good / D * 1.25)), 4096)
+    if batch_reads <= 0:
+        from kmernator_tpu.parallel.device_spectrum import auto_mesh_batch
+        batch_reads = auto_mesh_batch(L, k)
+        Log.verbose(1, "mesh batch auto-selected: %d reads (L=%d)"
+                    % (batch_reads, L))
     # keep batch shapes constant so every batch reuses one compiled program;
     # every process must issue the same number of collective calls, so the
     # trip count is the max over processes (short ranks feed empty batches)
@@ -697,6 +702,14 @@ def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
         need = max(rs.max_length(), k)
         if need > L:
             L = -(-need // 32) * 32  # bucketed pad length: few recompiles
+        if batch_reads <= 0:
+            # auto: pow2-aligned batch on directly-attached TPU (the sort
+            # pads its row axis to a power of two; alignment measured
+            # 1.6x), the large default behind the dev relay / on CPU
+            from kmernator_tpu.parallel.device_spectrum import auto_mesh_batch
+            batch_reads = auto_mesh_batch(L, k)
+            Log.verbose(1, "mesh batch auto-selected: %d reads (L=%d)"
+                        % (batch_reads, L))
         codes, good2d, lengths, weights2d, r, g = _chunk_padded(
             rs, k, L, min_quality, output_base, min_kmer_quality,
             subtract_keys, track_w)
@@ -1178,7 +1191,7 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
 
 def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                   capacity: int, mesh_devices: int = 0,
-                  mesh_batch: int = 2048) -> int:
+                  mesh_batch: int = 0) -> int:
     """Memory-bounded FilterReads: two passes over the input in bounded
     chunks.  Pass 1 counts with one of two engines:
       - host (default): observations spill into hash-partitioned disk
@@ -1345,7 +1358,7 @@ def run(argv: List[str]) -> int:
         i = argv.index("--mesh")
         mesh_devices = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    mesh_batch = 2048
+    mesh_batch = 0  # 0 = auto (pow2-aligned on attached TPU, 2048 otherwise)
     if "--mesh-batch" in argv:
         i = argv.index("--mesh-batch")
         mesh_batch = int(argv[i + 1])

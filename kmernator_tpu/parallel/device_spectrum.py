@@ -73,6 +73,29 @@ def pow2_aligned_batch(L: int, k: int, target_reads: int) -> int:
     return max(m // nw, 1)
 
 
+def auto_mesh_batch(L: int, k: int, default: int = 2048) -> int:
+    """Device-batch selection for the streaming/mesh pipelines.
+
+    Directly-attached TPU: the count sort dominates and pads its row axis
+    to a power of two, so a pow2-aligned batch wins (measured 483 -> 782
+    Mk/s at the bench shape).  Behind the axon dev relay (detected via the
+    PJRT platform_version string) or on CPU, per-dispatch RTT dominates
+    instead, so the large default stands.  KMTPU_MESH_BATCH overrides."""
+    import os
+    env = os.environ.get("KMTPU_MESH_BATCH", "")
+    if env:
+        return int(env)
+    if jax.default_backend() not in ("tpu", "axon"):
+        return default
+    try:
+        pv = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        pv = ""
+    if "axon" in pv.lower():
+        return default
+    return pow2_aligned_batch(L, k, default)
+
+
 def pack_readset(rs, L: int, min_quality: int, output_base: int):
     """ReadSet -> (codes [B, L] uint8, logp [B, L] f32, lengths [B] i32).
 

@@ -131,3 +131,37 @@ def test_pow2_aligned_batch():
     assert b == 468 and b * 70 <= (1 << 15) and 2 * b * 70 > (1 << 15)
     # degenerate: single-window reads, tiny target
     assert pow2_aligned_batch(31, 31, 1) == 1
+
+
+def test_auto_mesh_batch_selection(monkeypatch):
+    """auto_mesh_batch picks the pow2-aligned batch on directly-attached
+    TPU, the large default behind the axon relay or on CPU, and the env
+    override everywhere (VERDICT r3 #7)."""
+    import kmernator_tpu.parallel.device_spectrum as ds
+
+    class FakeClient:
+        def __init__(self, pv):
+            self.platform_version = pv
+
+    class FakeDev:
+        def __init__(self, pv):
+            self.client = FakeClient(pv)
+
+    def fake(backend, pv):
+        monkeypatch.setattr(ds.jax, "default_backend", lambda: backend)
+        monkeypatch.setattr(ds.jax, "devices", lambda: [FakeDev(pv)])
+
+    monkeypatch.delenv("KMTPU_MESH_BATCH", raising=False)
+    # CPU backend: the large default regardless of version string
+    fake("cpu", "")
+    assert ds.auto_mesh_batch(100, 31) == 2048
+    # TPU behind the axon relay: RTT dominates, keep the default
+    fake("tpu", "axon 0.1.0; SerializedExecutable v9")
+    assert ds.auto_mesh_batch(100, 31) == 2048
+    # directly-attached TPU: pow2-aligned (L=100, k=31, target 2048 -> 1872)
+    fake("tpu", "TFRT TPU v5 lite")
+    want = ds.pow2_aligned_batch(100, 31, 2048)
+    assert ds.auto_mesh_batch(100, 31) == want == 1872
+    # env override wins everywhere
+    monkeypatch.setenv("KMTPU_MESH_BATCH", "123")
+    assert ds.auto_mesh_batch(100, 31) == 123
