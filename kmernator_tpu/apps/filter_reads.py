@@ -758,10 +758,20 @@ def _par_scan_path(ci: int):
 def _par_load_chunk(args, replay: bool):
     """Shared chunk setup for both passes: parse + artifact filter (scan
     saved on pass 1, replayed on pass 2).  Returns (rs, outcome|None)."""
-    from kmernator_tpu.io.chunked import read_chunk
-    ci, fi, path, s, e = args
+    from kmernator_tpu.io.chunked import read_chunk, read_chunk_paired
     c = _PAR
-    rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
+    if c.get("paired_paths"):
+        ci, s1, e1, s2, e2 = args
+        p1, p2 = c["paired_paths"]
+        rs = read_chunk_paired(p1, p2, (s1, e1, s2, e2), c["base"],
+                               c["comment_stored"])
+    else:
+        ci, fi, path, s, e = args
+        rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
+    # pairs identify BEFORE the filter (ref: FilterReads.cpp:103 then
+    # :114): remnant reads the filter appends never join rs.pairs, so the
+    # pair-driven picks skip them (they feed the spectrum only)
+    rs.identify_pairs()
     o = None
     if c["filt"] is not None:
         sp = _par_scan_path(ci)
@@ -891,7 +901,6 @@ def _par_pass2(args):
     t0 = _t.perf_counter()
     rs, o = _par_load_chunk(args, replay=True)
     t1 = _t.perf_counter()
-    rs.identify_pairs()
     t2 = _t.perf_counter()
     if c["k"] > 0:
         counts, w_off = window_count_lookup(rs, c["spectrum"], c["k"])
@@ -972,14 +981,16 @@ def _spectrum_outputs_and_purge(spectrum, sopts, fopts):
 
 def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                             scan_dir, chunk_bytes: int, capacity: int,
-                            threads: int) -> int:
+                            threads: int, paired: bool = False) -> int:
     """Two-pass streaming FilterReads over a fork worker pool: pass 1
     spill-counts chunks concurrently (per-chunk spill files share range
     splitters, so parts still concatenate globally sorted), pass 2 scores
     chunks concurrently and the parent appends outputs in chunk order.
-    Byte-identical to the sequential engine at any thread count."""
+    Byte-identical to the sequential engine at any thread count.
+    `paired` = two-file mate mode: chunk units are aligned range pairs
+    (both files advance in record lockstep, so mates share a chunk)."""
     import multiprocessing as mp
-    from kmernator_tpu.io.chunked import chunk_ranges
+    from kmernator_tpu.io.chunked import chunk_ranges, paired_chunk_ranges
     from kmernator_tpu.io.reads import parse_fastq_bytes, open_maybe_gzip
     from kmernator_tpu.io.stream import estimate_raw_kmers
     from kmernator_tpu.parallel.spill import (SpillCounter, auto_parts,
@@ -995,7 +1006,11 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     total_bytes = sum(os.path.getsize(p) for p in opts.input_file)
     chunk_bytes = max(min(chunk_bytes, total_bytes // (4 * threads) + 1),
                       min(chunk_bytes, 4 << 20))
-    ranges = chunk_ranges(opts.input_file, chunk_bytes)
+    if paired:
+        ranges = paired_chunk_ranges(opts.input_file[0], opts.input_file[1],
+                                     chunk_bytes)
+    else:
+        ranges = chunk_ranges(opts.input_file, chunk_bytes)
     work = [(ci,) + r for ci, r in enumerate(ranges)]
     if not work:
         return 0
@@ -1007,7 +1022,10 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
     # shifts per-part memory, never correctness), and the full chunk 0 is
     # processed again by the pool — so keep this serial head small
     from kmernator_tpu.io.reads import find_next_record
-    fi0, path0, s0, e0 = ranges[0]
+    if paired:
+        fi0, path0, s0, e0 = 0, opts.input_file[0], ranges[0][0], ranges[0][1]
+    else:
+        fi0, path0, s0, e0 = ranges[0]
     data = open_maybe_gzip(path0, use_mmap=not path0.endswith(".gz"))
     e_s = e0
     if e0 - s0 > (5 << 20):
@@ -1028,7 +1046,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         scan_dir=scan_dir, k=k, min_quality=opts.min_quality_score,
         output_base=opts.fastq_output_base_quality,
         min_kq=sopts.min_kmer_quality, opts=opts, kopts=kopts, sopts=sopts,
-        ropts=ropts, aopts=aopts, subtract_keys=None, spectrum=None)
+        ropts=ropts, aopts=aopts, subtract_keys=None, spectrum=None,
+        paired_paths=tuple(opts.input_file[:2]) if paired else None)
 
     ctx = mp.get_context("fork")
     spectrum = None
@@ -1208,7 +1227,9 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
 
     Unsupported here (use the in-memory path): normalization
     (--max-kmer-output-depth), dedup, save/load-kmer-mmap."""
-    from kmernator_tpu.io.chunked import stream_readsets
+    from kmernator_tpu.io.chunked import (paired_files_aligned,
+                                          stream_paired_readsets,
+                                          stream_readsets)
     from kmernator_tpu.io.stream import estimate_raw_kmers
     from kmernator_tpu.utils.memory import tune_malloc_for_streaming
 
@@ -1219,6 +1240,23 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
         Log.error("--streaming does not support max-kmer-output-depth "
                   "normalization (global state); use the in-memory path")
         return 1
+    # paired two-file mode: both mate files advance in record lockstep so
+    # mates share a chunk (ref: the byPair resync of
+    # src/ReadFileReader.h:657-740 applied to split pair files)
+    paired_stream = (len(opts.input_file) == 2
+                     and not any(p.endswith(".gz") for p in opts.input_file)
+                     and paired_files_aligned(*opts.input_file))
+    if paired_stream and not ropts.separate_outputs:
+        Log.error("--streaming paired two-file mode requires "
+                  "--separate-outputs 1 (the merged output is "
+                  "file-sequential in the in-memory path); use the "
+                  "in-memory path for merged output")
+        return 1
+    if len(opts.input_file) == 2 and not paired_stream:
+        Log.warn("two input files do not pair positionally; streaming "
+                 "treats them as independent single-end inputs (mates "
+                 "split across files will not pair — use the in-memory "
+                 "path for name-matched pairing)")
     chunk_bytes = max(int(chunk_mb * (1 << 20)), 1 << 12)
     filt = None
     if not aopts.skip_artifact_filter:
@@ -1253,15 +1291,28 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
             and not any(p.endswith(".gz") for p in opts.input_file)):
         return _run_streaming_parallel(opts, kopts, sopts, ropts, aopts,
                                        fopts, filt, scan_dir, chunk_bytes,
-                                       capacity, threads)
+                                       capacity, threads,
+                                       paired=paired_stream)
 
     last_outcome: Dict[str, object] = {}
 
-    def chunks(replay: bool = False):
-        for ci, rs in enumerate(stream_readsets(
+    def _chunk_source():
+        if paired_stream:
+            return stream_paired_readsets(
                 opts.input_file, chunk_bytes,
-                opts.fastq_output_base_quality, opts.keep_read_comment)):
+                opts.fastq_output_base_quality, opts.keep_read_comment)
+        return stream_readsets(opts.input_file, chunk_bytes,
+                               opts.fastq_output_base_quality,
+                               opts.keep_read_comment)
+
+    def chunks(replay: bool = False):
+        for ci, rs in enumerate(_chunk_source()):
             last_outcome.pop("o", None)
+            # pairs identify BEFORE the filter (the reference's order,
+            # FilterReads.cpp:103 then :114): remnant reads the filter
+            # appends never join rs.pairs, so the pair-driven picks skip
+            # them (they feed the spectrum only)
+            rs.identify_pairs()
             if filt is not None:
                 pre = None
                 path = (os.path.join(scan_dir, "%06d.npz" % ci)
@@ -1319,7 +1370,6 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
         return 0
     written = set()
     for rs in chunks(replay=True):
-        rs.identify_pairs()
         if k > 0:
             counts, w_off = window_count_lookup(rs, spectrum, k)
             trims = score_and_trim(rs, counts, w_off, k,
@@ -1340,6 +1390,302 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                 f.write(data)
     for path in written:
         Log.verbose(1, "wrote %s (%d bytes)" % (path, os.path.getsize(path)))
+    return 0
+
+
+def _slice_pad_batch(cur, off: int, n: int, L: int, k: int, track_w: bool):
+    """Row-slice [off, off+n) of a chunk's padded arrays, re-padded to the
+    globally-agreed (n rows, L columns) batch shape.  cur=None yields the
+    all-empty batch a drained rank feeds to keep collectives in lockstep."""
+    NW = L - k + 1
+    out_c = np.zeros((n, L), np.uint8)
+    out_g = np.zeros((n, NW), bool)
+    out_l = np.zeros(n, np.int32)
+    out_w = np.zeros((n, NW), np.float32) if track_w else None
+    if cur is None:
+        return out_c, out_g, out_l, out_w, 0
+    codes, good2d, lengths, weights2d = cur
+    e = min(off + n, codes.shape[0])
+    m = e - off
+    out_c[:m, :codes.shape[1]] = codes[off:e]
+    out_g[:m, :good2d.shape[1]] = good2d[off:e]
+    out_l[:m] = lengths[off:e]
+    if track_w and weights2d is not None:
+        out_w[:m, :weights2d.shape[1]] = weights2d[off:e]
+    return out_c, out_g, out_l, out_w, m
+
+
+def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
+                              chunk_mb: float, capacity: int,
+                              mesh_batch: int) -> int:
+    """--streaming x --distributed: the reference's flagship composition —
+    rank-partitioned STREAMING input feeding the DISTRIBUTED table
+    (ref: _buildKmerSpectrumMPI, src/DistributedFunctions.h:333-458, fed
+    by the rank-partitioned ReadSetStream, src/ReadSet.h:656-748).
+
+    Every process streams only its byte-range partition of the inputs
+    (pair-preserving resync; the union over ranks is exactly the input).
+    Pass 1 feeds chunks through a MeshStreamingSpectrum over the GLOBAL
+    mesh in lockstep rounds: each round every process allgathers
+    (has-data, padded-L) flags, agrees on the batch shape, and issues one
+    add_batch — drained ranks feed empty batches so collectives stay in
+    lockstep (the empty-cycle consensus of MPIBuffer::finalize,
+    src/MPIBuffer.h:922).  Pass 2 re-streams each rank's partition and
+    scores it with lockstep mesh lookups against the STILL-SHARDED table
+    (the ReqResp RPC of src/DistributedFunctions.h:749-1062), so the full
+    table never materializes on any host unless histograms ask for it.
+    Outputs land as rank-ordered gathered files (rank 0 first —
+    apps/FilterReads-P.cpp:190-197).  Peak per-process RSS is
+    O(chunk + table/P)."""
+    import jax
+    from kmernator_tpu.utils.jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
+    from kmernator_tpu.io.chunked import stream_partition_readsets
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    from kmernator_tpu.parallel import multihost as mh
+    from kmernator_tpu.parallel.device_spectrum import (auto_mesh_batch,
+                                                        padded_to_ragged)
+    from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+    from kmernator_tpu.utils.memory import (get_memory_usage,
+                                            tune_malloc_for_streaming)
+
+    tune_malloc_for_streaming()
+    k = kopts.kmer_size
+    rank, nprocs = jax.process_index(), jax.process_count()
+    if any(p.endswith(".gz") for p in opts.input_file):
+        Log.error("--streaming --distributed needs random-access input; "
+                  "decompress gz files first")
+        return 1
+    chunk_bytes = max(int(chunk_mb * (1 << 20)), 1 << 12)
+    filt = None
+    if not aopts.skip_artifact_filter:
+        filt = ArtifactFilter(
+            match_length=aopts.artifact_match_length,
+            edit_distance=aopts.artifact_edit_distance,
+            build_edits_in_filter=aopts.build_artifact_edits_in_filter,
+            mask_simple_repeats=aopts.mask_simple_repeats,
+            phix=aopts.phix_output,
+            extra_reference_files=aopts.artifact_reference_file,
+            min_quality=opts.min_quality_score,
+            min_read_length=ropts.min_read_length)
+    scan_dir = None
+    if filt is not None and opts.output_file:
+        from kmernator_tpu.utils.cleanup import register_path
+        from kmernator_tpu.utils.memory import fast_temp_dir
+        scan_dir = fast_temp_dir(
+            sum(os.path.getsize(p) for p in opts.input_file)
+            // (4 * nprocs), "kmtpu-afscan-r%d-" % rank)
+        register_path(scan_dir)
+
+    last_outcome: Dict[str, object] = {}
+
+    def chunks(replay: bool = False):
+        for ci, rs in enumerate(stream_partition_readsets(
+                opts.input_file, rank, nprocs, chunk_bytes,
+                opts.fastq_output_base_quality, opts.keep_read_comment)):
+            last_outcome.pop("o", None)
+            # pairs before the filter: see run_streaming.chunks()
+            rs.identify_pairs()
+            if filt is not None:
+                pre = None
+                path = (os.path.join(scan_dir, "%06d.npz" % ci)
+                        if scan_dir else None)
+                if replay and path and os.path.exists(path):
+                    with np.load(path) as z:
+                        pre = tuple(z[f] for f in
+                                    ("sv", "smn", "smx", "sso", "ssl", "sph"))
+                o = apply_artifact_filter(rs, filt, precomputed=pre)
+                if not replay and path:
+                    sv, smn, smx, sso, ssl, sph = o.scan
+                    np.savez(path, sv=sv, smn=smn, smx=smx, sso=sso,
+                             ssl=ssl, sph=sph)
+                last_outcome["o"] = o
+            yield rs
+
+    track_w = bool(fopts.histogram_file) or sopts.variant_sigmas > 0.0
+    subtract_keys = None
+    sp = None
+    stats = {"raw": 0, "good": 0, "reads": 0}
+
+    def chunk_arrays(replay: bool):
+        for rs in chunks(replay):
+            if k <= 0:
+                # no spectrum: only the row count matters downstream
+                yield rs, (np.zeros((rs.n, 1), np.uint8), None, None, None)
+                continue
+            need = max(rs.max_length(), k)
+            Lc = -(-need // 32) * 32
+            codes, good2d, lengths, weights2d, r, g = _chunk_padded(
+                rs, k, Lc, opts.min_quality_score,
+                opts.fastq_output_base_quality, sopts.min_kmer_quality,
+                subtract_keys, track_w)
+            if not replay:
+                stats["raw"] += r
+                stats["good"] += g
+                stats["reads"] += rs.n
+            yield rs, (codes, good2d, lengths, weights2d)
+
+    mesh = mh.global_mesh()
+    D = mesh.devices.size
+    L_glob = -(-k // 32) * 32
+    batch_reads = mesh_batch
+
+    if k > 0:
+        subtract_keys = build_subtract_keys(
+            fopts.reference_file, fopts.subtract_file, k,
+            opts.min_quality_score, opts.fastq_output_base_quality,
+            sopts.min_kmer_quality, sopts.min_depth)
+        est = estimate_raw_kmers(opts.input_file, k)
+        cap = capacity if capacity > 0 else min(
+            max(int(np.ceil(est / D)), 4096), 64 << 20)
+        sp = MeshStreamingSpectrum(mesh, k, capacity=cap)
+
+        # ---- pass 1: lockstep streaming build over the global mesh ----
+        it = iter(chunk_arrays(False))
+        cur, off = None, 0
+        cur_item = next(it, None)
+        if cur_item is not None:
+            cur = cur_item[1]
+        while True:
+            if cur is not None and off >= cur[0].shape[0]:
+                nxt = next(it, None)
+                cur = nxt[1] if nxt is not None else None
+                off = 0
+            has = 0 if cur is None else 1
+            need_l = cur[0].shape[1] if cur is not None else 0
+            f = mh.allgather_ints([has, need_l])
+            if int(f[:, 0].max()) == 0:
+                break
+            L_glob = max(L_glob, int(f[:, 1].max()))
+            if batch_reads <= 0:
+                batch_reads = auto_mesh_batch(L_glob, k)
+                Log.verbose(1, "mesh batch auto-selected: %d reads (L=%d)"
+                            % (batch_reads, L_glob))
+            bc, bg, bl, bw, m = _slice_pad_batch(cur, off, batch_reads,
+                                                 L_glob, k, track_w)
+            sp.add_batch(bc, bg, bl, weights2d=bw)
+            if cur is not None:
+                off += batch_reads
+        if sp.purged_singletons:
+            Log.warn("mesh streaming purged %d singletons under capacity "
+                     "pressure (counts may undercount by 1); raise "
+                     "--streaming-parts capacity" % sp.purged_singletons)
+        tot = mh.allgather_ints(
+            [stats["raw"], stats["good"], stats["reads"]]).sum(axis=0)
+        Log.verbose(1, "rank %d streamed %d reads (global %d) over %d "
+                    "devices; %s" % (rank, stats["reads"], int(tot[2]), D,
+                                     get_memory_usage()))
+        # histogram / size-history want the pre-purge global table
+        if fopts.histogram_file or fopts.size_history_file:
+            spectrum_h = sp.to_host_spectrum(min_depth=1)
+            spectrum_h.raw_kmers = int(tot[0])
+            spectrum_h.raw_good_kmers = int(tot[1])
+            if rank == 0:
+                if fopts.histogram_file:
+                    with open(fopts.histogram_file, "w") as fh:
+                        fh.write(spectrum_h.histogram_table())
+                if fopts.size_history_file:
+                    with open(fopts.size_history_file, "w") as fh:
+                        fh.write("rawKmers\trawGoodKmers\tuniqueKmers\t"
+                                 "singletonKmers\n")
+                        fh.write("%d\t%d\t%d\t%d\n" % (
+                            spectrum_h.raw_kmers, spectrum_h.raw_good_kmers,
+                            spectrum_h.n_unique,
+                            spectrum_h.singleton_count()))
+            del spectrum_h
+        # purge order parity with the host path: singletons leave the
+        # table before the variant purge
+        sp.purge_min_depth(max(sopts.min_depth, 2))
+        if sopts.variant_sigmas > 0.0:
+            purged = sp.purge_variants_mesh(
+                sopts.variant_sigmas, sopts.variant_hamming_distance,
+                sopts.min_variant_kmer_depth,
+                min_depth=max(sopts.min_depth, 2))
+            Log.verbose(1, "Removed %d kmer-variants (mesh, on-device)"
+                        % purged)
+
+    if not opts.output_file:
+        return 0
+
+    # ---- pass 2: lockstep lookups, local scoring, gathered writes ----
+    import tempfile
+    from kmernator_tpu.utils.cleanup import register_path
+    part_dir = tempfile.mkdtemp(prefix="kmtpu-dist-out-r%d-" % rank)
+    register_path(part_dir)
+    local_parts: Dict[str, str] = {}
+
+    def append_local(path: str, data: bytes):
+        lp = local_parts.get(path)
+        if lp is None:
+            lp = os.path.join(part_dir,
+                              "%05d.part" % len(local_parts))
+            local_parts[path] = lp
+        with open(lp, "ab") as fh:
+            fh.write(data)
+
+    def finish_chunk(rs, arrays, rows):
+        codes = arrays[0]
+        B = codes.shape[0]
+        NWc = codes.shape[1] - k + 1
+        if k > 0:
+            nw = np.maximum(rs.lengths() - k + 1, 0)
+            counts2d = np.concatenate(rows)[:B, :NWc] if rows else \
+                np.zeros((B, NWc), np.int32)
+            counts = padded_to_ragged(counts2d, nw).astype(np.int64)
+            w_off = np.concatenate([[0], np.cumsum(nw)])
+            trims = score_and_trim(rs, counts, w_off, k,
+                                   float(sopts.min_depth),
+                                   ropts.kmer_scoring_type,
+                                   first_markup_nor_x(rs),
+                                   ropts.bimodal_sigmas)
+        else:
+            trims = _trim_by_markup(rs)
+        outputs = select_reads(rs, trims, None, opts, kopts, sopts,
+                               ropts, opts.input_file)
+        if "o" in last_outcome:
+            outputs.update(divert_blobs(rs, last_outcome["o"], opts, aopts))
+        for path, data in outputs.items():
+            append_local(path, data)
+
+    it2 = iter(chunk_arrays(True))
+    cur_rs, cur, off, rows = None, None, 0, []
+    nxt = next(it2, None)
+    if nxt is not None:
+        cur_rs, cur = nxt
+    while True:
+        if cur is not None and off >= cur[0].shape[0]:
+            finish_chunk(cur_rs, cur, rows)
+            nxt = next(it2, None)
+            cur_rs, cur = nxt if nxt is not None else (None, None)
+            off, rows = 0, []
+        if k <= 0:
+            # no table: score chunks locally with no collectives
+            if cur is None:
+                break
+            off = cur[0].shape[0]
+            continue
+        has = 0 if cur is None else 1
+        need_l = cur[0].shape[1] if cur is not None else 0
+        f = mh.allgather_ints([has, need_l])
+        if int(f[:, 0].max()) == 0:
+            break
+        L_glob = max(L_glob, int(f[:, 1].max()))
+        bc, _, bl, _, m = _slice_pad_batch(cur, off, batch_reads,
+                                           L_glob, k, False)
+        want = np.ones((batch_reads, L_glob - k + 1), bool)
+        c2d = sp.lookup_batch(bc, want, bl,
+                              min_count=max(sopts.min_depth, 2))
+        if cur is not None:
+            rows.append(np.asarray(c2d)[:m])
+            off += batch_reads
+    # zero-read partition edge: a rank whose partition was empty still
+    # joins the gathered writes below
+    all_paths = mh.allgather_strings(sorted(local_parts.keys()))
+    for path in all_paths:
+        mh.write_gathered_file(path, local_parts.get(path))
+        if rank == 0:
+            Log.verbose(1, "wrote %s (%d bytes)"
+                        % (path, os.path.getsize(path)))
     return 0
 
 
@@ -1417,28 +1763,39 @@ def run(argv: List[str]) -> int:
         Log.error("Please specify at least one input file")
         return 1
 
-    if (not streaming and dist_nprocs == 1 and len(opts.input_file) == 1
-            and ropts.max_kmer_output_depth <= 0 and dopts.dedup_mode <= 0
-            and not sopts.save_kmer_mmap and not sopts.load_kmer_mmap
-            and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
-            and sopts.build_partitions <= 0
-            and os.path.exists(opts.input_file[0])
+    auto_streamable = (
+        not streaming and dist_nprocs == 1
+        and ropts.max_kmer_output_depth <= 0 and dopts.dedup_mode <= 0
+        and not sopts.save_kmer_mmap and not sopts.load_kmer_mmap
+        and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
+        and sopts.build_partitions <= 0
+        and all(os.path.exists(p) for p in opts.input_file))
+    if (auto_streamable and len(opts.input_file) == 1
             and os.path.getsize(opts.input_file[0]) > (256 << 20)):
         # the streaming engine is byte-compatible feature-for-feature and
         # both faster (worker pool + native kernels) and bounded-memory;
         # auto-enable it for large SINGLE-file inputs unless an
         # in-memory-only feature (normalization, dedup, mmap save/load,
-        # partition-by-depth) is on.  Multi-file inputs stay in-memory:
-        # mates split across files pair by name matching there, while
-        # streaming chunks never see both files at once.
+        # partition-by-depth) is on.
         Log.verbose(1, "input > 256 MB: using the streaming engine "
                     "(pass --streaming-chunk-mb to tune)")
         streaming = True
+    elif (auto_streamable and len(opts.input_file) == 2
+          and ropts.separate_outputs
+          and not any(p.endswith(".gz") for p in opts.input_file)
+          and sum(os.path.getsize(p) for p in opts.input_file)
+          > (256 << 20)):
+        # large paired two-file inputs keep the bounded-memory engine too,
+        # via record-lockstep chunking of the file PAIR — but only when
+        # the heads actually pair positionally (the standard R1/R2
+        # layout); name-scrambled pairs stay in-memory where global name
+        # matching pairs them
+        from kmernator_tpu.io.chunked import paired_files_aligned
+        if paired_files_aligned(*opts.input_file):
+            Log.verbose(1, "paired input > 256 MB: using the streaming "
+                        "engine in two-file lockstep mode")
+            streaming = True
     if streaming:
-        if dist_nprocs > 1:
-            Log.error("--streaming does not compose with --distributed yet;"
-                      " use --mesh N for sharded streaming in one process")
-            return 1
         # in-memory-only features must fail loudly, not silently no-op
         # (the auto-streaming gate above already excludes them)
         if sopts.save_kmer_mmap or sopts.load_kmer_mmap:
@@ -1450,6 +1807,21 @@ def run(argv: List[str]) -> int:
             Log.error("--streaming does not support duplicate-fragment "
                       "dedup (global pairing state); use the in-memory path")
             return 1
+        if dist_nprocs > 1:
+            # the flagship composition: rank-partitioned streaming input
+            # feeding the global-mesh distributed table
+            if ropts.max_kmer_output_depth > 0:
+                Log.error("--streaming does not support "
+                          "max-kmer-output-depth normalization (global "
+                          "state); use the in-memory path")
+                return 1
+            from kmernator_tpu.parallel import multihost
+            multihost.initialize(dist_coord, dist_nprocs, dist_procid)
+            rc = run_streaming_distributed(opts, kopts, sopts, ropts, aopts,
+                                           fopts, streaming_chunk_mb,
+                                           streaming_capacity, mesh_batch)
+            Log.flush_gathered()
+            return rc
         rc = run_streaming(opts, kopts, sopts, ropts, aopts, fopts,
                            streaming_chunk_mb, streaming_capacity,
                            mesh_devices=mesh_devices, mesh_batch=mesh_batch)

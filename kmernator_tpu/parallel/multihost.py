@@ -105,6 +105,19 @@ def allreduce_max_int(v: int) -> int:
     return int(np.max(vals))
 
 
+def allgather_ints(vals) -> np.ndarray:
+    """[P, len(vals)] int64 matrix of every process's small int vector —
+    the per-round handshake of the lockstep streaming build (has-data
+    flags, padded lengths; ref: the empty-cycle consensus of
+    MPIAllToAllMessageBuffer::finalize, src/MPIBuffer.h:922)."""
+    import jax
+    a = np.asarray(vals, np.int64)
+    if jax.process_count() == 1:
+        return a[None]
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(a))
+
+
 def allgather_strings(items: List[str], max_bytes: int = 1 << 16) -> List[str]:
     """Sorted union of string lists across processes (the reference's
     getGlobalKeySet, ref: src/DistributedOfstreamMap.h:149-168) — so every
@@ -145,6 +158,43 @@ def allgather_blobs(local: bytes, max_bytes: int = 1 << 20) -> List[bytes]:
         n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
         out.append(row[8:8 + n].tobytes())
     return out
+
+
+def write_gathered_file(path: str, local_part: Optional[str]):
+    """File-backed write_gathered: rank-ordered concatenation of per-rank
+    part FILES, bounded memory for outputs too large to hold as bytes
+    (the streaming x distributed output path; ref: DistributedOfstreamMap
+    ::concatenateMPI, src/DistributedOfstreamMap.h:118).  Every process
+    must call this for the same `path`; `local_part` may be None for a
+    rank with no data (an empty part)."""
+    import jax
+    rank, size = jax.process_index(), jax.process_count()
+    if size == 1:
+        if local_part is None:
+            open(path, "wb").close()
+        else:
+            os.replace(local_part, path)
+        return
+    part = "%s--part-%05d" % (path, rank)
+    if local_part is None:
+        open(part, "wb").close()
+    else:
+        os.replace(local_part, part)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("kmtpu_write_gathered_file:" + path)
+    if rank == 0:
+        with open(path, "wb") as out:
+            for r in range(size):
+                p = "%s--part-%05d" % (path, r)
+                with open(p, "rb") as f:
+                    while True:
+                        buf = f.read(8 << 20)
+                        if not buf:
+                            break
+                        out.write(buf)
+                os.unlink(p)
+    multihost_utils.sync_global_devices("kmtpu_write_gathered_file_done:"
+                                        + path)
 
 
 def write_gathered(path: str, local_data: bytes):

@@ -220,3 +220,116 @@ def test_gathered_logs_two_process(tmp_path):
     assert err0.count("loaded") == 2
     assert err0.index("[0]") < err0.index("[1]")
     assert "VERBOSE" not in err1
+
+
+def test_two_process_streaming_distributed_golden(tmp_path):
+    """--streaming --distributed at 2 processes (the reference's flagship
+    composition: rank-partitioned streaming input feeding the distributed
+    table, ref: src/DistributedFunctions.h:333-458): gathered output must
+    be byte-identical to BOTH the single-process streaming run and the
+    reference golden.  Tiny chunks force multiple chunks per rank; a
+    small mesh batch forces multiple lockstep rounds per chunk."""
+    ref_in = os.path.join(REF, "1000.fastq")
+    flags = ["--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+             "--artifact-edit-distance", "1",
+             "--fastq-output-base-quality", "64",
+             "--min-read-length", "25"]
+    single = str(tmp_path / "single")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    subprocess.run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                    "--jax-platform", "cpu", "--streaming",
+                    "--streaming-chunk-mb", "0.05", "--threads", "1"]
+                   + flags + ["--out", single, "31", ref_in],
+                   check=True, env=env, capture_output=True)
+
+    out = str(tmp_path / "dist")
+
+    def argv(pid, port):
+        return [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                "--jax-platform", "cpu", "--streaming",
+                "--streaming-chunk-mb", "0.05",
+                "--distributed", "127.0.0.1:%d" % port,
+                "--nprocs", "2", "--procid", str(pid),
+                "--mesh-batch", "64"] + flags + ["--out", out, "31", ref_in]
+
+    _spawn(2, argv)
+    mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
+    sgl = open(single + "-MinDepth2-1000.fastq", "rb").read()
+    want = open(os.path.join(REF, "1000-Filtered.fastq"), "rb").read()
+    assert mine == sgl
+    assert mine == want
+
+
+@pytest.mark.skipif(not os.environ.get("KMTPU_BIG_TESTS"),
+                    reason="~10 CPU-min: set KMTPU_BIG_TESTS=1 to run")
+def test_streaming_distributed_bounded_rss_512mb(tmp_path):
+    """>=512 MB synthetic input through --streaming --distributed at 2
+    processes: byte-identical to the single-process streaming engine, and
+    per-process peak RSS stays O(chunk + table/P) — far below the 3x-input
+    rule the in-memory reference design needs (ref: README.md:112-113).
+    Measured on this host (2026-08-19): 2.2 GB/process for a 508 MB input
+    (254 MB partition each), flat in input size; the CPU backend charges
+    the virtual devices' 'HBM' (shard tables + sort workspace) to host
+    RSS, which a real TPU would not."""
+    path = str(tmp_path / "big.fastq")
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, 5_000_000, dtype=np.uint8)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    L, n_reads = 100, int(512e6 / 215)
+    with open(path, "wb") as f:
+        done = 0
+        while done < n_reads:
+            b = min(200000, n_reads - done)
+            starts = rng.integers(0, len(genome) - L, b)
+            codes = genome[starts[:, None] + np.arange(L)[None, :]]
+            q = np.clip(rng.normal(37, 3, (b, L)), 10, 40).astype(np.uint8) + 33
+            f.write(b"".join(
+                b"@r%d\n%s\n+\n%s\n" % (done + i, s, qq)
+                for i, (s, qq) in enumerate(zip(acgt[codes], q))))
+            done += b
+    assert os.path.getsize(path) >= 500 << 20
+
+    runner = tmp_path / "runner.py"
+    runner.write_text(
+        "import resource, sys\n"
+        "from kmernator_tpu.apps import filter_reads\n"
+        "rc = filter_reads.run(sys.argv[1:])\n"
+        "print('MAXRSS_MB=%d'\n"
+        "      % (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
+        " // 1024))\n"
+        "sys.exit(rc)\n")
+    flags = ["--skip-artifact-filter", "1", "--kmer-scoring-type", "MEDIAN",
+             "--min-read-length", "25", "--streaming",
+             "--streaming-chunk-mb", "16", "--streaming-parts", "1500000"]
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    single = str(tmp_path / "single")
+    subprocess.run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                    "--jax-platform", "cpu"] + flags +
+                   ["--out", single, "31", path],
+                   check=True, env=env, capture_output=True)
+
+    out = str(tmp_path / "dist")
+
+    def argv(pid, port):
+        return [sys.executable, str(runner), "--jax-platform", "cpu",
+                "--distributed", "127.0.0.1:%d" % port,
+                "--nprocs", "2", "--procid", str(pid),
+                "--mesh-batch", "8192"] + flags + ["--out", out, "31", path]
+
+    outs = _spawn(2, argv, timeout=1800)
+    for rc, o, err in outs:
+        m = [ln for ln in o.decode().splitlines()
+             if ln.startswith("MAXRSS_MB=")]
+        assert m, o.decode()[-500:]
+        rss = int(m[0].split("=")[1])
+        # bounded: table shards + chunk + jax runtime, NOT the partition's
+        # 3x-parse footprint (the in-memory rule of README.md:112-113
+        # would need ~1.5 GB of parse arrays alone on top)
+        assert rss < 2800, "per-process RSS %d MB not bounded" % rss
+    base = os.path.basename(path)
+    mine = open(out + "-MinDepth2-" + base, "rb").read()
+    sgl = open(single + "-MinDepth2-" + base, "rb").read()
+    assert mine == sgl
