@@ -1807,9 +1807,10 @@ def run(argv: List[str]) -> int:
             Log.error("--streaming does not support duplicate-fragment "
                       "dedup (global pairing state); use the in-memory path")
             return 1
-        if dist_nprocs > 1:
+        if dist_nprocs > 1 or dist_coord is not None:
             # the flagship composition: rank-partitioned streaming input
-            # feeding the global-mesh distributed table
+            # feeding the global-mesh distributed table (nprocs == 1 runs
+            # the same lockstep code degenerately — the dryrun path)
             if ropts.max_kmer_output_depth > 0:
                 Log.error("--streaming does not support "
                           "max-kmer-output-depth normalization (global "
