@@ -877,21 +877,29 @@ def _par_pass1(args):
             sc.key_dtype, sc.splitters)
 
 
-def _iter_pool(it, n_tasks: int, what: str, timeout_s: float = 900.0):
+def _iter_pool(it, n_tasks: int, what: str, timeout_s: float = 0.0):
     """Consume a Pool imap/imap_unordered iterator with a per-item
     timeout.  multiprocessing.Pool hangs FOREVER when a worker dies
     (SIGKILL/OOM/native crash) mid-task; this converts that silent hang
     into a hard error naming the phase — the streaming engine's failure
     detector (ref: the reference aborts the MPI world on worker death,
-    src/MPIUtils.h)."""
+    src/MPIUtils.h).  The per-item timeout defaults to 900 s, tunable via
+    KMTPU_POOL_TIMEOUT_S: the same host has measured >10x bimodal wall
+    time under neighbor load (13 s vs 150 s for an identical 1 GiB run),
+    so a loaded VM with large chunks can legitimately exceed a fixed
+    cap while every worker is alive."""
     import multiprocessing as mp
+    if timeout_s <= 0:
+        timeout_s = float(os.environ.get("KMTPU_POOL_TIMEOUT_S", "900"))
     for _ in range(n_tasks):
         try:
             yield it.next(timeout=timeout_s)
         except mp.TimeoutError:
             raise RuntimeError(
                 "%s: no chunk completed in %.0f s — a pool worker "
-                "likely died (OOM or native crash)" % (what, timeout_s))
+                "likely died (OOM or native crash); raise "
+                "KMTPU_POOL_TIMEOUT_S if the host is merely overloaded"
+                % (what, timeout_s))
 
 
 def _par_pass2(args):
@@ -1098,14 +1106,21 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         # 256 MB private tables.  Exact (unit-tested) but slower; the
         # private grow-under-pressure tables stand.
         shct = None
-        if splitters is not None and not track_w and k <= 32 \
+        # k <= 31 keeps keys < 2^62, so the native table's key+1 sentinel
+        # can never wrap (k=32 would rely on the canonical-key invariant
+        # that ~0ULL never occurs — not worth trusting across callers)
+        if splitters is not None and not track_w and k <= 31 \
                 and os.environ.get("KMTPU_SHCT"):
             from kmernator_tpu.utils.memory import available_mb
             try:
                 from kmernator_tpu.io.native import SharedCountTable
                 budget = int(available_mb() * (1 << 20) / 8 / 16)
                 want = max(est // 3, 1 << 22)
-                if want <= budget:
+                # the table rounds capacity up to the next power of two;
+                # budget-check the ROUNDED size or the resident bound can
+                # land ~2x over the 1/8-of-MemAvailable slot budget
+                want_pow2 = 1 << (want - 1).bit_length()
+                if want_pow2 <= budget:
                     shct = SharedCountTable(want)
             except RuntimeError:
                 shct = None

@@ -673,12 +673,18 @@ class ObservationAggregator:
                        wsums=None):
         """Merge pre-aggregated (key, count[, wsum]) records with no load
         stop — used to migrate a smaller table's export when growing."""
-        w = np.ascontiguousarray(wsums, np.float64) \
-            if (wsums is not None and self.track_weights) \
-            else np.zeros(0, np.float64)
+        if self.track_weights and wsums is None:
+            # a 0-length array's non-NULL data pointer would defeat the
+            # C side's `wsums ? wsums[i] : 0.0` guard and read OOB
+            w_ptr = ctypes.c_void_p(None)
+        else:
+            w = np.ascontiguousarray(wsums, np.float64) \
+                if (wsums is not None and self.track_weights) \
+                else np.zeros(0, np.float64)
+            w_ptr = _ptr(w)
         self._lib.agg_insert_counted(
             self._h, _ptr(np.ascontiguousarray(keys)),
-            _ptr(np.ascontiguousarray(cnts, np.uint32)), _ptr(w),
+            _ptr(np.ascontiguousarray(cnts, np.uint32)), w_ptr,
             ctypes.c_long(len(keys)))
 
     def used(self) -> int:
