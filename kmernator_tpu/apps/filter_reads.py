@@ -871,8 +871,12 @@ def _par_pass1(args):
     r0, g0 = sc.raw_kmers, sc.raw_good_kmers
     sc.add(keys, good, w)
     if os.environ.get("KMTPU_STAGE_TIMES"):
-        Log.debug(1, "p1 stages: load %.3f observe %.3f spill %.3f"
-                  % (t1 - t0, t2 - t1, _t.perf_counter() - t2))
+        import resource as _res
+        ru = _res.getrusage(_res.RUSAGE_SELF)
+        Log.debug(1, "p1 stages: load %.3f observe %.3f spill %.3f "
+                  "[pid %d cpu u%.2f s%.2f]"
+                  % (t1 - t0, t2 - t1, _t.perf_counter() - t2,
+                     os.getpid(), ru.ru_utime, ru.ru_stime))
     return (rs.n, sc.raw_kmers - r0, sc.raw_good_kmers - g0,
             sc.key_dtype, sc.splitters)
 
@@ -928,9 +932,12 @@ def _par_pass2(args):
         outputs.update(divert_blobs(rs, o, c["opts"], c["aopts"]))
     t5 = _t.perf_counter()
     if os.environ.get("KMTPU_STAGE_TIMES"):
+        import resource as _res
+        ru = _res.getrusage(_res.RUSAGE_SELF)
         Log.debug(1, "p2 stages: load %.3f pairs %.3f lookup %.3f "
-                  "trim %.3f select %.3f"
-                  % (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4))
+                  "trim %.3f select %.3f [pid %d cpu u%.2f s%.2f]"
+                  % (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4,
+                     os.getpid(), ru.ru_utime, ru.ru_stime))
     d = c.get("p2_dir")
     if not d:
         return outputs
@@ -1075,8 +1082,21 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         from kmernator_tpu.utils.memory import fast_temp_dir
         spill_dir = fast_temp_dir(est * 12, "kmtpu-spill-")
         register_path(spill_dir)
+        # size each worker's aggregator for the input up front: growing
+        # 4M -> 16M slots costs a full export + re-insert per step
+        # (~1 s/worker of first-wave warmup at the 256 MB shape); starting
+        # at ~half the per-worker raw windows (load stop 0.65 then holds a
+        # 1/3-unique stream without growing) skips the churn.  Clamped to
+        # the same 16M-slot / RAM-budget cap AggSpillCounter growth uses.
+        from kmernator_tpu.utils.memory import available_mb
+        est_pw = est // max(1, threads)
+        slot_b = 20 if track_w else 16
+        budget_slots = int(available_mb() * (1 << 20) / 4 / threads / slot_b)
+        agg_slots = 1 << max(22, int(max(est_pw // 2, 1) - 1).bit_length())
+        agg_slots = max(1 << 22, min(agg_slots, 1 << 24, budget_slots))
         _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
-                    num_parts=num_parts, spill_dir=spill_dir, splitters=None)
+                    num_parts=num_parts, spill_dir=spill_dir, splitters=None,
+                    agg_slots=agg_slots)
         # shared splitters seed from the chunk-0 sample (already parsed for
         # base detection) so every chunk runs on the pool; if the sample has
         # zero kmers, fall back to counting chunks in the parent until some
@@ -2003,11 +2023,17 @@ def _trim_by_markup(rs: ReadSet) -> ReadTrims:
 
 
 def main():
+    import time as _t
+    t0 = _t.perf_counter()
     rc = run(sys.argv[1:])
+    t1 = _t.perf_counter()
     # fast exit: temp teardown runs explicitly, then skip interpreter
     # finalization (GC of multi-GB numpy heaps costs ~0.3 s per run)
     from kmernator_tpu.utils import cleanup
     cleanup._flush()
+    if os.environ.get("KMTPU_STAGE_TIMES"):
+        Log.debug(1, "main: run %.3f cleanup %.3f"
+                  % (t1 - t0, _t.perf_counter() - t1))
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(rc)

@@ -620,7 +620,12 @@ class ObservationAggregator:
     reference's spill-under-pressure build
     (ref: src/KmerSpectrum.h:1818-1902)."""
 
-    def __init__(self, cap_slots: int, track_weights: bool):
+    def __init__(self, cap_slots: int, track_weights: bool,
+                 zero_empty: bool = False):
+        """zero_empty=True stores key+1 with 0 = empty so the table is
+        born initialized from lazy zero pages (no eager sentinel fill).
+        Only valid when keys can never be ~0ULL — canonical k <= 31
+        keys are < 2^62, so their +1 never wraps to the sentinel."""
         lib = get_lib()
         if lib is None or not hasattr(lib, "agg_create"):
             raise RuntimeError("native aggregator unavailable")
@@ -629,9 +634,17 @@ class ObservationAggregator:
         lib.agg_insert.restype = ctypes.c_long
         lib.agg_export.restype = ctypes.c_long
         lib.agg_used.restype = ctypes.c_long
-        self._h = ctypes.c_void_p(lib.agg_create(
-            ctypes.c_long(int(cap_slots)),
-            ctypes.c_int(1 if track_weights else 0)))
+        if zero_empty and hasattr(lib, "agg_create2"):
+            lib.agg_create2.restype = ctypes.c_void_p
+            self._h = ctypes.c_void_p(lib.agg_create2(
+                ctypes.c_long(int(cap_slots)),
+                ctypes.c_int(1 if track_weights else 0), ctypes.c_int(1)))
+        else:
+            zero_empty = False
+            self._h = ctypes.c_void_p(lib.agg_create(
+                ctypes.c_long(int(cap_slots)),
+                ctypes.c_int(1 if track_weights else 0)))
+        self.zero_empty = zero_empty
         self.track_weights = track_weights
         # cap at 65% load: linear probing stays short and export slack
         # is deterministic
@@ -759,6 +772,58 @@ def spill_count_agg(keys: np.ndarray, cnts: np.ndarray, min_depth: int):
     if m < 0:
         return None
     return ok[:m].copy(), oc[:m].copy()
+
+
+def radix_sort_kcw(keys: np.ndarray, cnts: np.ndarray, wsums=None):
+    """In-place LSD radix sort of aggregated (key u64, count u32[,
+    wsum f64]) records by key.  Arrays must be contiguous and writable.
+    Returns True, or False when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "radix_sort_kcw") \
+            or keys.dtype != np.uint64:
+        return False
+    n = len(keys)
+    has_w = wsums is not None
+    tk = np.empty(n, np.uint64)
+    tc = np.empty(n, np.uint32)
+    tw = np.empty(n if has_w else 0, np.float64)
+    lib.radix_sort_kcw(_ptr(keys), _ptr(cnts),
+                       _ptr(wsums) if has_w else _ptr(tw),
+                       ctypes.c_long(n), ctypes.c_int(1 if has_w else 0),
+                       _ptr(tk), _ptr(tc), _ptr(tw))
+    return True
+
+
+def merge_sum_runs(runs, min_depth: int, track_weights: bool):
+    """Merge R sorted unique-keyed runs [(k, c, w|None), ...], summing
+    counts/wsums of equal keys and dropping summed counts < min_depth.
+    Returns (keys u64, counts i32, wsums f64|None) or None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "merge_sum_runs") or not runs:
+        return None
+    R = len(runs)
+    ks = [np.ascontiguousarray(r[0], np.uint64) for r in runs]
+    cs = [np.ascontiguousarray(r[1], np.uint32) for r in runs]
+    ws = [np.ascontiguousarray(r[2], np.float64) if track_weights
+          else np.zeros(0, np.float64) for r in runs]
+    lens = np.array([len(a) for a in ks], np.int64)
+    total = int(lens.sum())
+    kp = (ctypes.c_void_p * R)(*[a.ctypes.data for a in ks])
+    cp = (ctypes.c_void_p * R)(*[a.ctypes.data for a in cs])
+    wp = (ctypes.c_void_p * R)(*[a.ctypes.data for a in ws])
+    ko = np.empty(total, np.uint64)
+    co = np.empty(total, np.int32)
+    wo = np.empty(total if track_weights else 0, np.float64)
+    lib.merge_sum_runs.restype = ctypes.c_long
+    m = lib.merge_sum_runs(kp, cp, wp, _ptr(lens), ctypes.c_int(R),
+                           ctypes.c_int(int(min_depth)),
+                           ctypes.c_int(1 if track_weights else 0),
+                           _ptr(ko), _ptr(co), _ptr(wo))
+    if m < 0:
+        return None
+    return (ko[:m].copy(), co[:m].copy(),
+            wo[:m].copy() if track_weights else None)
 
 
 def spill_route(keys: np.ndarray, weights, splitters: np.ndarray):

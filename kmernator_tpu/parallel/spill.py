@@ -220,7 +220,11 @@ class AggSpillCounter:
         self.num_parts = num_parts
         self.track_weights = track_weights
         self.suffix = ("-" + suffix) if suffix else ""
-        self.agg = ObservationAggregator(cap_slots, track_weights)
+        # k <= 31 canonical keys are < 2^62, so the zero-empty (key+1)
+        # layout is safe and the table needs no eager sentinel fill
+        self._zero_empty = k <= 31
+        self.agg = ObservationAggregator(cap_slots, track_weights,
+                                         zero_empty=self._zero_empty)
         if tmpdir is None:
             from kmernator_tpu.utils.memory import fast_temp_dir
             tmpdir = fast_temp_dir(num_parts * (64 << 20), "kmtpu-spill-")
@@ -265,8 +269,44 @@ class AggSpillCounter:
 
     def _flush(self):
         ko, co, wo = self.agg.export()
+        if not self.track_weights and self._flush_sorted_run(ko, co):
+            return
         _route_agg_to_files(self._file, self.num_parts, self.splitters,
                             ko, co, wo)
+
+    def _flush_sorted_run(self, ko: np.ndarray, co: np.ndarray) -> bool:
+        """Fast flush: radix-sort the export once in this worker, then
+        append each part's CONTIGUOUS slice as a sorted run file
+        ([n i64][keys u64][counts u32]).  Replaces the per-part
+        routing gather here and the per-part hash re-count at finalize
+        (runs merge linearly — each run's keys are unique, so a key
+        appears at most once per run).  False -> caller falls back to
+        the record-routing path."""
+        from kmernator_tpu.io.native import radix_sort_kcw
+        if not len(ko):
+            return True
+        ko = np.ascontiguousarray(ko)
+        co = np.ascontiguousarray(co)
+        if not radix_sort_kcw(ko, co):
+            return False
+        # part p holds keys in [splitters[p-1], splitters[p]) — equal-to-
+        # splitter keys belong to the HIGHER part (_part_of counts
+        # splitters <= key), so slice boundaries bind with side="left"
+        bounds = np.concatenate(
+            [[0], np.searchsorted(ko, self.splitters, side="left"),
+             [len(ko)]]).astype(np.int64)
+        self._run_no = getattr(self, "_run_no", 0) + 1
+        for p in range(self.num_parts):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if s == e:
+                continue
+            fn = os.path.join(self.tmpdir, "part%d%s.r%d.srun"
+                              % (p, self.suffix, self._run_no))
+            with open(fn, "wb") as f:
+                np.int64(e - s).tofile(f)
+                ko[s:e].tofile(f)
+                co[s:e].tofile(f)
+        return True
 
     def _grow(self) -> bool:
         """Migrate to a 4x table when the RAM budget allows; False ->
@@ -277,7 +317,8 @@ class AggSpillCounter:
             return False
         ko, co, wo = self.agg.export()
         self.agg.close()
-        self.agg = ObservationAggregator(new_cap, self.track_weights)
+        self.agg = ObservationAggregator(new_cap, self.track_weights,
+                                         zero_empty=self._zero_empty)
         if len(ko):
             self.agg.insert_counted(ko, co, wo)
         return True
@@ -381,7 +422,16 @@ def _count_one_part_arrays(tmpdir: str, p: int, key_dt: np.dtype,
     ks, ws = [], []
     cs = []          # per-record pre-summed counts (None => all ones)
     any_agg = False
-    for path in _part_files(tmpdir, p):
+    runs = []        # sorted unique-keyed (keys, counts) runs (.srun)
+    paths = _part_files(tmpdir, p)
+    for path in paths:
+        if path.endswith(".srun"):
+            n = int(np.fromfile(path, np.int64, 1)[0])
+            rk = np.fromfile(path, np.uint64, n, offset=8)
+            rc = np.fromfile(path, np.uint32, n, offset=8 + 8 * n)
+            runs.append((rk, rc))
+            os.unlink(path)
+            continue
         if path.endswith(".agg.bin"):
             # aggregated records from AggSpillCounter: key + count [+ wsum]
             any_agg = True
@@ -405,6 +455,23 @@ def _count_one_part_arrays(tmpdir: str, p: int, key_dt: np.dtype,
             ks.append(np.fromfile(path, key_dt))
             cs.append(None)
         os.unlink(path)
+    if runs and not ks:
+        # all-sorted-runs fast path: linear merge-sum, no re-hash/re-sort
+        from kmernator_tpu.io.native import merge_sum_runs
+        res = merge_sum_runs([(rk, rc, None) for rk, rc in runs],
+                             min_depth, False)
+        if res is not None:
+            return res[0], res[1], None
+    if runs:
+        # mixed with record files (or no native merge): fold runs into
+        # the generic pre-summed path
+        any_agg = True
+        for rk, rc in runs:
+            ks.append(rk)
+            cs.append(rc.astype(np.int64))
+            if track_weights:
+                ws.append(np.zeros(len(rk), np.float64))
+        runs = []
     if not ks:
         return None
     k_arr = ks[0] if len(ks) == 1 else np.concatenate(ks)

@@ -1570,21 +1570,34 @@ typedef struct {
   uint64_t cap;  // power of two
   long used;
   int has_w;
+  uint64_t empty;  // empty-slot sentinel in the key field
+  uint64_t kofs;   // stored key = key + kofs (1 in zero-empty mode)
 } kmt_agg;
 
-void* agg_create(long cap_slots, int has_w) {
+// zero_empty: store key+1 with 0 = empty, so the table is born
+// initialized from the kernel's lazy zero pages — no eager 256 MB
+// sentinel fill, no resident pages for never-probed slots (the same
+// trick the shared CAS table below uses).  Callers may only enable it
+// when keys can never be ~0ULL (canonical k <= 31 keys are < 2^62).
+void* agg_create2(long cap_slots, int has_w, int zero_empty) {
   uint64_t cap = 1 << 14;
   while ((long)cap < cap_slots) cap <<= 1;
   kmt_agg* a = new kmt_agg();
   a->cap = cap;
   a->has_w = has_w;
   a->used = 0;
+  a->empty = zero_empty ? 0 : ~0ULL;
+  a->kofs = zero_empty ? 1 : 0;
   if (has_w) {
-    a->tk = (uint64_t*)malloc(cap * sizeof(uint64_t));
+    if (zero_empty) {
+      a->tk = (uint64_t*)calloc(cap, sizeof(uint64_t));
+    } else {
+      a->tk = (uint64_t*)malloc(cap * sizeof(uint64_t));
+      memset(a->tk, 0xff, cap * sizeof(uint64_t));
+    }
     a->tc = (uint32_t*)malloc(cap * sizeof(uint32_t));
     a->tw = (double*)malloc(cap * sizeof(double));
     a->ti = NULL;
-    memset(a->tk, 0xff, cap * sizeof(uint64_t));
   } else {
     a->tk = NULL;
     a->tc = NULL;
@@ -1594,10 +1607,18 @@ void* agg_create(long cap_slots, int has_w) {
     // madvise mode, so every fault attempted synchronous compaction —
     // the 1 GiB FilterReads run went 13 s -> 150-200 s.  Plain pages it
     // is.
-    a->ti = (uint64_t*)aligned_alloc(64, cap * 2 * sizeof(uint64_t));
-    for (uint64_t i = 0; i < cap; i++) a->ti[2 * i] = ~0ULL;
+    if (zero_empty) {
+      a->ti = (uint64_t*)calloc(cap * 2, sizeof(uint64_t));
+    } else {
+      a->ti = (uint64_t*)aligned_alloc(64, cap * 2 * sizeof(uint64_t));
+      for (uint64_t i = 0; i < cap; i++) a->ti[2 * i] = ~0ULL;
+    }
   }
   return a;
+}
+
+void* agg_create(long cap_slots, int has_w) {
+  return agg_create2(cap_slots, has_w, 0);
 }
 
 // Insert keys[0..n) (with optional f32 weights) until the table's used
@@ -1607,6 +1628,7 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
                 long stop_used) {
   kmt_agg* a = (kmt_agg*)ap;
   const uint64_t mask = a->cap - 1;
+  const uint64_t EMPTY = a->empty, KOFS = a->kofs;
   const long AHEAD = 16;
   long i = 0;
   if (!a->has_w) {
@@ -1615,12 +1637,12 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
       if (a->used >= stop_used) break;
       if (i + AHEAD < n)
         __builtin_prefetch(&ti[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
-      uint64_t key = keys[i];
-      uint64_t h = ht_mix(key) & mask;
+      uint64_t key = keys[i] + KOFS;
+      uint64_t h = ht_mix(keys[i]) & mask;
       while (true) {
         uint64_t* s = &ti[2 * h];
         if (s[0] == key) { s[1]++; break; }
-        if (s[0] == ~0ULL) {
+        if (s[0] == EMPTY) {
           s[0] = key; s[1] = 1;
           a->used++;
           break;
@@ -1634,15 +1656,15 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
     if (a->used >= stop_used) break;
     if (i + AHEAD < n)
       __builtin_prefetch(&a->tk[ht_mix(keys[i + AHEAD]) & mask], 1);
-    uint64_t key = keys[i];
-    uint64_t h = ht_mix(key) & mask;
+    uint64_t key = keys[i] + KOFS;
+    uint64_t h = ht_mix(keys[i]) & mask;
     while (true) {
       if (a->tk[h] == key) {
         a->tc[h]++;
         a->tw[h] += (double)w[i];
         break;
       }
-      if (a->tk[h] == ~0ULL) {
+      if (a->tk[h] == EMPTY) {
         a->tk[h] = key;
         a->tc[h] = 1;
         a->tw[h] = (double)w[i];
@@ -1659,29 +1681,33 @@ long agg_insert(void* ap, const uint64_t* keys, const float* w, long n,
 long agg_export(void* ap, uint64_t* keys_out, uint32_t* cnt_out,
                 double* w_out) {
   kmt_agg* a = (kmt_agg*)ap;
+  const uint64_t EMPTY = a->empty, KOFS = a->kofs;
   long m = 0;
   if (!a->has_w) {
     uint64_t* ti = a->ti;
     for (uint64_t i = 0; i < a->cap; i++) {
-      if (ti[2 * i] != ~0ULL) {
-        keys_out[m] = ti[2 * i];
+      if (ti[2 * i] != EMPTY) {
+        keys_out[m] = ti[2 * i] - KOFS;
         cnt_out[m] = (uint32_t)ti[2 * i + 1];
         m++;
-        ti[2 * i] = ~0ULL;
+        ti[2 * i] = EMPTY;
       }
     }
     a->used = 0;
     return m;
   }
   for (uint64_t i = 0; i < a->cap; i++) {
-    if (a->tk[i] != ~0ULL) {
-      keys_out[m] = a->tk[i];
+    if (a->tk[i] != EMPTY) {
+      keys_out[m] = a->tk[i] - KOFS;
       cnt_out[m] = a->tc[i];
       if (w_out) w_out[m] = a->tw[i];
       m++;
     }
   }
-  memset(a->tk, 0xff, a->cap * sizeof(uint64_t));
+  if (KOFS)
+    memset(a->tk, 0, a->cap * sizeof(uint64_t));
+  else
+    memset(a->tk, 0xff, a->cap * sizeof(uint64_t));
   a->used = 0;
   return m;
 }
@@ -1720,18 +1746,19 @@ void agg_insert_counted(void* ap, const uint64_t* keys,
                         const uint32_t* cnts, const double* wsums, long n) {
   kmt_agg* a = (kmt_agg*)ap;
   const uint64_t mask = a->cap - 1;
+  const uint64_t EMPTY = a->empty, KOFS = a->kofs;
   const long AHEAD = 16;
   if (!a->has_w) {
     uint64_t* ti = a->ti;
     for (long i = 0; i < n; i++) {
       if (i + AHEAD < n)
         __builtin_prefetch(&ti[2 * (ht_mix(keys[i + AHEAD]) & mask)], 1);
-      uint64_t key = keys[i];
-      uint64_t h = ht_mix(key) & mask;
+      uint64_t key = keys[i] + KOFS;
+      uint64_t h = ht_mix(keys[i]) & mask;
       while (true) {
         uint64_t* s = &ti[2 * h];
         if (s[0] == key) { s[1] += cnts[i]; break; }
-        if (s[0] == ~0ULL) {
+        if (s[0] == EMPTY) {
           s[0] = key; s[1] = cnts[i];
           a->used++;
           break;
@@ -1744,15 +1771,15 @@ void agg_insert_counted(void* ap, const uint64_t* keys,
   for (long i = 0; i < n; i++) {
     if (i + AHEAD < n)
       __builtin_prefetch(&a->tk[ht_mix(keys[i + AHEAD]) & mask], 1);
-    uint64_t key = keys[i];
-    uint64_t h = ht_mix(key) & mask;
+    uint64_t key = keys[i] + KOFS;
+    uint64_t h = ht_mix(keys[i]) & mask;
     while (true) {
       if (a->tk[h] == key) {
         a->tc[h] += cnts[i];
         a->tw[h] += wsums ? wsums[i] : 0.0;
         break;
       }
-      if (a->tk[h] == ~0ULL) {
+      if (a->tk[h] == EMPTY) {
         a->tk[h] = key;
         a->tc[h] = cnts[i];
         a->tw[h] = wsums ? wsums[i] : 0.0;
@@ -1862,7 +1889,7 @@ long agg_insert_bucketed(void* ap, uint64_t* keys, long n, long stop_used) {
   // region = 1 MB of interleaved slots (64K slots); >=8 regions or the
   // partition is pure overhead
   uint64_t nb = a->cap >> 16;
-  if (nb < 8 || n < (1 << 15)) {
+  if (nb < 8 || n < (1 << 15) || a->kofs) {  // zero-empty: linear path
     long consumed = agg_insert(ap, keys, NULL, n, stop_used);
     long rem = n - consumed;
     if (rem > 0) memmove(keys, keys + consumed, rem * sizeof(uint64_t));
@@ -2028,6 +2055,101 @@ restart:
   for (long i = 0; i < m; i++) { sk[i] = out_keys[idx[i]]; sc[i] = out_counts[idx[i]]; }
   memcpy(out_keys, sk.data(), m * sizeof(uint64_t));
   memcpy(out_counts, sc.data(), m * sizeof(int32_t));
+  return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sorted-run spill: worker-side radix sort of an aggregator export + linear
+// R-way merge-sum at finalize.  Replaces the route-to-part-files gather and
+// the per-part hash re-count with one LSD radix sort per flush (sequential
+// slice appends) and a streaming merge (each run has unique keys, so a key
+// appears at most R times across runs).  The reference reaches its final
+// sorted maps through per-part std::sort at restore time
+// (ref: src/KmerSpectrum.h:1818-1902); this is the same dataflow with the
+// sort moved into the (parallel) workers.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// LSD radix sort by 64-bit key, 4 passes x 16 bits, SoA payload:
+// counts u32 always, wsums f64 when has_w.  tk/tc/tw are caller-provided
+// scratch arrays of the same length.  Passes whose key digit is constant
+// across all records are skipped (k < 31 keys never touch the high bits).
+void radix_sort_kcw(uint64_t* k, uint32_t* c, double* w, long n, int has_w,
+                    uint64_t* tk, uint32_t* tc, double* tw) {
+  if (n <= 1) return;
+  uint64_t* ka = k; uint32_t* ca = c; double* wa = w;
+  uint64_t* kb = tk; uint32_t* cb = tc; double* wb = tw;
+  static const int R = 1 << 16;
+  std::vector<long> hist(R);
+  for (int pass = 0; pass < 4; pass++) {
+    const int shift = pass * 16;
+    std::fill(hist.begin(), hist.end(), 0L);
+    for (long i = 0; i < n; i++) hist[(ka[i] >> shift) & 0xffff]++;
+    // constant digit -> nothing to move this pass
+    if (hist[(ka[0] >> shift) & 0xffff] == n) continue;
+    long sum = 0;
+    for (int d = 0; d < R; d++) { long h = hist[d]; hist[d] = sum; sum += h; }
+    if (has_w) {
+      for (long i = 0; i < n; i++) {
+        long dst = hist[(ka[i] >> shift) & 0xffff]++;
+        kb[dst] = ka[i]; cb[dst] = ca[i]; wb[dst] = wa[i];
+      }
+    } else {
+      for (long i = 0; i < n; i++) {
+        long dst = hist[(ka[i] >> shift) & 0xffff]++;
+        kb[dst] = ka[i]; cb[dst] = ca[i];
+      }
+    }
+    std::swap(ka, kb); std::swap(ca, cb);
+    if (has_w) std::swap(wa, wb);
+  }
+  if (ka != k) {
+    memcpy(k, ka, n * sizeof(uint64_t));
+    memcpy(c, ca, n * sizeof(uint32_t));
+    if (has_w) memcpy(w, wa, n * sizeof(double));
+  }
+}
+
+// Merge R sorted runs of unique-keyed (key, count[, wsum]) records,
+// summing duplicates across runs and dropping keys with summed count
+// < min_depth.  Returns the output row count; out arrays must hold
+// sum(lens).  Small-R linear head scan (R is the flush count, <= ~32).
+long merge_sum_runs(const uint64_t** ks, const uint32_t** cs,
+                    const double** ws, const long* lens, int R,
+                    int min_depth, int has_w,
+                    uint64_t* ko, int32_t* co, double* wo) {
+  std::vector<long> pos(R, 0);
+  long m = 0;
+  while (true) {
+    uint64_t best = ~0ULL;
+    bool any = false;
+    for (int r = 0; r < R; r++) {
+      if (pos[r] < lens[r]) {
+        uint64_t v = ks[r][pos[r]];
+        if (!any || v < best) { best = v; any = true; }
+      }
+    }
+    if (!any) break;
+    long cnt = 0;
+    double wsum = 0.0;
+    for (int r = 0; r < R; r++) {
+      long p = pos[r];
+      if (p < lens[r] && ks[r][p] == best) {
+        cnt += (long)cs[r][p];
+        if (has_w) wsum += ws[r][p];
+        pos[r] = p + 1;
+      }
+    }
+    if (cnt >= min_depth) {
+      ko[m] = best;
+      co[m] = (int32_t)cnt;
+      if (has_w) wo[m] = wsum;
+      m++;
+    }
+  }
   return m;
 }
 
