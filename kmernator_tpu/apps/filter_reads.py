@@ -831,6 +831,36 @@ def _par_flush_spill(_):
 
 _CG_BUFS = [None, None]  # per-process compact_good reusable buffers
 
+_P2SPEC = [None, 0]  # per-process pass-2 spectrum (memmap), keyed by pid
+
+
+def _p2_spectrum():
+    """The finalized spectrum, reconstructed once per worker from the
+    parent's read-only tmpfs memmaps (spec_keys/spec_counts/spec_slots in
+    p2_dir) — one page-cache copy shared by every worker, no per-worker
+    hash rebuild and no fork-COW faulting.  None when pass 1 built no
+    spectrum (k <= 0)."""
+    c = _PAR
+    if _P2SPEC[1] != os.getpid():
+        _P2SPEC[0] = False
+        _P2SPEC[1] = os.getpid()
+    if _P2SPEC[0] is not False:
+        return _P2SPEC[0]
+    sp = c.get("spectrum")
+    d = c.get("p2_dir")
+    if sp is None and d and os.path.exists(os.path.join(d, "spec_ready")):
+        sp = KmerSpectrum(k=c["k"])
+        sp.keys = np.load(os.path.join(d, "spec_keys.npy"), mmap_mode="r")
+        sp.counts = np.load(os.path.join(d, "spec_counts.npy"),
+                            mmap_mode="r")
+        slots_fn = os.path.join(d, "spec_slots.npy")
+        if os.path.exists(slots_fn):
+            from kmernator_tpu.io.native import HashTable
+            sp._hash = (sp.keys, HashTable.from_slots(
+                np.load(slots_fn, mmap_mode="r")))
+    _P2SPEC[0] = sp
+    return sp
+
 
 def _par_pass1(args):
     """Count one chunk: into the SHARED CAS table when one is active
@@ -915,7 +945,7 @@ def _par_pass2(args):
     t1 = _t.perf_counter()
     t2 = _t.perf_counter()
     if c["k"] > 0:
-        counts, w_off = window_count_lookup(rs, c["spectrum"], c["k"])
+        counts, w_off = window_count_lookup(rs, _p2_spectrum(), c["k"])
         t3 = _t.perf_counter()
         trims = score_and_trim(rs, counts, w_off, c["k"],
                                float(c["sopts"].min_depth),
@@ -926,7 +956,7 @@ def _par_pass2(args):
         t3 = _t.perf_counter()
         trims = _trim_by_markup(rs)
     t4 = _t.perf_counter()
-    outputs = select_reads(rs, trims, c["spectrum"], c["opts"], c["kopts"],
+    outputs = select_reads(rs, trims, _p2_spectrum(), c["opts"], c["kopts"],
                            c["sopts"], c["ropts"], c["opts"].input_file)
     if o is not None:
         outputs.update(divert_blobs(rs, o, c["opts"], c["aopts"]))
@@ -1146,14 +1176,28 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 shct = None
         _PAR["shct"] = shct
         _PAR["flush_barrier"] = ctx.Barrier(threads)
-        # pool workers own whole cores; native kernels inside them must not
-        # fan out another cpu_count threads each (forked state)
-        from kmernator_tpu.io import native as _native
-        _native.set_default_threads(1)
-        import time as _time
-        t_p1 = _time.perf_counter()
-        Log.debug(1, "pass1 pool start (head done)")
-        with ctx.Pool(threads) as pool:
+    # ONE pool serves both passes: pass 2 on fresh forks would re-pay the
+    # per-worker warmup (buffer faulting, malloc arena growth) a second
+    # time, so instead the finalized spectrum hands off to the live
+    # workers through read-only tmpfs memmaps (one page-cache copy shared
+    # by all workers — cheaper than even fork COW, which faults per
+    # worker on first touch)
+    from kmernator_tpu.io import native as _native
+    from kmernator_tpu.utils.cleanup import register_path
+    from kmernator_tpu.utils.memory import fast_temp_dir
+    # pool workers own whole cores; native kernels inside them must not
+    # fan out another cpu_count threads each (forked state)
+    _native.set_default_threads(1)
+    p2_dir = None
+    if opts.output_file:
+        p2_dir = fast_temp_dir(chunk_bytes * 2 * threads, "kmtpu-p2-")
+        register_path(p2_dir)
+        _PAR["p2_dir"] = p2_dir
+    import time as _time
+    t_p1 = _time.perf_counter()
+    Log.debug(1, "pass1 pool start (head done)")
+    with ctx.Pool(threads) as pool:
+        if k > 0:
             for rn, rk, rgk, kd, _ in _iter_pool(
                     pool.imap_unordered(_par_pass1, work[wi:], chunksize=1),
                     len(work) - wi, "pass1"):
@@ -1189,39 +1233,51 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
             spectrum = count_spill_parts(
                 spill_dir, num_parts, k, key_dt, track_w, fin_depth, raw,
                 good, pool=pool)
-        t_fin = _time.perf_counter()
-        Log.verbose(1, "streamed %d reads through %d spill parts on %d "
-                    "workers; spectrum: %d unique kmers; chunks %.2fs "
-                    "finalize %.2fs; %s"
-                    % (n_reads, num_parts, threads, spectrum.n_unique,
-                       t_chunks - t_p1, t_fin - t_chunks,
-                       get_memory_usage()))
-        _spectrum_outputs_and_purge(spectrum, sopts, fopts)
+            t_fin = _time.perf_counter()
+            Log.verbose(1, "streamed %d reads through %d spill parts on %d "
+                        "workers; spectrum: %d unique kmers; chunks %.2fs "
+                        "finalize %.2fs; %s"
+                        % (n_reads, num_parts, threads, spectrum.n_unique,
+                           t_chunks - t_p1, t_fin - t_chunks,
+                           get_memory_usage()))
+            _spectrum_outputs_and_purge(spectrum, sopts, fopts)
 
-    if not opts.output_file:
-        return 0
-    import time as _time
-    t_g0 = _time.perf_counter()
-    if spectrum is not None and len(spectrum.keys) >= 4096:
-        # build the lookup hash once pre-fork (multithreaded; the worker
-        # default of 1 thread must not apply here); workers inherit the
-        # finished table read-only through fork COW instead of each
-        # rebuilding it per chunk
-        from kmernator_tpu.io import native as _nat
-        _nat.set_default_threads(os.cpu_count() or 1)
-        spectrum.lookup_counts(spectrum.keys[:4096])
-        _nat.set_default_threads(1)
-    _PAR["spectrum"] = spectrum
-    from kmernator_tpu.io import native as _native
-    from kmernator_tpu.utils.cleanup import register_path
-    from kmernator_tpu.utils.memory import fast_temp_dir
-    _native.set_default_threads(1)
-    p2_dir = fast_temp_dir(chunk_bytes * 2 * threads, "kmtpu-p2-")
-    register_path(p2_dir)
-    _PAR["p2_dir"] = p2_dir
-    t_g1 = _time.perf_counter()
-    written = set()
-    with ctx.Pool(threads) as pool:
+        if not opts.output_file:
+            return 0
+        t_g0 = _time.perf_counter()
+        if spectrum is not None:
+            # purged spectrum -> read-only tmpfs memmaps for the live
+            # workers; the lookup hash is built ONCE here (multithreaded)
+            # and shared via its slots file
+            np.save(os.path.join(p2_dir, "spec_keys.npy"), spectrum.keys)
+            np.save(os.path.join(p2_dir, "spec_counts.npy"),
+                    spectrum.counts)
+            if len(spectrum.keys) >= 4096 \
+                    and spectrum.keys.dtype == np.uint64:
+                # build the lookup table DIRECTLY into a tmpfs-backed
+                # memmap (the workers' read-only mapping) — no second
+                # 2*cap*16 B copy through np.save
+                from kmernator_tpu.io.native import HashTable
+                _native.set_default_threads(os.cpu_count() or 1)
+                try:
+                    m = len(spectrum.keys)
+                    cap = 1
+                    while cap < max(2 * m, 16):
+                        cap <<= 1
+                    slots = np.lib.format.open_memmap(
+                        os.path.join(p2_dir, "spec_slots.npy"), mode="w+",
+                        dtype=np.uint64, shape=(2 * cap,))
+                    HashTable.build_into(spectrum.keys, spectrum.counts,
+                                         slots)
+                    slots.flush()
+                    del slots
+                except RuntimeError:
+                    pass
+                _native.set_default_threads(1)
+            with open(os.path.join(p2_dir, "spec_ready"), "w") as f:
+                f.write("%d" % k)
+        t_g1 = _time.perf_counter()
+        written = set()
         for outputs in _iter_pool(pool.imap(_par_pass2, work, chunksize=1),
                                   len(work), "pass2"):
             for path, src_fn in outputs.items():

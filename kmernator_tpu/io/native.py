@@ -429,6 +429,39 @@ class HashTable:
                             ctypes.c_long(m), _ptr(self.slots),
                             ctypes.c_uint64(cap))
 
+    @staticmethod
+    def build_into(keys: np.ndarray, vals: np.ndarray, slots: np.ndarray):
+        """Build the table into a caller-provided slots array (len = a
+        power-of-two 2*cap, e.g. a writable memmap) — no intermediate
+        allocation.  Raises RuntimeError when the native lib is missing."""
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "hash_build2"):
+            raise RuntimeError("native lib unavailable")
+        m = len(keys)
+        cap = len(slots) // 2
+        if cap & (cap - 1) or cap < max(2 * m, 16):
+            raise ValueError("slots must be 2*cap with pow2 cap >= 2m")
+        if hasattr(lib, "hash_build2_mt"):
+            lib.hash_build2_mt(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                               _ptr(np.ascontiguousarray(vals, np.int64)),
+                               ctypes.c_long(m), _ptr(slots),
+                               ctypes.c_uint64(cap),
+                               ctypes.c_int(_threads(0)))
+        else:
+            lib.hash_build2(_ptr(np.ascontiguousarray(keys, np.uint64)),
+                            _ptr(np.ascontiguousarray(vals, np.int64)),
+                            ctypes.c_long(m), _ptr(slots),
+                            ctypes.c_uint64(cap))
+
+    @classmethod
+    def from_slots(cls, slots: np.ndarray) -> "HashTable":
+        """Wrap an existing slots array (e.g. a read-only memmap of a
+        table another process built and .tofile'd) without rebuilding."""
+        ht = cls.__new__(cls)
+        ht.slots = slots
+        ht.cap = len(slots) // 2
+        return ht
+
     def lookup(self, query: np.ndarray, n_threads: int = 0) -> np.ndarray:
         lib = get_lib()
         n_threads = _threads(n_threads)
@@ -1036,3 +1069,40 @@ def gather_ragged(data: np.ndarray, offs: np.ndarray, lens: np.ndarray,
                       _ptr(offs), _ptr(lens), ctypes.c_long(len(offs)),
                       _ptr(out_off), _ptr(out), ctypes.c_int(n_threads))
     return out
+
+
+def gather_ragged_map(data: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                      table: np.ndarray):
+    """gather_ragged with a 256-entry byte map fused into the copy (the
+    FASTQ parser's base normalization); None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gather_ragged_map"):
+        return None
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(int(lens.sum()), np.uint8)
+    lib.gather_ragged_map(_ptr(np.ascontiguousarray(data, np.uint8)),
+                          _ptr(offs), _ptr(lens), ctypes.c_long(len(offs)),
+                          _ptr(np.ascontiguousarray(table, np.uint8)),
+                          _ptr(out))
+    return out
+
+
+def find_newlines(buf: np.ndarray):
+    """Positions of '\\n' in buf (i64) via memchr — the numpy
+    flatnonzero(buf == 0x0a) scan costs ~150 ms per 16 MB chunk; this is
+    ~10 ms.  None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "find_newlines"):
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    lib.find_newlines.restype = ctypes.c_long
+    # FASTQ lines are tens of bytes; size for 1-in-16 density and retry
+    # exact only if the scan filled the buffer (possible truncation)
+    for cap in (len(buf) // 16 + 16, len(buf) + 1):
+        out = np.empty(cap, np.int64)
+        m = lib.find_newlines(_ptr(buf), ctypes.c_long(len(buf)),
+                              _ptr(out), ctypes.c_long(cap))
+        if m < cap:
+            return out[:m]
+    return out[:m]

@@ -460,7 +460,10 @@ def parse_fastq_bytes(data: bytes, comment_stored: bool = True):
     buf = np.frombuffer(data, dtype=np.uint8)
     if len(buf) and buf[-1] != 0x0a:
         buf = np.concatenate([buf, np.array([0x0a], dtype=np.uint8)])
-    nl = np.flatnonzero(buf == 0x0a)
+    from kmernator_tpu.io import native
+    nl = native.find_newlines(buf)
+    if nl is None:
+        nl = np.flatnonzero(buf == 0x0a)
     nlines = len(nl)
     if nlines % 4 != 0:
         nlines -= nlines % 4
@@ -470,9 +473,11 @@ def parse_fastq_bytes(data: bytes, comment_stored: bool = True):
     seq_s, seq_e = starts[1::4], ends[1::4]
     qual_s, qual_e = starts[3::4], ends[3::4]
     lens = (seq_e - seq_s).astype(np.int64)
-    from kmernator_tpu.io import native
-    sg = native.gather_ragged(buf, seq_s, lens)
-    if sg is not None:
+    seq = native.gather_ragged_map(buf, seq_s, lens, _BASE_NORM)
+    if seq is not None:
+        qual = native.gather_ragged(buf, qual_s,
+                                    (qual_e - qual_s).astype(np.int64))
+    elif (sg := native.gather_ragged(buf, seq_s, lens)) is not None:
         seq = _BASE_NORM[sg]
         qual = native.gather_ragged(buf, qual_s,
                                     (qual_e - qual_s).astype(np.int64))

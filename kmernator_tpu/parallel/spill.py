@@ -344,6 +344,25 @@ class AggSpillCounter:
             step = max(1, len(gk) // 65536)
             self.splitters = key_range_splitters(
                 np.ascontiguousarray(gk[::step]), self.num_parts)
+        if not track and self.agg.cap >= (1 << 23) \
+                and os.environ.get("KMTPU_BUCKETED", "0") == "1":
+            # MEASURED NEGATIVE at the app level, kept opt-in with the
+            # numbers: isolated 4-way insert microbench +20% (18.3 vs
+            # 14.9 M ins/s, 16M slots), but interleaved 1 GiB A/B runs
+            # 18.9-23.6 s bucketed vs 16.2-17.3 s linear — the partition
+            # passes' extra bandwidth contends with the co-running parse/
+            # observe stages, and the real ~14x-coverage key stream keeps
+            # its hot lines L3-resident for the linear path anyway.  gk
+            # is a private reused buffer, so the permuting contract is
+            # fine.
+            rem = self.agg.insert_bucketed(gk)
+            while rem > 0:
+                if not self._grow():
+                    self._flush()
+                rem = self.agg.insert_bucketed(gk[:rem])
+            if rem == 0:
+                return
+            # rem < 0: native bucketed unavailable — fall through
         pos = 0
         n = len(gk)
         while pos < n:

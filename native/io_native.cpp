@@ -1889,7 +1889,7 @@ long agg_insert_bucketed(void* ap, uint64_t* keys, long n, long stop_used) {
   // region = 1 MB of interleaved slots (64K slots); >=8 regions or the
   // partition is pure overhead
   uint64_t nb = a->cap >> 16;
-  if (nb < 8 || n < (1 << 15) || a->kofs) {  // zero-empty: linear path
+  if (nb < 8 || n < (1 << 15)) {
     long consumed = agg_insert(ap, keys, NULL, n, stop_used);
     long rem = n - consumed;
     if (rem > 0) memmove(keys, keys + consumed, rem * sizeof(uint64_t));
@@ -1921,6 +1921,7 @@ long agg_insert_bucketed(void* ap, uint64_t* keys, long n, long stop_used) {
       pk[2 * p + 1] = keys[i];
     }
   }
+  const uint64_t EMPTY = a->empty, KOFS = a->kofs;
   const long AHEAD = 8;
   for (uint64_t b = 0; b < nb; b++) {
     if (a->used >= stop_used) {
@@ -1934,11 +1935,11 @@ long agg_insert_bucketed(void* ap, uint64_t* keys, long n, long stop_used) {
     for (long i = s; i < e; i++) {
       if (i + AHEAD < e) __builtin_prefetch(&ti[2 * pk[2 * (i + AHEAD)]], 1);
       uint64_t h = pk[2 * i];
-      const uint64_t key = pk[2 * i + 1];
+      const uint64_t key = pk[2 * i + 1] + KOFS;
       while (true) {
         uint64_t* sl = &ti[2 * h];
         if (sl[0] == key) { sl[1]++; break; }
-        if (sl[0] == ~0ULL) {
+        if (sl[0] == EMPTY) {
           sl[0] = key; sl[1] = 1;
           a->used++;
           break;
@@ -2151,6 +2152,39 @@ long merge_sum_runs(const uint64_t** ks, const uint32_t** cs,
     }
   }
   return m;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// memchr newline scan -> positions.  np.flatnonzero(buf == 0x0a) costs
+// ~150 ms per 16 MB chunk (bool temp + nonzero pass); this is ~10 ms.
+long find_newlines(const uint8_t* buf, long n, int64_t* out, long cap) {
+  long m = 0;
+  const char* p = (const char*)buf;
+  const char* end = p + n;
+  while (p < end && m < cap) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    if (!nl) break;
+    out[m++] = nl - (const char*)buf;
+    p = nl + 1;
+  }
+  return m;
+}
+
+// gather_ragged with a 256-entry byte map applied on the fly (the FASTQ
+// parser's base normalization fused into the copy).
+void gather_ragged_map(const uint8_t* data, const int64_t* offs,
+                       const int64_t* lens, long n, const uint8_t* map,
+                       uint8_t* out) {
+  long pos = 0;
+  for (long i = 0; i < n; i++) {
+    const uint8_t* src = data + offs[i];
+    const long L = lens[i];
+    for (long j = 0; j < L; j++) out[pos + j] = map[src[j]];
+    pos += L;
+  }
 }
 
 }  // extern "C"
