@@ -755,23 +755,65 @@ def _par_scan_path(ci: int):
     return os.path.join(d, "%06d.npz" % ci) if d else None
 
 
+def _rs_cache_path(ci: int):
+    d = _PAR.get("p2_dir") if _PAR.get("rs_cache") else None
+    return os.path.join(d, "c%06d.rs.pkl" % ci) if d else None
+
+
+def _rs_cache_write(path: str, rs: ReadSet):
+    """Persist the parsed pre-filter chunk for pass 2 (columnar arrays +
+    newline-joined name/comment blobs + the identified pairs) so pass 2
+    skips the FASTQ re-parse and pair re-identification."""
+    import pickle
+    pr = np.asarray(rs.pairs, dtype=np.int64).reshape(-1, 2)
+    blob = (b"\n".join(rs.names), b"\n".join(rs.comments), rs.seq, rs.qual,
+            rs.offsets, rs.has_quals, rs.file_idx, pr, rs.input_qual_base)
+    with open(path + ".tmp", "wb") as f:
+        pickle.dump(blob, f, protocol=5)
+    os.replace(path + ".tmp", path)
+
+
+def _rs_cache_read(path: str) -> ReadSet:
+    import pickle
+    with open(path, "rb") as f:
+        nb, cb, seq, qual, offsets, hq, fidx, pr, iqb = pickle.load(f)
+    rs = ReadSet()
+    n = len(offsets) - 1
+    rs.names = nb.split(b"\n") if n else []
+    rs.comments = cb.split(b"\n") if n else []
+    rs.seq, rs.qual, rs.offsets = seq, qual, offsets
+    rs.has_quals, rs.file_idx = hq, fidx
+    rs.discarded = np.zeros(n, dtype=bool)
+    rs.input_qual_base = int(iqb)
+    rs.pairs = [(int(a), int(b)) for a, b in pr]
+    os.unlink(path)
+    return rs
+
+
 def _par_load_chunk(args, replay: bool):
     """Shared chunk setup for both passes: parse + artifact filter (scan
     saved on pass 1, replayed on pass 2).  Returns (rs, outcome|None)."""
     from kmernator_tpu.io.chunked import read_chunk, read_chunk_paired
     c = _PAR
-    if c.get("paired_paths"):
-        ci, s1, e1, s2, e2 = args
-        p1, p2 = c["paired_paths"]
-        rs = read_chunk_paired(p1, p2, (s1, e1, s2, e2), c["base"],
-                               c["comment_stored"])
+    ci = args[0]
+    cp = _rs_cache_path(ci)
+    if replay and cp and os.path.exists(cp):
+        rs = _rs_cache_read(cp)
     else:
-        ci, fi, path, s, e = args
-        rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
-    # pairs identify BEFORE the filter (ref: FilterReads.cpp:103 then
-    # :114): remnant reads the filter appends never join rs.pairs, so the
-    # pair-driven picks skip them (they feed the spectrum only)
-    rs.identify_pairs()
+        if c.get("paired_paths"):
+            ci, s1, e1, s2, e2 = args
+            p1, p2 = c["paired_paths"]
+            rs = read_chunk_paired(p1, p2, (s1, e1, s2, e2), c["base"],
+                                   c["comment_stored"])
+        else:
+            ci, fi, path, s, e = args
+            rs = read_chunk(path, s, e, c["base"], c["comment_stored"], fi)
+        # pairs identify BEFORE the filter (ref: FilterReads.cpp:103 then
+        # :114): remnant reads the filter appends never join rs.pairs, so
+        # the pair-driven picks skip them (they feed the spectrum only)
+        rs.identify_pairs()
+        if not replay and cp:
+            _rs_cache_write(cp, rs)
     o = None
     if c["filt"] is not None:
         sp = _par_scan_path(ci)
@@ -1193,6 +1235,20 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         p2_dir = fast_temp_dir(chunk_bytes * 2 * threads, "kmtpu-p2-")
         register_path(p2_dir)
         _PAR["p2_dir"] = p2_dir
+        # pass-1 parsed-chunk cache (skips the pass-2 re-parse).
+        # MEASURED NEGATIVE with the native parse in place, kept opt-in
+        # (KMTPU_RS_CACHE=1) with the numbers: interleaved 1 GiB A/B ran
+        # 19.8-22.0 s cached vs 16.2-16.6 s re-parsing — the memchr
+        # newline scan + fused-normalize gather parse (~80 ms/16 MB
+        # chunk) is cheaper than the pickle round-trip plus rebuilding
+        # 78k-name lists and pair tuples per chunk.
+        try:
+            st = os.statvfs(p2_dir)
+            _PAR["rs_cache"] = \
+                st.f_bavail * st.f_frsize > 3 * total_bytes \
+                and os.environ.get("KMTPU_RS_CACHE", "0") == "1"
+        except OSError:
+            _PAR["rs_cache"] = False
     import time as _time
     t_p1 = _time.perf_counter()
     Log.debug(1, "pass1 pool start (head done)")
