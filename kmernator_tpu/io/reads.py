@@ -290,6 +290,13 @@ class ReadSet:
         # exactly "alternating selection within each run of candidates"
         nm = self.names_S() if n else None
         rn = self._read_nums_vec(nm)
+        if n >= 2 and int(rn.max()) == 0:
+            # unpaired data (no read numbers anywhere): the candidate
+            # mask requires rn != 0 on both sides, so the (n, w) prefix
+            # comparison below can never select — skip straight to the
+            # every-read-is-single fast path
+            self.pairs = list(zip(range(n), (-1,) * n))
+            return n
         if n >= 2:
             w = nm.dtype.itemsize
             ch = nm.view(np.uint8).reshape(n, w) if w else \
