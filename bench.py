@@ -348,20 +348,20 @@ def _e2e_baseline_one_run(mb: int) -> float:
     raise RuntimeError("baseline_filter produced no rate")
 
 
-def e2e_pair(mb: int = 0, reserve_s: float = 60.0):
+def e2e_pair(mb: int = 0, reserve_s: float = 60.0, max_pairs: int = 3):
     """(ours reads/s, baseline reads/s) measured INTERLEAVED —
-    ours, base, ours, base, ... — taking each side's best over up to 3
-    pairs.  The VM's throughput is bimodal (measured 13 s vs 150 s for
-    the identical run under neighbor load), so back-to-back pairs keep
-    a slow phase from landing on only one side of the ratio, and both
-    sides always get the SAME number of runs.  Stops early when a pair
-    improves neither side by >5% (both phases already sampled) or the
-    budget runs short."""
+    ours, base, ours, base, ... — taking each side's best over up to
+    `max_pairs` pairs.  The VM's throughput is bimodal (measured 13 s vs
+    150 s for the identical run under neighbor load), so back-to-back
+    pairs keep a slow phase from landing on only one side of the ratio,
+    and both sides always get the SAME number of runs.  Stops early when
+    a pair improves neither side by >5% (both phases already sampled) or
+    the budget runs short."""
     mb = mb or E2E_MB
     ours = _e2e_one_run(mb)
     base = _e2e_baseline_one_run(mb)
     est_pair = 10 + mb * 0.08  # fast-phase pair ~45 s at 1 GiB
-    for _ in range(2):
+    for _ in range(max_pairs - 1):
         if _remaining() < est_pair + reserve_s:
             break
         o2 = _e2e_one_run(mb)
@@ -407,17 +407,39 @@ def relay_probe(timeout: float = 30.0) -> bool:
 
 def tpu_attempt(cap: float) -> bool:
     """One guarded tpu_child run.  The shared dev relay occasionally
-    stalls mid-run, and a hung in-process jax call cannot be interrupted;
-    a stalled attempt must not eat the whole bench."""
+    stalls mid-run (or runs 3-5x slow while still answering probes), and
+    a hung in-process jax call cannot be interrupted; a stalled attempt
+    must not eat the whole bench.  On timeout, whatever the child already
+    printed (GOLDEN lands before the timed loop) is salvaged.  While no
+    value has landed, every attempt leaves the labeled host fallback its
+    ~150 s window — a slow-but-alive relay must never burn the budget
+    down to a value=null record."""
     cap = min(cap, _remaining() - 60)
+    if REC.get("value") is None:
+        cap = min(cap, _remaining() - 195)
     if cap < 45:
         return False
-    try:
-        out = _run([sys.executable, "-c",
-                    "import bench; bench.tpu_child()"],
-                   env=_bench_env(), timeout=cap)
-    except Exception:
-        return False
+    timeout = max(1.0, min(cap, _remaining() - 5))
+    out = ""
+    global _CHILD
+    with subprocess.Popen([sys.executable, "-c",
+                           "import bench; bench.tpu_child()"],
+                          env=_bench_env(), stdout=subprocess.PIPE,
+                          stderr=subprocess.DEVNULL) as p:
+        _CHILD = p
+        try:
+            out = p.communicate(timeout=timeout)[0].decode(
+                "utf-8", "replace")
+        except subprocess.TimeoutExpired:
+            p.kill()
+            try:
+                out = p.communicate(timeout=5)[0].decode("utf-8", "replace")
+            except Exception:
+                out = ""
+        except Exception:
+            pass
+        finally:
+            _CHILD = None
     for line in out.splitlines():
         if line.startswith("GOLDEN="):
             REC["chip_golden_ok"] = line.strip() == "GOLDEN=ok"
@@ -523,7 +545,8 @@ def host_fallback_stage():
         if line.startswith("RATE="):
             REC["value"] = round(float(line.split("=")[1]))
             REC["metric"] = ("canonical 31-mers counted/sec "
-                             "(HOST-CPU FALLBACK - TPU relay unreachable)")
+                             "(HOST-CPU FALLBACK - no TPU attempt "
+                             "completed; see tpu_probes)")
             REC["platform"] = "cpu-fallback"
 
 
@@ -570,14 +593,36 @@ def main():
         REC["vs_baseline"] = round(REC["value"] / base, 2)
     _checkpoint()
 
-    # stage E/F: e2e ours + baseline, interleaved pairs
+    # stage E/F: ONE interleaved e2e pair at the primary size first — the
+    # later stages (tpu_e2e, the second size point) must not be starved
+    # by extra pairs; stage I tops both sizes up with leftover budget
+    o_best = {E2E_MB: 0.0, 256: 0.0, 1024: 0.0}
+    b_best = {E2E_MB: 0.0, 256: 0.0, 1024: 0.0}
+
+    def _rec_e2e(mb):
+        if not (o_best[mb] and b_best[mb]):
+            return
+        if mb == E2E_MB:
+            REC["e2e_metric"] = ("reads filtered/sec (1 host, %d MB)"
+                                 % E2E_MB)
+            REC["e2e_value"] = round(o_best[mb])
+            REC["e2e_vs_baseline"] = round(o_best[mb] / b_best[mb], 2)
+        else:
+            tag = "1g" if mb == 1024 else str(mb)
+            REC["e2e_%s_value" % tag] = round(o_best[mb])
+            REC["e2e_%s_vs_baseline" % tag] = \
+                round(o_best[mb] / b_best[mb], 2)
+
+    def _one_pair(mb):
+        o, b = e2e_pair(mb, max_pairs=1)
+        o_best[mb] = max(o_best[mb], o)
+        b_best[mb] = max(b_best[mb], b)
+        _rec_e2e(mb)
+
     try:
-        e2e, e2e_base = e2e_pair()
-        REC["e2e_metric"] = "reads filtered/sec (1 host, %d MB)" % E2E_MB
-        REC["e2e_value"] = round(e2e)
-        REC["e2e_vs_baseline"] = round(e2e / e2e_base, 2)
+        _one_pair(E2E_MB)
     except Exception:
-        REC["e2e_value"] = None
+        REC.setdefault("e2e_value", None)
     try:
         tpu_stage(90.0)  # attempt 3
         if REC["value"] and base and REC.get("vs_baseline") is None:
@@ -594,29 +639,53 @@ def main():
         pass
     _checkpoint()
 
-    # stage H: a second e2e size point when the budget allows — the 1 GiB
-    # reference-scale point when the default was overridden smaller, else
-    # the 256 MB small-input point (the ratio is size-dependent; recording
-    # both sizes keeps the story honest)
+    # the labeled host fallback outranks the second size point: when the
+    # chip value is still missing and the remaining budget can only fund
+    # one of them, fund the fallback first (a null value is the worst
+    # possible record)
+    if REC["value"] is None and _remaining() < 330:
+        try:
+            host_fallback_stage()
+            if REC["value"] and base:
+                REC["vs_baseline"] = round(REC["value"] / base, 2)
+        except Exception:
+            pass
+        _checkpoint()
+
+    # stage H: one pair at the second size point (the ratio is
+    # size-dependent; recording both sizes keeps the story honest)
+    mb2 = 1024 if E2E_MB != 1024 else 256
     try:
-        if E2E_MB != 1024:
-            cached = os.path.exists("/tmp/kmtpu-bench-e2e-1024mb.fastq")
-            if _remaining() > (140 if cached else 280):
-                e2e1, base1 = e2e_pair(1024)
-                REC["e2e_1g_value"] = round(e2e1)
-                REC["e2e_1g_vs_baseline"] = round(e2e1 / base1, 2)
-        elif _remaining() > 90:
-            e2e256, base256 = e2e_pair(256)
-            REC["e2e_256_value"] = round(e2e256)
-            REC["e2e_256_vs_baseline"] = round(e2e256 / base256, 2)
+        cached = os.path.exists("/tmp/kmtpu-bench-e2e-%dmb.fastq" % mb2)
+        if _remaining() > (0.2 * mb2 + (20 if cached else 120)):
+            _one_pair(mb2)
+    except Exception:
+        pass
+    _checkpoint()
+
+    # stage I: leftover budget tops up BOTH sizes with more interleaved
+    # pairs, biggest-first — best-of across pairs is the bimodal-VM
+    # mitigation, now applied without starving any stage
+    try:
+        for mb in (E2E_MB, mb2, E2E_MB):
+            if _remaining() > 0.17 * mb + 100:
+                _one_pair(mb)
     except Exception:
         pass
 
-    # final TPU attempt with whatever budget is left, then the labeled
-    # host fallback only if every attempt failed
+    # final TPU attempt with whatever budget is left MINUS a reserved
+    # window for the labeled host fallback — a relay that is up but slow
+    # (probes pass, the child stalls) must not burn the fallback's slot
+    # and leave value=null (it did exactly that in a 420 s validation
+    # run: two full-cap attempts timed out, then remaining-90 < 30)
+    FALLBACK_RESERVE = 140.0
     try:
-        tpu_stage(max(_remaining() - 70, 45.0))
-        if REC["value"] and base and REC.get("vs_baseline") is None:
+        need_chip = (REC["value"] is None
+                     or REC.get("platform") == "cpu-fallback")
+        if need_chip and _remaining() > FALLBACK_RESERVE + 60:
+            tpu_stage(_remaining() - FALLBACK_RESERVE)
+        if REC["value"] and base and (REC.get("vs_baseline") is None
+                                      or REC.get("platform") == "tpu"):
             REC["vs_baseline"] = round(REC["value"] / base, 2)
     except Exception:
         pass
