@@ -575,7 +575,10 @@ def main():
     # still gets measured (round 3 front-loaded all three attempts in the
     # first ~330 s and a later recovery went unnoticed).
     try:
-        tpu_stage(180.0)
+        tpu_stage(240.0)  # the relay RTT fluctuates wildly (the same
+        # warm child measured 36 s, 80 s, and >178 s within an hour);
+        # attempt 1 gets the biggest cap since it is the most likely to
+        # land and everything downstream is cheaper
     except Exception:
         pass
     _checkpoint()
@@ -682,8 +685,12 @@ def main():
     try:
         need_chip = (REC["value"] is None
                      or REC.get("platform") == "cpu-fallback")
-        if need_chip and _remaining() > FALLBACK_RESERVE + 60:
-            tpu_stage(_remaining() - FALLBACK_RESERVE)
+        # when the labeled fallback already landed, the reserve is no
+        # longer needed — a late healthy-relay retry only needs its own
+        # runtime plus the flush margin
+        reserve = FALLBACK_RESERVE if REC["value"] is None else 0.0
+        if need_chip and _remaining() > reserve + 110:
+            tpu_stage(_remaining() - reserve - 50)
         if REC["value"] and base and (REC.get("vs_baseline") is None
                                       or REC.get("platform") == "tpu"):
             REC["vs_baseline"] = round(REC["value"] / base, 2)
