@@ -10,6 +10,7 @@ order.
 """
 from __future__ import annotations
 
+import os
 import sys
 from typing import List
 
@@ -27,8 +28,11 @@ from kmernator_tpu.utils.options import (GeneralOptions, KmerBaseOptions,
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
-def build_extension_spectrum(rs: ReadSet, k: int, min_quality: int,
-                             output_base: int, min_kmer_quality: float) -> KmerSpectrum:
+def _extension_observations(rs: ReadSet, k: int, min_quality: int,
+                            output_base: int, min_kmer_quality: float):
+    """Per-window (keys, good, weights f32, is_fwd, ext_left, ext_right)
+    of one ReadSet — the observation pipeline shared by the in-memory and
+    streaming builders."""
     codes_raw = BASE_CODE[rs.seq]
     markup = codes_raw == 4
     codes = np.where(markup, 0, codes_raw).astype(np.uint8)
@@ -41,10 +45,121 @@ def build_extension_spectrum(rs: ReadSet, k: int, min_quality: int,
     phred = rs.phred()
     hq = np.repeat(rs.has_quals, rs.lengths())
     ext_ok = (phred >= EXT_MIN_QUALITY) | ~hq
-    el, er = window_extensions(codes.astype(np.int64), ext_ok, rs.offsets, k, is_fwd)
-    return KmerSpectrum.from_observations(k, keys, good,
-                                          weights=w.astype(np.float32),
-                                          is_fwd=is_fwd, ext_left=el, ext_right=er)
+    el, er = window_extensions(codes.astype(np.int64), ext_ok, rs.offsets,
+                               k, is_fwd)
+    return keys, good, w.astype(np.float32), is_fwd, el, er
+
+
+def build_extension_spectrum(rs: ReadSet, k: int, min_quality: int,
+                             output_base: int, min_kmer_quality: float) -> KmerSpectrum:
+    keys, good, w, is_fwd, el, er = _extension_observations(
+        rs, k, min_quality, output_base, min_kmer_quality)
+    return KmerSpectrum.from_observations(k, keys, good, weights=w,
+                                          is_fwd=is_fwd, ext_left=el,
+                                          ext_right=er)
+
+
+def build_extension_spectrum_streaming(paths: List[str], k: int,
+                                       min_quality: int, output_base: int,
+                                       min_kmer_quality: float,
+                                       chunk_mb: float = 64.0,
+                                       comment_stored: bool = True,
+                                       capacity: int = 0) -> KmerSpectrum:
+    """Memory-bounded extension-tracking build: chunks stream through
+    range-partitioned spill parts holding (key, ext_left, ext_right,
+    is_fwd) records for the GOOD windows only, then each part counts
+    independently via from_observations and parts concatenate already
+    globally sorted — the reference's streaming MPI MeraculousCounter
+    build with disk parts instead of ranks (ref: _buildKmerSpectrumMPI,
+    src/DistributedFunctions.h:333-458 as used by
+    apps/MeraculousCounter.cpp; out-of-core partitioning per
+    buildKmerSpectrumInParts, src/KmerSpectrum.h:1818-1902).  The BUILD
+    is O(chunk + part) memory, not O(input reads); the returned table
+    (and the dumps the caller formats from it) is still O(unique kmers)
+    — same as the in-memory path's result, minus the whole-input ReadSet.
+
+    Documented deviation: the weighted-count column (histogram display
+    only; never consulted by the mercount/mergraph dumps) is not carried
+    through the spill records."""
+    import os as _os
+    from kmernator_tpu.io.chunked import stream_readsets
+    from kmernator_tpu.io.stream import estimate_raw_kmers
+    from kmernator_tpu.parallel.spill import (auto_parts,
+                                              key_range_splitters)
+    from kmernator_tpu.utils.cleanup import register_path, unregister_path
+    from kmernator_tpu.utils.memory import fast_temp_dir
+
+    rec_dt = np.dtype([("k", np.uint64), ("el", np.int8), ("er", np.int8),
+                       ("f", np.uint8)])
+    est = estimate_raw_kmers(paths, k)
+    num_parts = capacity if capacity > 0 else auto_parts(
+        est, rec_bytes=rec_dt.itemsize)
+    tmpdir = fast_temp_dir(est * rec_dt.itemsize, "kmtpu-merspill-")
+    register_path(tmpdir)
+    files = [open(_os.path.join(tmpdir, "part%d.bin" % p), "wb")
+             for p in range(num_parts)]
+    splitters = None
+    raw = good_total = 0
+    chunk_bytes = max(int(chunk_mb * (1 << 20)), 1 << 12)
+    try:
+        for rs in stream_readsets(paths, chunk_bytes, output_base,
+                                  comment_stored):
+            keys, good, _, is_fwd, el, er = _extension_observations(
+                rs, k, min_quality, output_base, min_kmer_quality)
+            raw += int(len(keys))
+            rec = np.empty(int(good.sum()), rec_dt)
+            rec["k"] = keys[good]
+            rec["el"] = el[good]
+            rec["er"] = er[good]
+            rec["f"] = is_fwd[good]
+            good_total += len(rec)
+            if not len(rec):
+                continue
+            if splitters is None:
+                step = max(1, len(rec) // 65536)
+                splitters = key_range_splitters(
+                    np.ascontiguousarray(rec["k"][::step]), num_parts)
+            part = np.searchsorted(splitters, rec["k"], side="right")
+            order = np.argsort(part, kind="stable")
+            rec = rec[order]
+            bounds = np.concatenate(
+                [[0], np.cumsum(np.bincount(part, minlength=num_parts))])
+            for p in range(num_parts):
+                s, e = int(bounds[p]), int(bounds[p + 1])
+                if s != e:
+                    files[p].write(rec[s:e].tobytes())
+    finally:
+        for f in files:
+            f.close()
+    sp = KmerSpectrum(k=k)
+    ks, cs, es, ds = [], [], [], []
+    for p in range(num_parts):
+        fn = _os.path.join(tmpdir, "part%d.bin" % p)
+        rec = np.fromfile(fn, rec_dt)
+        _os.unlink(fn)
+        if not len(rec):
+            continue
+        part_sp = KmerSpectrum.from_observations(
+            k, rec["k"], np.ones(len(rec), bool),
+            is_fwd=rec["f"].astype(bool), ext_left=rec["el"],
+            ext_right=rec["er"])
+        ks.append(part_sp.keys)
+        cs.append(part_sp.counts)
+        es.append(part_sp.extensions)
+        ds.append(part_sp.direction)
+    if ks:
+        sp.keys = np.concatenate(ks)
+        sp.counts = np.concatenate(cs)
+        sp.extensions = np.concatenate(es)
+        sp.direction = np.concatenate(ds)
+    try:
+        _os.rmdir(tmpdir)
+        unregister_path(tmpdir)
+    except OSError:
+        pass
+    sp.raw_kmers = raw
+    sp.raw_good_kmers = good_total
+    return sp
 
 
 def kmer_strings(keys: np.ndarray, k: int):
@@ -235,6 +350,21 @@ def run(argv: List[str]) -> int:
         i = argv.index("--mesh")
         mesh_devices = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    streaming = False
+    if "--streaming" in argv:
+        i = argv.index("--streaming")
+        streaming = True
+        argv = argv[:i] + argv[i + 1:]
+    streaming_chunk_mb = 64.0
+    if "--streaming-chunk-mb" in argv:
+        i = argv.index("--streaming-chunk-mb")
+        streaming_chunk_mb = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    streaming_parts = 0
+    if "--streaming-parts" in argv:
+        i = argv.index("--streaming-parts")
+        streaming_parts = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     if "--jax-platform" in argv:
         i = argv.index("--jax-platform")
         platform = argv[i + 1]
@@ -250,16 +380,37 @@ def run(argv: List[str]) -> int:
     if k == 0:
         Log.error("The Kmer size can not be 0")
         return 1
-    rs = load_reads(opts.input_file, opts.fastq_base_quality,
-                    opts.fastq_output_base_quality, opts.keep_read_comment)
-    if mesh_devices > 0:
-        spectrum = build_extension_spectrum_mesh(
-            rs, k, opts.min_quality_score, opts.fastq_output_base_quality,
-            sopts.min_kmer_quality, mesh_devices)
+    # inputs past the in-memory comfort zone auto-select the streaming
+    # builder (the reference's MeraculousCounter is the streaming MPI
+    # build; this is its bounded-memory single-host analogue)
+    total_bytes = sum(os.path.getsize(p) for p in opts.input_file
+                      if os.path.exists(p))
+    if (not streaming and mesh_devices == 0 and total_bytes > (256 << 20)
+            and not any(p.endswith(".gz") for p in opts.input_file)
+            and all(open(p, "rb").read(1) == b"@"
+                    for p in opts.input_file)):
+        Log.verbose(1, "input %.0f MB: auto-selecting the streaming "
+                    "builder (pass --streaming to force, --mesh for the "
+                    "device path)" % (total_bytes / (1 << 20)))
+        streaming = True
+    if streaming and mesh_devices == 0:
+        spectrum = build_extension_spectrum_streaming(
+            opts.input_file, k, opts.min_quality_score,
+            opts.fastq_output_base_quality, sopts.min_kmer_quality,
+            streaming_chunk_mb, opts.keep_read_comment, streaming_parts)
     else:
-        spectrum = build_extension_spectrum(rs, k, opts.min_quality_score,
-                                            opts.fastq_output_base_quality,
-                                            sopts.min_kmer_quality)
+        rs = load_reads(opts.input_file, opts.fastq_base_quality,
+                        opts.fastq_output_base_quality,
+                        opts.keep_read_comment)
+        if mesh_devices > 0:
+            spectrum = build_extension_spectrum_mesh(
+                rs, k, opts.min_quality_score,
+                opts.fastq_output_base_quality,
+                sopts.min_kmer_quality, mesh_devices)
+        else:
+            spectrum = build_extension_spectrum(
+                rs, k, opts.min_quality_score,
+                opts.fastq_output_base_quality, sopts.min_kmer_quality)
     spectrum.purge_min_depth(2)  # weak-map visibility
     out = opts.output_file
     dump_counts(spectrum, "%s.mercount.m%d" % (out, k), sopts.min_depth)

@@ -67,3 +67,31 @@ def test_dump_speed_1m():
     dump_counts(sp, d + "/c", 1)
     dump_graphs(sp, d + "/g", 1)
     assert time.time() - t0 < 30.0
+
+
+def test_streaming_builder_matches_inmemory_and_golden(tmp_path):
+    """--streaming (bounded-memory spill-part build, the reference's
+    streaming MPI MeraculousCounter analogue): byte-identical mercount and
+    mergraph vs the in-memory builder, and sorted-identical vs the
+    reference goldens.  Tiny chunks and a forced part count exercise
+    multi-chunk routing and multi-part finalize."""
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    base = [sys.executable, "-m", "kmernator_tpu.apps.meraculous_counter",
+            "--min-kmer-quality", "0", "--min-quality-score", "2",
+            "--kmer-size", "21", "--fastq-base-quality", "64"]
+    inp = os.path.join(REF, "1000.fastq")
+    mem = str(tmp_path / "mem")
+    subprocess.run(base + ["--out", mem, inp], check=True, env=env,
+                   capture_output=True)
+    stre = str(tmp_path / "str")
+    subprocess.run(base + ["--streaming", "--streaming-chunk-mb", "0.05",
+                           "--streaming-parts", "5", "--out", stre, inp],
+                   check=True, env=env, capture_output=True)
+    for suffix, golden_name in [(".mercount.m21", "phix.mercount.m21"),
+                                (".mergraph.m21.D2", "phix.mergraph.m21.D2")]:
+        a = open(mem + suffix, "rb").read()
+        b = open(stre + suffix, "rb").read()
+        assert a == b, "streaming %s differs from in-memory" % suffix
+        want = sorted(open(os.path.join(REF, golden_name),
+                           "rb").read().splitlines())
+        assert sorted(b.splitlines()) == want, "%s vs golden" % suffix
