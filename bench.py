@@ -168,6 +168,39 @@ def _host_oracle(codes: np.ndarray):
     return uk, uc.astype(np.int64)
 
 
+# Seeds for the two independent 32-bit table digests (see _digest_np).
+_DIGEST_SEEDS = (0x9e3779b9, 0x85ebca6b)
+
+
+def _mix32_np(x):
+    """splitmix-style 32-bit finalizer (numpy u32, overflow wraps)."""
+    x = x.astype(np.uint32, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint32(16)
+        x *= np.uint32(0x7FEB352D)
+        x ^= x >> np.uint32(15)
+        x *= np.uint32(0x846CA68B)
+        x ^= x >> np.uint32(16)
+    return x
+
+
+def _digest_np(hi, lo, counts, seed):
+    """Order-sensitive table digest: mix(hi, lo, count, rank) summed mod
+    2^32.  rank is the row's position in ascending-key order, so ANY
+    difference in keys, counts, multiplicity, or order moves the digest.
+    Two seeds give an effective 64-bit comparison — the chip-golden check
+    reads back ONE scalar per digest instead of the whole table (a 262 KB
+    device->host pull measured 43-206 s through the relay, which starved
+    the RATE phase out of every capped attempt)."""
+    rank = np.arange(len(hi), dtype=np.uint32)
+    h = _mix32_np(rank ^ np.uint32(seed))
+    h = _mix32_np(h ^ counts.astype(np.uint32))
+    h = _mix32_np(h ^ lo.astype(np.uint32))
+    h = _mix32_np(h ^ hi.astype(np.uint32))
+    with np.errstate(over="ignore"):
+        return int(h.sum(dtype=np.uint32))
+
+
 def tpu_child(platform=None, steps=STEPS):
     """Runs inside the guarded subprocess: golden check + timed rate.
     Prints GOLDEN=ok|mismatch and RATE=<kmers/s>.
