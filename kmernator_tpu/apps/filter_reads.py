@@ -325,9 +325,61 @@ def first_markup_nor_x(rs: ReadSet) -> np.ndarray:
     return out
 
 
+PART_MARK = "\x00part"  # output-key marker: merged-output part stream
+
+
+def _part_stream_path(path: str):
+    """(real_path, part_idx) for a PART_MARK-marked output key, else
+    (path, None)."""
+    if PART_MARK in path:
+        real, idx = path.split(PART_MARK, 1)
+        return real, int(idx)
+    return path, None
+
+
+def _append_blob(path: str, write_fn, written: set, parts: Dict):
+    """Route one per-chunk output blob: plain paths append directly
+    (truncating on first touch); PART_MARK paths append to their
+    per-part temp file for _finalize_parts."""
+    real, pi = _part_stream_path(path)
+    if pi is None:
+        mode = "ab" if path in written else "wb"
+        written.add(path)
+        with open(path, mode) as f:
+            write_fn(f)
+        return
+    tmp = "%s.part%d.tmp" % (real, pi)
+    mode = "ab" if (real, pi) in parts else "wb"
+    parts[(real, pi)] = tmp
+    with open(tmp, mode) as f:
+        write_fn(f)
+
+
+def _finalize_parts(written: set, parts: Dict):
+    """Concatenate part streams (ascending part index = source file
+    order) onto their real output paths, so the two-file streaming
+    engine's merged output is file-sequential like the in-memory path's
+    (ref: src/ReadSelector.h:1212-1262 writes file by file)."""
+    import shutil
+    for real in sorted({r for r, _ in parts}):
+        mode = "ab" if real in written else "wb"
+        written.add(real)
+        with open(real, mode) as f:
+            for rp in sorted(k for k in parts if k[0] == real):
+                with open(parts[rp], "rb") as src:
+                    try:
+                        os.sendfile(f.fileno(), src.fileno(), 0,
+                                    os.fstat(src.fileno()).st_size)
+                    except OSError:
+                        shutil.copyfileobj(src, f)
+                os.unlink(parts[rp])
+    parts.clear()
+
+
 def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
                  suffix: str, opts, ropts, input_files,
-                 outputs: Dict[str, List[bytes]]):
+                 outputs: Dict[str, List[bytes]],
+                 paired_parts: bool = False):
     pk = np.asarray(picks if isinstance(picks, (list, np.ndarray))
                     else list(picks), dtype=np.int64)
     pk = pk[(pk >= 0) & (pk < rs.n)]
@@ -335,12 +387,22 @@ def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
         return
     if ropts.separate_outputs:
         fis = rs.file_idx[pk]
-        groups = {("-" + file_prefix(input_files[int(fi)])): pk[fis == fi]
+        groups = {("-" + file_prefix(input_files[int(fi)]), ""):
+                  pk[fis == fi] for fi in np.unique(fis)}
+    elif paired_parts:
+        # merged output from the two-file streaming engine: chunks hold
+        # file-1 records then their mates, so appending per chunk would
+        # interleave the files.  Split each merged output into per-source
+        # PART STREAMS (PART_MARK keys, consumed by _append_blob /
+        # _finalize_parts) concatenated file-sequentially at close — the
+        # reference's merged ordering (ref: src/ReadSelector.h:1212-1262)
+        fis = rs.file_idx[pk]
+        groups = {("", PART_MARK + "%d" % fi): pk[fis == fi]
                   for fi in np.unique(fis)}
     else:
-        groups = {"": pk}
+        groups = {("", ""): pk}
     from kmernator_tpu.io.native import ByteRows
-    for key, g in groups.items():
+    for (key, tail), g in groups.items():
         if isinstance(trims.label, ByteRows):
             lab = trims.label.gather(g)  # stays columnar end to end
         else:
@@ -350,7 +412,7 @@ def _write_picks(rs: ReadSet, trims: ReadTrims, picks, out_name: str,
             trims.offset[g], trims.length[g],
             opts.format_output, opts.fastq_output_base_quality,
             comment_stored=opts.keep_read_comment)
-        outputs.setdefault(out_name + key + suffix, []).append(rec)
+        outputs.setdefault(out_name + key + suffix + tail, []).append(rec)
 
 
 def _pick_coverage_normalized(rs: ReadSet, trims: ReadTrims, target_depth: int,
@@ -532,7 +594,8 @@ def _pick_best_covering(rs: ReadSet, trims: ReadTrims, spectrum, k: int,
 
 
 def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
-                 ropts, input_files: List[str]) -> Dict[str, bytes]:
+                 ropts, input_files: List[str],
+                 paired_parts: bool = False) -> Dict[str, bytes]:
     """Full selectReads flow (ref: apps/FilterReads.h:158-282): max-kmer-depth
     normalization, partition-by-depth, remainder-trim, or plain all-passing
     selection.  Returns {output_path: bytes}."""
@@ -562,7 +625,7 @@ def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
                 rs, trims, spectrum, k, max_kmer_depth, float(min_depth),
                 ropts.min_read_length, ropts.min_passing_in_pair == 2)
         _write_picks(rs, trims, picks, out_name, suffix, opts, ropts,
-                     input_files, outputs)
+                     input_files, outputs, paired_parts)
     else:
         partition_depth = ropts.partition_by_depth
         is_partitioned = partition_depth > 0
@@ -584,7 +647,7 @@ def select_reads(rs: ReadSet, trims: ReadTrims, spectrum, opts, kopts, sopts,
             picks = pick_all_passing(rs, trims, float(tmp_min),
                                      min_read_length, min_passing == 2)
             _write_picks(rs, trims, picks, ofname, suffix, opts, ropts,
-                         input_files, outputs)
+                         input_files, outputs, paired_parts)
             if depth == min_depth or depth == 0:
                 if (not has_remainder and is_partitioned
                         and ropts.remainder_trim >= 0.0
@@ -999,7 +1062,8 @@ def _par_pass2(args):
         trims = _trim_by_markup(rs)
     t4 = _t.perf_counter()
     outputs = select_reads(rs, trims, _p2_spectrum(), c["opts"], c["kopts"],
-                           c["sopts"], c["ropts"], c["opts"].input_file)
+                           c["sopts"], c["ropts"], c["opts"].input_file,
+                           paired_parts=bool(c.get("paired_merged")))
     if o is not None:
         outputs.update(divert_blobs(rs, o, c["opts"], c["aopts"]))
     t5 = _t.perf_counter()
@@ -1134,7 +1198,8 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         output_base=opts.fastq_output_base_quality,
         min_kq=sopts.min_kmer_quality, opts=opts, kopts=kopts, sopts=sopts,
         ropts=ropts, aopts=aopts, subtract_keys=None, spectrum=None,
-        paired_paths=tuple(opts.input_file[:2]) if paired else None)
+        paired_paths=tuple(opts.input_file[:2]) if paired else None,
+        paired_merged=paired and not ropts.separate_outputs)
 
     ctx = mp.get_context("fork")
     spectrum = None
@@ -1334,18 +1399,20 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
                 f.write("%d" % k)
         t_g1 = _time.perf_counter()
         written = set()
+        parts: Dict = {}
         for outputs in _iter_pool(pool.imap(_par_pass2, work, chunksize=1),
                                   len(work), "pass2"):
             for path, src_fn in outputs.items():
-                mode = "ab" if path in written else "wb"
-                written.add(path)
-                with open(path, mode) as f, open(src_fn, "rb") as src:
-                    try:
-                        os.sendfile(f.fileno(), src.fileno(), 0,
-                                    os.fstat(src.fileno()).st_size)
-                    except OSError:
-                        f.write(src.read())
+                def _sendfile(f, src_fn=src_fn):
+                    with open(src_fn, "rb") as src:
+                        try:
+                            os.sendfile(f.fileno(), src.fileno(), 0,
+                                        os.fstat(src.fileno()).st_size)
+                        except OSError:
+                            f.write(src.read())
+                _append_blob(path, _sendfile, written, parts)
                 os.unlink(src_fn)
+        _finalize_parts(written, parts)
     import shutil
     shutil.rmtree(p2_dir, ignore_errors=True)
     Log.debug(1, "pass2: hash %.2fs score+write %.2fs"
@@ -1393,12 +1460,6 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     paired_stream = (len(opts.input_file) == 2
                      and not any(p.endswith(".gz") for p in opts.input_file)
                      and paired_files_aligned(*opts.input_file))
-    if paired_stream and not ropts.separate_outputs:
-        Log.error("--streaming paired two-file mode requires "
-                  "--separate-outputs 1 (the merged output is "
-                  "file-sequential in the in-memory path); use the "
-                  "in-memory path for merged output")
-        return 1
     if len(opts.input_file) == 2 and not paired_stream:
         Log.warn("two input files do not pair positionally; streaming "
                  "treats them as independent single-end inputs (mates "
@@ -1516,6 +1577,7 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
     if not opts.output_file:
         return 0
     written = set()
+    parts: Dict = {}
     for rs in chunks(replay=True):
         if k > 0:
             counts, w_off = window_count_lookup(rs, spectrum, k)
@@ -1526,15 +1588,14 @@ def run_streaming(opts, kopts, sopts, ropts, aopts, fopts, chunk_mb: float,
                                    ropts.bimodal_sigmas)
         else:
             trims = _trim_by_markup(rs)
-        outputs = select_reads(rs, trims, spectrum, opts, kopts, sopts,
-                               ropts, opts.input_file)
+        outputs = select_reads(
+            rs, trims, spectrum, opts, kopts, sopts, ropts, opts.input_file,
+            paired_parts=paired_stream and not ropts.separate_outputs)
         if "o" in last_outcome:
             outputs.update(divert_blobs(rs, last_outcome["o"], opts, aopts))
         for path, data in outputs.items():
-            mode = "ab" if path in written else "wb"
-            written.add(path)
-            with open(path, mode) as f:
-                f.write(data)
+            _append_blob(path, lambda f, d=data: f.write(d), written, parts)
+    _finalize_parts(written, parts)
     for path in written:
         Log.verbose(1, "wrote %s (%d bytes)" % (path, os.path.getsize(path)))
     return 0
@@ -1917,30 +1978,33 @@ def run(argv: List[str]) -> int:
         and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
         and sopts.build_partitions <= 0
         and all(os.path.exists(p) for p in opts.input_file))
+    # auto-engage threshold; env-tunable so the gate itself is testable
+    # without generating a quarter-gigabyte input
+    auto_mb = int(os.environ.get("KMTPU_AUTO_STREAM_MB", "256"))
     if (auto_streamable and len(opts.input_file) == 1
-            and os.path.getsize(opts.input_file[0]) > (256 << 20)):
+            and os.path.getsize(opts.input_file[0]) > (auto_mb << 20)):
         # the streaming engine is byte-compatible feature-for-feature and
         # both faster (worker pool + native kernels) and bounded-memory;
         # auto-enable it for large SINGLE-file inputs unless an
         # in-memory-only feature (normalization, dedup, mmap save/load,
         # partition-by-depth) is on.
-        Log.verbose(1, "input > 256 MB: using the streaming engine "
-                    "(pass --streaming-chunk-mb to tune)")
+        Log.verbose(1, "input > %d MB: using the streaming engine "
+                    "(pass --streaming-chunk-mb to tune)" % auto_mb)
         streaming = True
     elif (auto_streamable and len(opts.input_file) == 2
-          and ropts.separate_outputs
           and not any(p.endswith(".gz") for p in opts.input_file)
           and sum(os.path.getsize(p) for p in opts.input_file)
-          > (256 << 20)):
+          > (auto_mb << 20)):
         # large paired two-file inputs keep the bounded-memory engine too,
-        # via record-lockstep chunking of the file PAIR — but only when
-        # the heads actually pair positionally (the standard R1/R2
-        # layout); name-scrambled pairs stay in-memory where global name
-        # matching pairs them
+        # via record-lockstep chunking of the file PAIR — merged output
+        # included (part streams concatenate file-sequentially at close,
+        # see _finalize_parts) — but only when the heads actually pair
+        # positionally (the standard R1/R2 layout); name-scrambled pairs
+        # stay in-memory where global name matching pairs them
         from kmernator_tpu.io.chunked import paired_files_aligned
         if paired_files_aligned(*opts.input_file):
-            Log.verbose(1, "paired input > 256 MB: using the streaming "
-                        "engine in two-file lockstep mode")
+            Log.verbose(1, "paired input > %d MB: using the streaming "
+                        "engine in two-file lockstep mode" % auto_mb)
             streaming = True
     if streaming:
         # in-memory-only features must fail loudly, not silently no-op
