@@ -754,11 +754,17 @@ def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
     mesh = make_mesh(D)
     if capacity <= 0:
         est = estimate_raw_kmers(input_files, k)
-        # the raw-window estimate is an upper bound on uniques; clamp the
-        # auto capacity so drain sorts fit HBM — if the clamp is too small
-        # the singleton-purge warning below says to override it
-        capacity = min(max(int(np.ceil(est / D)), 4096), 64 << 20)
-    sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
+        # START small and grow on pressure (the table doubles while over
+        # half full, exact until the 64M/device hard ceiling): memory then
+        # tracks the UNIQUE population, where sizing by the raw-window
+        # estimate grew per-device tables linearly in INPUT size (a
+        # measured ~1 GB/process of waste at 64 MB inputs).  An explicit
+        # --streaming-parts capacity stays fixed (purge-under-pressure).
+        sp = MeshStreamingSpectrum(
+            mesh, k, capacity=min(max(int(np.ceil(est / D)), 4096), 512 << 10),
+            max_capacity=64 << 20)
+    else:
+        sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
     raw = good_total = n_reads = 0
     L = 0
     for rs in chunks:
@@ -1744,9 +1750,14 @@ def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
             opts.min_quality_score, opts.fastq_output_base_quality,
             sopts.min_kmer_quality, sopts.min_depth)
         est = estimate_raw_kmers(opts.input_file, k)
-        cap = capacity if capacity > 0 else min(
-            max(int(np.ceil(est / D)), 4096), 64 << 20)
-        sp = MeshStreamingSpectrum(mesh, k, capacity=cap)
+        if capacity > 0:
+            sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
+        else:
+            # start small + grow on pressure (see _streaming_mesh_count)
+            sp = MeshStreamingSpectrum(
+                mesh, k,
+                capacity=min(max(int(np.ceil(est / D)), 4096), 512 << 10),
+                max_capacity=64 << 20)
 
         # ---- pass 1: lockstep streaming build over the global mesh ----
         it = iter(chunk_arrays(False))

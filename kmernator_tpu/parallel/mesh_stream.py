@@ -190,20 +190,43 @@ def _drain_fn(mesh: Mesh, W: int, cap: int, R: int):
         kept_counts = s2[W + 1][:cap]
         kept_w = s2[W + 2][:cap]
         kept_real = kept_counts > 0
-        purged = jnp.sum((s2[W + 1] > 0).astype(jnp.int32)) - jnp.sum(
-            kept_real.astype(jnp.int32))
+        filled = jnp.sum(kept_real.astype(jnp.int32))
+        purged = jnp.sum((s2[W + 1] > 0).astype(jnp.int32)) - filled
         out_cols = [jnp.where(kept_real, c[:cap], SENTINEL) for c in s2[1:W + 1]]
         # 3) re-sort by key so the table stays binary-searchable
         s3 = jax.lax.sort(out_cols + [jnp.where(kept_real, kept_counts, 0),
                                       jnp.where(kept_real, kept_w, 0.0)],
                           num_keys=W, is_stable=False)
         return (tuple(a[None, :] for a in s3[:W])
-                + (s3[W][None, :], s3[W + 1][None, :], purged[None]))
+                + (s3[W][None, :], s3[W + 1][None, :], purged[None],
+                   filled[None]))
 
     smapped = shard_map(
         step, mesh=mesh,
         in_specs=tuple([P(axis, None)] * (W + 2)),
-        out_specs=tuple([P(axis, None)] * (W + 2)) + (P(axis),))
+        out_specs=tuple([P(axis, None)] * (W + 2)) + (P(axis), P(axis)))
+    return jax.jit(smapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_table_fn(mesh: Mesh, W: int, pad: int):
+    """Append `pad` sentinel/zero columns to every shard plane — the
+    table-growth step.  Sentinel keys sort last, and the existing table
+    is key-sorted with sentinels already trailing, so appending more
+    keeps the binary-search invariant without a re-sort."""
+    axis = mesh.axis_names[0]
+
+    def step(*planes):
+        out = [jnp.pad(planes[w], ((0, 0), (0, pad)),
+                       constant_values=SENTINEL) for w in range(W)]
+        out.append(jnp.pad(planes[W], ((0, 0), (0, pad))))
+        out.append(jnp.pad(planes[W + 1], ((0, 0), (0, pad))))
+        return tuple(out)
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=tuple([P(axis, None)] * (W + 2)),
+        out_specs=tuple([P(axis, None)] * (W + 2)))
     return jax.jit(smapped)
 
 
@@ -458,13 +481,23 @@ class MeshStreamingSpectrum:
     """
 
     def __init__(self, mesh: Mesh, k: int, capacity: int,
-                 capacity_factor: float = 0.0, drain_threshold: int = 0):
+                 capacity_factor: float = 0.0, drain_threshold: int = 0,
+                 max_capacity: int = 0):
+        """max_capacity > capacity enables GROW-ON-PRESSURE: the table
+        doubles whenever a drain leaves it more than half full, so
+        per-device memory tracks the UNIQUE key population instead of the
+        raw stream size, and the singleton purge only ever fires at the
+        hard ceiling (counts stay exact below it).  max_capacity == 0
+        keeps the fixed-capacity purge-under-pressure behavior (the
+        explicit --streaming-parts override)."""
         from kmernator_tpu.parallel import multihost as mh
         self._mh = mh
         self.mesh = mesh
         self.k = k
         self.W = nwords(k)
         self.cap = int(capacity)
+        self.max_capacity = int(max_capacity)
+        self._user_threshold = bool(drain_threshold)
         # all_to_all bucket headroom over the balanced share: with a single
         # device there is no hash imbalance at all, so buckets can be tight
         if capacity_factor <= 0.0:
@@ -494,6 +527,8 @@ class MeshStreamingSpectrum:
                                           np.float32))
         self._staged: List[Tuple] = []   # list of (W recv planes [D, C])
         self._staged_rows = 0            # per-device staged row count
+        self._staged_real = 0   # exact real (good) observations staged
+        self._last_filled = 0   # global max shard fill after last drain
         self.purged_singletons = 0
         self.overflow_retries = 0
         self.total_batches = 0
@@ -554,6 +589,7 @@ class MeshStreamingSpectrum:
                 raise RuntimeError("mesh bucket overflow even at C=%d" % C)
         self._staged.append(recv)  # W key planes + weight plane, [D, D*C]
         self._staged_rows += self.D * C
+        self._staged_real += int(good2d.sum())
         self.total_batches += 1
         if self._staged_rows >= self.drain_threshold:
             self._drain()
@@ -561,6 +597,14 @@ class MeshStreamingSpectrum:
     def _drain(self):
         if not self._staged:
             return
+        # PRE-grow so this merge can never purge below the hard ceiling:
+        # the worst case is every real staged observation a brand-new
+        # unique landing on one shard.  The bound must be agreed across
+        # processes (same growth steps everywhere), hence the max-reduce.
+        if self.max_capacity > self.cap:
+            need = self._last_filled + self._mh.allreduce_max_int(
+                self._staged_real)
+            self._maybe_grow(need, headroom=1)
         cols = []
         for w in range(self.W):
             cols.append(jnp.concatenate(
@@ -579,6 +623,33 @@ class MeshStreamingSpectrum:
             self._mh.allgather_host(out[self.W + 2]).sum())
         self._staged = []
         self._staged_rows = 0
+        self._staged_real = 0
+        filled = int(self._mh.allgather_host(out[self.W + 3]).max())
+        self._last_filled = filled
+        self._maybe_grow(filled)
+
+    def _maybe_grow(self, rows: int, headroom: int = 2):
+        """Double the per-shard table while rows * headroom > cap (up to
+        max_capacity).  Called post-drain with the global max shard fill
+        (headroom 2: stay under half full) and pre-drain with the
+        worst-case merge size (headroom 1: the drain can NEVER purge
+        below the hard ceiling).  Globally-agreed inputs drive the
+        decision, so every process of a multi-host run grows in
+        lockstep."""
+        while (self.max_capacity > self.cap
+               and rows * headroom > self.cap):
+            pad = min(self.cap, self.max_capacity - self.cap)
+            fn = _pad_table_fn(self.mesh, self.W, pad)
+            out = fn(*self.table_cols, self.table_counts, self.table_weights)
+            self.table_cols = list(out[:self.W])
+            self.table_counts = out[self.W]
+            self.table_weights = out[self.W + 1]
+            self.cap += pad
+            if not self._user_threshold:
+                self.drain_threshold = self.cap // 2
+            from kmernator_tpu.utils.logging import Log
+            Log.debug(1, "mesh shard table grew to %d rows/device "
+                      "(driving rows %d x%d)" % (self.cap, rows, headroom))
 
     # -------------------- lookup (pass 2) --------------------
 

@@ -161,3 +161,58 @@ def test_mesh_stream_set_table_roundtrip():
     sp.set_table(keys, counts.astype(np.int32))
     after = sp.lookup_batch(codes, allw, lengths, min_count=2)
     assert np.array_equal(before, after)
+
+
+def test_mesh_stream_grow_on_pressure_exact():
+    """Grow-on-pressure (max_capacity > capacity): the shard tables start
+    tiny, double whenever over half full, never purge below the ceiling,
+    and the finished table is EXACTLY the fixed-big-capacity build — the
+    memory fix that keeps per-device tables sized to the unique
+    population instead of the raw stream estimate."""
+    from kmernator_tpu.ops.kmer import extract_kmers_flat
+    from kmernator_tpu.parallel.spectrum import pack_u64
+    from kmernator_tpu.parallel.mesh import make_mesh
+    from kmernator_tpu.parallel.mesh_stream import MeshStreamingSpectrum
+
+    rng = np.random.default_rng(11)
+    L, B = 64, 256
+    genome = rng.integers(0, 4, 3000, dtype=np.uint8)
+    batches = []
+    for bi in range(10):
+        codes = rng.integers(0, 4, (B, L), dtype=np.uint8)
+        starts = rng.integers(0, 3000 - L, B // 2)
+        codes[:B // 2] = genome[starts[:, None] + np.arange(L)[None, :]]
+        batches.append(codes)
+
+    true = {}
+    for codes in batches:
+        flat = codes.reshape(-1)
+        offs = np.arange(0, (B + 1) * L, L)
+        canon, _, _, _ = extract_kmers_flat(flat, offs, K)
+        for kk in pack_u64(canon).tolist():
+            true[kk] = true.get(kk, 0) + 1
+
+    mesh = make_mesh(4)
+    good = np.ones((B, L - K + 1), dtype=bool)
+    lengths = np.full(B, L, np.int32)
+
+    grown = MeshStreamingSpectrum(mesh, K, capacity=1024,
+                                  max_capacity=1 << 20)
+    for codes in batches:
+        grown.add_batch(codes, good, lengths)
+    gk, gc = grown.finalize(min_depth=1)
+    assert grown.cap > 1024, "table never grew"
+    assert grown.purged_singletons == 0, "growth must pre-empt the purge"
+
+    fixed = MeshStreamingSpectrum(mesh, K, capacity=65536)
+    for codes in batches:
+        fixed.add_batch(codes, good, lengths)
+    fk, fc = fixed.finalize(min_depth=1)
+    assert fixed.purged_singletons == 0
+
+    def as_dict(keys, counts):
+        k64 = (keys[:, 0].astype(np.uint64) << np.uint64(32)) | keys[:, 1]
+        return dict(zip(k64.tolist(), counts.tolist()))
+
+    g, f = as_dict(gk, gc), as_dict(fk, fc)
+    assert g == f == true
