@@ -1225,18 +1225,27 @@ def _run_streaming_parallel(opts, kopts, sopts, ropts, aopts, fopts, filt,
         from kmernator_tpu.utils.memory import fast_temp_dir
         spill_dir = fast_temp_dir(est * 12, "kmtpu-spill-")
         register_path(spill_dir)
-        # size each worker's aggregator for the input up front: growing
-        # 4M -> 16M slots costs a full export + re-insert per step
-        # (~1 s/worker of first-wave warmup at the 256 MB shape); starting
-        # at ~half the per-worker raw windows (load stop 0.65 then holds a
-        # 1/3-unique stream without growing) skips the churn.  Clamped to
-        # the same 16M-slot / RAM-budget cap AggSpillCounter growth uses.
+        # size each worker's aggregator by the EXPECTED UNIQUE load, not
+        # the raw stream: every worker sees (mostly) the same unique
+        # population, the tables replicate threads-fold, and random
+        # probes beyond sum-of-tables ~ L3 go to DRAM.  est_pw/6 tracks
+        # the unique fraction of a ~5x-coverage stream; measured on the
+        # 260 MB-L3 4-core host: 256 MB input wants 4M slots/worker
+        # (spill 3.64 vs 4.58 core-s at the old est/2-sized 16M, -0.4 s
+        # wall), 1 GiB wants 16M (14.4 vs 15.6 s capped at 4M).  Clamped
+        # to the RAM budget and the 16M AggSpillCounter growth cap;
+        # KMTPU_AGG_SLOTS overrides for tuning.
         from kmernator_tpu.utils.memory import available_mb
         est_pw = est // max(1, threads)
         slot_b = 20 if track_w else 16
         budget_slots = int(available_mb() * (1 << 20) / 4 / threads / slot_b)
-        agg_slots = 1 << max(22, int(max(est_pw // 2, 1) - 1).bit_length())
-        agg_slots = max(1 << 22, min(agg_slots, 1 << 24, budget_slots))
+        cand = max(min(est_pw // 6, 1 << 24, budget_slots), 1)
+        # pow2 CEIL in [4M, 16M]: 256 MB (cand 3.6M) -> 4M, 1 GiB
+        # (cand 14.3M) -> 16M, the two measured optima
+        agg_slots = min(1 << max(22, int(cand - 1).bit_length()), 1 << 24)
+        if os.environ.get("KMTPU_AGG_SLOTS"):
+            agg_slots = 1 << int(
+                np.log2(int(os.environ["KMTPU_AGG_SLOTS"])))
         _PAR.update(track_w=track_w, subtract_keys=subtract_keys,
                     num_parts=num_parts, spill_dir=spill_dir, splitters=None,
                     agg_slots=agg_slots)

@@ -83,3 +83,28 @@ def fast_temp_dir(est_bytes: int, prefix: str = "kmtpu-") -> str:
         except OSError:
             continue
     return tempfile.mkdtemp(prefix=prefix)
+
+
+def l3_cache_bytes() -> int:
+    """Last-level cache size from sysfs (shared budget for the streaming
+    workers' aggregation tables), 32 MB fallback when unreadable."""
+    try:
+        base = "/sys/devices/system/cpu/cpu0/cache"
+        for idx in sorted(os.listdir(base), reverse=True):
+            d = os.path.join(base, idx)
+            try:
+                with open(os.path.join(d, "level")) as f:
+                    if f.read().strip() != "3":
+                        continue
+                with open(os.path.join(d, "size")) as f:
+                    s = f.read().strip()
+                if s.endswith("K"):
+                    return int(s[:-1]) << 10
+                if s.endswith("M"):
+                    return int(s[:-1]) << 20
+                return int(s)
+            except (OSError, ValueError):
+                continue
+    except OSError:
+        pass
+    return 32 << 20
