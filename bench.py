@@ -450,9 +450,11 @@ class _ChipChild:
     relay; the host stages burn local cores), so main() runs them
     concurrently instead of serializing one budget across both."""
 
-    def __init__(self):
+    CODE = "import bench; bench.tpu_child()"
+
+    def __init__(self, code: str = None):
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", "import bench; bench.tpu_child()"],
+            [sys.executable, "-c", code or self.CODE],
             env=_bench_env(), stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1)
         self.thread = threading.Thread(target=self._reader, daemon=True)
@@ -721,10 +723,18 @@ def tpu_e2e_stage():
     if REC.get("platform") != "tpu" or "tpu_e2e_value" in REC:
         return
     cap = min(420.0, _remaining() - 75)
-    # measured on the dev relay: 16 MB warm = 86 s mesh + 4 s host ref,
-    # cold compile +60 s (the persistent cache keeps later rounds warm)
+
+    def _mark(what):
+        with _REC_LOCK:
+            REC["tpu_e2e"] = what
+            REC.setdefault("tpu_e2e_attempts", []).append(
+                {"t": round(time.time() - _T0, 1), "cap": round(cap),
+                 "result": what})
+
+    # measured on the dev relay: 8 MB warm = 26-31 s mesh + 5 s host ref,
+    # cold compile ~200 s (the persistent cache keeps later rounds warm)
     if cap < 100:
-        REC["tpu_e2e"] = "skipped (budget: %.0f s left)" % _remaining()
+        _mark("skipped (budget: %.0f s left)" % _remaining())
         return
     mb = TPU_E2E_MB
     path = e2e_input_path(mb)
@@ -733,6 +743,20 @@ def tpu_e2e_stage():
              "--mask-simple-repeats", "0", "--artifact-edit-distance", "1",
              "--min-read-length", "25"]
     env = _bench_env()
+
+    def _clean():
+        # stale outputs from a timed-out earlier attempt poison the
+        # byte-comparison (a partial tpu file vs a fresh host file read
+        # as equal_host=false in a validation run) — scrub before AND
+        # after, success or not
+        for f in os.listdir("/tmp"):
+            if f.startswith("kmtpu-te2e-"):
+                try:
+                    os.unlink("/tmp/" + f)
+                except OSError:
+                    pass
+
+    _clean()
     try:
         # host reference run first (fast; its outputs are the oracle)
         _run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
@@ -746,7 +770,8 @@ def tpu_e2e_stage():
              env=env, timeout=cap)
         dt = time.perf_counter() - t0
     except Exception as e:
-        REC["tpu_e2e"] = "failed: %s" % type(e).__name__
+        _mark("failed: %s" % type(e).__name__)
+        _clean()
         return
     host_files = sorted(f for f in os.listdir("/tmp")
                         if f.startswith("kmtpu-te2e-host"))
@@ -758,9 +783,7 @@ def tpu_e2e_stage():
                 equal = equal and a.read() == b.read()
         except OSError:
             equal = False
-    for f in os.listdir("/tmp"):
-        if f.startswith("kmtpu-te2e-"):
-            os.unlink("/tmp/" + f)
+    _clean()
     # link traffic estimate: packed 2-bit codes + good bitmask + lengths,
     # shipped once for the build pass and once for the lookup pass
     L, NW = E2E_L, E2E_L - K + 1

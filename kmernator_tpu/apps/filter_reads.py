@@ -754,17 +754,17 @@ def _streaming_mesh_count(chunks, input_files, k, min_quality, output_base,
     mesh = make_mesh(D)
     if capacity <= 0:
         est = estimate_raw_kmers(input_files, k)
-        # START small and grow on pressure (the table doubles while over
-        # half full, exact until the 64M/device hard ceiling): memory then
-        # tracks the UNIQUE population, where sizing by the raw-window
-        # estimate grew per-device tables linearly in INPUT size (a
-        # measured ~1 GB/process of waste at 64 MB inputs).  An explicit
-        # --streaming-parts capacity stays fixed (purge-under-pressure).
-        sp = MeshStreamingSpectrum(
-            mesh, k, capacity=min(max(int(np.ceil(est / D)), 4096), 512 << 10),
-            max_capacity=64 << 20)
-    else:
-        sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
+        # FIXED est-sized capacity here, deliberately NOT the
+        # grow-on-pressure sizing the distributed composition uses:
+        # every distinct cap compiles a fresh drain program, and through
+        # the high-RTT dev relay the growth sequence's 4-6 extra
+        # compiles measured 31 s -> 500 s on the 8 MB bench stage.  The
+        # single-host --mesh path has no per-process table replication,
+        # so the est-overshoot costs HBM only transiently; if the clamp
+        # is too small the singleton-purge warning below says to
+        # override it.
+        capacity = min(max(int(np.ceil(est / D)), 4096), 64 << 20)
+    sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
     raw = good_total = n_reads = 0
     L = 0
     for rs in chunks:
@@ -1762,10 +1762,11 @@ def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
         if capacity > 0:
             sp = MeshStreamingSpectrum(mesh, k, capacity=capacity)
         else:
-            # start small + grow on pressure (see _streaming_mesh_count)
+            # expected-unique start + grow on pressure (see
+            # _streaming_mesh_count)
             sp = MeshStreamingSpectrum(
                 mesh, k,
-                capacity=min(max(int(np.ceil(est / D)), 4096), 512 << 10),
+                capacity=min(max(int(np.ceil(est / D / 6)), 4096), 2 << 20),
                 max_capacity=64 << 20)
 
         # ---- pass 1: lockstep streaming build over the global mesh ----

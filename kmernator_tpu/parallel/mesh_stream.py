@@ -638,7 +638,11 @@ class MeshStreamingSpectrum:
         lockstep."""
         while (self.max_capacity > self.cap
                and rows * headroom > self.cap):
-            pad = min(self.cap, self.max_capacity - self.cap)
+            # 4x steps: every distinct cap compiles a fresh drain/pad
+            # program (20-40 s each through the TPU relay), so fewer,
+            # larger steps beat tight sizing — the <=4x-of-fill overshoot
+            # is still far under the old raw-stream-estimate sizing
+            pad = min(3 * self.cap, self.max_capacity - self.cap)
             fn = _pad_table_fn(self.mesh, self.W, pad)
             out = fn(*self.table_cols, self.table_counts, self.table_weights)
             self.table_cols = list(out[:self.W])

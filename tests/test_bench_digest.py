@@ -101,3 +101,68 @@ def test_bad_windows_excluded():
 def test_empty_table_digest_is_zero(seed):
     z = np.zeros(0, np.uint32)
     assert bench._digest_np(z, z, z, seed) == 0
+
+
+def test_chip_child_salvage_protocol():
+    """The round-5 bench contract: milestones a stalling child already
+    printed are harvested LIVE into the record, the kill loses nothing,
+    and a salvaged RATE_PARTIAL is promoted to a clearly-labeled value.
+    Uses a fake child that prints the first three milestones then hangs
+    forever (the slow-relay failure mode of rounds 2-4)."""
+    import time
+    rec_backup = dict(bench.REC)
+    try:
+        bench.REC.clear()
+        bench.REC.update({"metric": "m", "value": None, "unit": "kmers/s",
+                          "vs_baseline": None, "chip_golden_ok": None})
+        fake = ("import time,sys\n"
+                "print('GOLDEN=ok', flush=True)\n"
+                "print('GOLDEN2=ok', flush=True)\n"
+                "print('RATE_PARTIAL=123456.7', flush=True)\n"
+                "time.sleep(600)\n")
+        chip = bench._ChipChild(code=fake)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with bench._REC_LOCK:
+                if bench.REC.get("chip_rate_partial"):
+                    break
+            time.sleep(0.1)
+        assert chip.running(), "fake child should still be alive (hung)"
+        chip.kill()
+        assert not chip.running()
+        assert bench.REC["chip_golden_ok"] is True
+        assert bench.REC["chip_golden_ext_ok"] is True
+        assert bench.REC["chip_rate_partial"] == 123457
+        assert bench.REC["value"] is None  # no full RATE landed
+        bench._promote_partial()
+        assert bench.REC["value"] == 123457
+        assert bench.REC["platform"] == "tpu"
+        assert "PARTIAL" in bench.REC["metric"]
+        assert len(bench.REC["chip_milestones"]) == 3
+    finally:
+        bench.REC.clear()
+        bench.REC.update(rec_backup)
+
+
+def test_chip_child_full_rate_wins():
+    """A child that reaches RATE sets the headline value directly and
+    _promote_partial leaves it untouched."""
+    rec_backup = dict(bench.REC)
+    try:
+        bench.REC.clear()
+        bench.REC.update({"metric": "m", "value": None, "unit": "kmers/s",
+                          "vs_baseline": None, "chip_golden_ok": None})
+        fake = ("print('GOLDEN=ok', flush=True)\n"
+                "print('RATE_PARTIAL=1000.0', flush=True)\n"
+                "print('RATE=5000.0', flush=True)\n")
+        chip = bench._ChipChild(code=fake)
+        assert chip.wait(30)
+        chip.kill()
+        assert bench.REC["value"] == 5000
+        assert bench.REC["platform"] == "tpu"
+        bench._promote_partial()
+        assert bench.REC["value"] == 5000
+        assert "PARTIAL" not in bench.REC["metric"]
+    finally:
+        bench.REC.clear()
+        bench.REC.update(rec_backup)
