@@ -112,6 +112,7 @@ def _flush_and_exit(signum=None, frame=None):
     if not _FLUSHED:
         _FLUSHED = True
         _promote_partial()
+        _set_ratio()
         with _REC_LOCK:
             REC["elapsed_s"] = round(time.time() - _T0, 1)
             rec = dict(REC)
