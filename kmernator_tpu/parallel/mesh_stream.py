@@ -484,12 +484,13 @@ class MeshStreamingSpectrum:
                  capacity_factor: float = 0.0, drain_threshold: int = 0,
                  max_capacity: int = 0):
         """max_capacity > capacity enables GROW-ON-PRESSURE: the table
-        doubles whenever a drain leaves it more than half full, so
+        grows in 4x steps whenever a drain could overfill it, so
         per-device memory tracks the UNIQUE key population instead of the
-        raw stream size, and the singleton purge only ever fires at the
-        hard ceiling (counts stay exact below it).  max_capacity == 0
-        keeps the fixed-capacity purge-under-pressure behavior (the
-        explicit --streaming-parts override)."""
+        raw stream size, and the singleton purge only fires at the hard
+        ceiling or under >2x hash skew (counts stay exact otherwise;
+        purged_singletons reports any loss).  max_capacity == 0 keeps
+        the fixed-capacity purge-under-pressure behavior (the explicit
+        --streaming-parts override)."""
         from kmernator_tpu.parallel import multihost as mh
         self._mh = mh
         self.mesh = mesh
@@ -597,13 +598,16 @@ class MeshStreamingSpectrum:
     def _drain(self):
         if not self._staged:
             return
-        # PRE-grow so this merge can never purge below the hard ceiling:
-        # the worst case is every real staged observation a brand-new
-        # unique landing on one shard.  The bound must be agreed across
-        # processes (same growth steps everywhere), hence the max-reduce.
+        # PRE-grow so this merge cannot purge below the hard ceiling
+        # unless the owner hash skews >2x over uniform (measured 0.2%
+        # on real data; a skew purge is the reference's own backstop and
+        # purged_singletons reports it): worst case every real staged
+        # observation is a new unique, spread per-shard at 2x the
+        # uniform share.  The bound must be agreed across processes
+        # (same growth steps everywhere), hence the max-reduce.
         if self.max_capacity > self.cap:
-            need = self._last_filled + self._mh.allreduce_max_int(
-                self._staged_real)
+            staged = self._mh.allreduce_max_int(self._staged_real)
+            need = self._last_filled + (2 * staged) // self.D + 1
             self._maybe_grow(need, headroom=1)
         cols = []
         for w in range(self.W):
@@ -629,13 +633,13 @@ class MeshStreamingSpectrum:
         self._maybe_grow(filled)
 
     def _maybe_grow(self, rows: int, headroom: int = 2):
-        """Double the per-shard table while rows * headroom > cap (up to
-        max_capacity).  Called post-drain with the global max shard fill
-        (headroom 2: stay under half full) and pre-drain with the
-        worst-case merge size (headroom 1: the drain can NEVER purge
-        below the hard ceiling).  Globally-agreed inputs drive the
-        decision, so every process of a multi-host run grows in
-        lockstep."""
+        """Grow the per-shard table (4x steps) while rows * headroom >
+        cap, up to max_capacity.  Called post-drain with the global max
+        shard fill (headroom 2: stay under half full) and pre-drain with
+        the worst-case merge size (headroom 1: the drain cannot purge
+        below the hard ceiling short of >2x hash skew).  Globally-agreed
+        inputs drive the decision, so every process of a multi-host run
+        grows in lockstep."""
         while (self.max_capacity > self.cap
                and rows * headroom > self.cap):
             # 4x steps: every distinct cap compiles a fresh drain/pad
