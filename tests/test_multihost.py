@@ -304,7 +304,14 @@ def test_streaming_distributed_bounded_rss_512mb(tmp_path):
         "sys.exit(rc)\n")
     flags = ["--skip-artifact-filter", "1", "--kmer-scoring-type", "MEDIAN",
              "--min-read-length", "25", "--streaming",
-             "--streaming-chunk-mb", "16", "--streaming-parts", "1500000"]
+             "--streaming-chunk-mb", "16"]
+    # --streaming-parts means DIFFERENT things per engine: mesh-table
+    # rows/device for the distributed runs vs spill PART COUNT for the
+    # host engine — sharing 1500000 made the reference run build 1.5M
+    # part files (hours of file churn; this test had never actually run
+    # to completion behind its env gate).  The distributed capacity
+    # stays explicit; the host run auto-sizes its parts.
+    dist_flags = flags + ["--streaming-parts", "1500000"]
 
     env = dict(os.environ, PYTHONPATH=REPO)
     env.pop("JAX_PLATFORMS", None)
@@ -320,7 +327,8 @@ def test_streaming_distributed_bounded_rss_512mb(tmp_path):
         return [sys.executable, str(runner), "--jax-platform", "cpu",
                 "--distributed", "127.0.0.1:%d" % port,
                 "--nprocs", "2", "--procid", str(pid),
-                "--mesh-batch", "8192"] + flags + ["--out", out, "31", path]
+                "--mesh-batch", "8192"] + dist_flags + \
+               ["--out", out, "31", path]
 
     outs = _spawn(2, argv, timeout=1800)
     for rc, o, err in outs:
