@@ -908,8 +908,12 @@ def main():
                 REC["e2e_%s_vs_baseline" % tag] = \
                     round(o_best[mb] / b_best[mb], 2)
 
+    pair_cost = {}  # mb -> last measured wall seconds for one pair
+
     def _one_pair(mb):
+        t0 = time.time()
         o, b = e2e_pair(mb, max_pairs=1)
+        pair_cost[mb] = time.time() - t0
         o_best[mb] = max(o_best.get(mb, 0.0), o)
         b_best[mb] = max(b_best.get(mb, 0.0), b)
         _rec_e2e(mb)
@@ -988,12 +992,17 @@ def main():
     # more interleaved e2e pairs at both sizes (best-of across pairs is
     # the bimodal-VM mitigation; the 223 s-of-420 validation run left
     # ~200 s on the table and a 1.97x ratio one fast-phase pair short)
+    # the guard uses MEASURED pair costs (x1.5 phase margin), not the
+    # worst-case 0.17 s/MB estimate — under that estimate this stage
+    # never fired in a fast phase (needed 244 s, had 198)
+    def _cost(mb):
+        return pair_cost.get(mb, 0.17 * mb) * 1.5 + 40
     try:
-        for _ in range(3):
-            if _remaining() < 0.17 * E2E_MB + 70:
+        for _ in range(4):
+            if _remaining() < _cost(E2E_MB):
                 break
             _one_pair(E2E_MB)
-            if _remaining() > 0.17 * mb2 + 70:
+            if _remaining() > _cost(mb2):
                 _one_pair(mb2)
             _checkpoint()
     except Exception:
