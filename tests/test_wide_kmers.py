@@ -121,3 +121,41 @@ def test_filter_reads_k33_streaming_parallel(tmp_path):
                       for i in range(0, len(lines) - 1, 4))
     assert recs(outs["host"]) == recs(outs["stream"])
     assert len(outs["host"]) > 10000
+
+
+def test_filter_reads_k33_streaming_distributed(tmp_path):
+    """The flagship composition at k=33 (wide 'S' keys): 2-process
+    --streaming --distributed byte-identical to the single-process
+    streaming engine — completes the wide-key x composition matrix
+    (ref: src/Kmer.h:415-416 wide kmers through the MPI build of
+    src/DistributedFunctions.h:333-458)."""
+    from test_multihost import _spawn
+
+    flags = ["--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+             "--artifact-edit-distance", "1",
+             "--fastq-output-base-quality", "64", "--min-read-length", "25"]
+    ref_in = os.path.join(REF, "1000.fastq")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    single = str(tmp_path / "single")
+    subprocess.run([sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                    "--jax-platform", "cpu", "--streaming",
+                    "--streaming-chunk-mb", "0.05", "--threads", "1"]
+                   + flags + ["--out", single, "33", ref_in],
+                   check=True, env=env, capture_output=True)
+
+    out = str(tmp_path / "dist")
+
+    def argv(pid, port):
+        return [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                "--jax-platform", "cpu", "--streaming",
+                "--streaming-chunk-mb", "0.05",
+                "--distributed", "127.0.0.1:%d" % port,
+                "--nprocs", "2", "--procid", str(pid),
+                "--mesh-batch", "64"] + flags + ["--out", out, "33", ref_in]
+
+    _spawn(2, argv)
+    mine = open(out + "-MinDepth2-1000.fastq", "rb").read()
+    sgl = open(single + "-MinDepth2-1000.fastq", "rb").read()
+    assert mine == sgl
+    assert len(mine) > 10000
