@@ -196,3 +196,37 @@ def test_unaligned_two_files_do_not_engage_paired_mode(tmp_path):
     r = _run_filter([p1, p2], str(tmp_path / "o"),
                     ["--streaming", "--streaming-chunk-mb", "0.004"])
     assert b"do not pair positionally" in r.stderr
+
+
+def test_reference_pair_files_streaming_matches_inmemory(tmp_path):
+    """The reference's OWN two-file mate pair (10-cs18.1/.2.fastq, casava
+    comments, 'N' bases — the files its ReadSetTest pairs by name,
+    ref: test/ReadSetTest.cpp) through two-file lockstep streaming:
+    byte-identical to the in-memory path in both output modes.  Tiled so
+    the pair spans multiple chunks."""
+    import shutil
+    lines1 = open(REF + "/10-cs18.1.fastq", "rb").read().decode().splitlines()
+    lines2 = open(REF + "/10-cs18.2.fastq", "rb").read().decode().splitlines()
+    p1, p2 = str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq")
+    for path, lines in ((p1, lines1), (p2, lines2)):
+        recs = ["\n".join(lines[i:i + 4]) for i in range(0, len(lines), 4)]
+        out = []
+        for c in range(10):
+            for rec in recs:
+                parts = rec.split("\n")
+                parts[0] = "@t%02d_%s" % (c, parts[0][1:])
+                out.append("\n".join(parts))
+        with open(path, "w") as f:
+            f.write("\n".join(out) + "\n")
+    for mode in ([], ["--separate-outputs", "0"]):
+        tag = "m" if mode else "s"
+        _run_filter([p1, p2], str(tmp_path / ("mem" + tag)), mode)
+        _run_filter([p1, p2], str(tmp_path / ("st" + tag)), mode +
+                    ["--streaming", "--threads", "2",
+                     "--streaming-chunk-mb", "0.004"])
+        names = [""] if mode else ["-MinDepth2-r1.fastq",
+                                   "-MinDepth2-r2.fastq"]
+        for fn in names:
+            a = open(str(tmp_path / ("mem" + tag + fn)), "rb").read()
+            b = open(str(tmp_path / ("st" + tag + fn)), "rb").read()
+            assert a == b and len(a) > 200, (mode, fn)
