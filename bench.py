@@ -19,7 +19,7 @@ Prints ONE JSON line:
 The e2e_* fields track BASELINE.json's second metric (reads filtered/sec
 at 1 host): a timed streaming FilterReads run over a generated FASTQ
 (default 1 GiB; KMTPU_E2E_MB overrides) vs the C++ baseline_filter
-stand-in (see e2e_reads_per_sec below).
+stand-in (see e2e_pair below).
 
 ROUND-5 RESTRUCTURE (three consecutive rounds lost the chip number to a
 slow-but-alive relay): the chip attempt is now a BACKGROUND child that
@@ -650,10 +650,6 @@ def e2e_pair(mb: int = 0, reserve_s: float = 60.0, max_pairs: int = 3):
         if not grew:
             break
     return ours, base
-
-
-def e2e_reads_per_sec(mb: int = 0):
-    return e2e_pair(mb)[0]
 
 
 def _bench_env():
