@@ -116,13 +116,6 @@ def _run_filter(inputs, out, extra, env=None):
                           capture_output=True)
 
 
-def _outputs(tmp_path, prefix):
-    return {f: open(os.path.join(str(tmp_path), f), "rb").read()
-            for f in sorted(os.listdir(str(tmp_path)))
-            if f.startswith(prefix) and not f.endswith(".fastq")
-            or f.startswith(prefix + "-")}
-
-
 @pytest.mark.parametrize("threads", [1, 3])
 def test_paired_twofile_streaming_merged_matches_inmemory(tmp_path, threads):
     """Two-file --streaming with MERGED output (--separate-outputs 0) ==
@@ -204,7 +197,6 @@ def test_reference_pair_files_streaming_matches_inmemory(tmp_path):
     ref: test/ReadSetTest.cpp) through two-file lockstep streaming:
     byte-identical to the in-memory path in both output modes.  Tiled so
     the pair spans multiple chunks."""
-    import shutil
     lines1 = open(REF + "/10-cs18.1.fastq", "rb").read().decode().splitlines()
     lines2 = open(REF + "/10-cs18.2.fastq", "rb").read().decode().splitlines()
     p1, p2 = str(tmp_path / "r1.fastq"), str(tmp_path / "r2.fastq")
