@@ -222,3 +222,23 @@ def test_reference_pair_files_streaming_matches_inmemory(tmp_path):
             a = open(str(tmp_path / ("mem" + tag + fn)), "rb").read()
             b = open(str(tmp_path / ("st" + tag + fn)), "rb").read()
             assert a == b and len(a) > 200, (mode, fn)
+
+
+def test_paired_twofile_streaming_mesh(tmp_path):
+    """Two-file lockstep streaming through the DEVICE mesh engine
+    (--streaming --mesh): the sequential chunk source feeds the sharded
+    spectrum and both output modes still match the in-memory path."""
+    p1, p2 = _split_pair(tmp_path)
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    for mode in ([], ["--separate-outputs", "0"]):
+        tag = "m" if mode else "s"
+        _run_filter([p1, p2], str(tmp_path / ("mem" + tag)), mode, env=env)
+        _run_filter([p1, p2], str(tmp_path / ("st" + tag)), mode +
+                    ["--streaming", "--mesh", "2", "--mesh-batch", "64",
+                     "--streaming-chunk-mb", "0.004"], env=env)
+        names = [""] if mode else ["-MinDepth2-r1.fastq",
+                                   "-MinDepth2-r2.fastq"]
+        for fn in names:
+            a = open(str(tmp_path / ("mem" + tag + fn)), "rb").read()
+            b = open(str(tmp_path / ("st" + tag + fn)), "rb").read()
+            assert a == b and len(a) > 500, (mode, fn)
