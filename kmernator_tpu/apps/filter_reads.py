@@ -1702,10 +1702,40 @@ def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
 
     last_outcome: Dict[str, object] = {}
 
-    def chunks(replay: bool = False):
-        for ci, rs in enumerate(stream_partition_readsets(
+    # paired two-file inputs stream in record LOCKSTEP here too: every
+    # rank computes the same aligned chunk ranges (deterministic) and
+    # owns a CONTIGUOUS block, so the rank-ordered gathered outputs
+    # reproduce the single-process chunk order byte-for-byte
+    from kmernator_tpu.io.chunked import paired_files_aligned
+    paired_stream = (len(opts.input_file) == 2
+                     and paired_files_aligned(*opts.input_file))
+    if len(opts.input_file) == 2 and not paired_stream:
+        Log.warn("two input files do not pair positionally; each rank "
+                 "streams its byte-range partition of each file "
+                 "independently (mates split across files will not pair)")
+
+    def _rank_readsets():
+        if paired_stream:
+            from kmernator_tpu.io.chunked import (detect_base_from_head,
+                                                  paired_chunk_ranges,
+                                                  read_chunk_paired)
+            p1, p2 = opts.input_file
+            ranges = paired_chunk_ranges(p1, p2, chunk_bytes)
+            base = detect_base_from_head([p1], chunk_bytes,
+                                         opts.fastq_output_base_quality,
+                                         opts.keep_read_comment)
+            n = len(ranges)
+            lo, hi = rank * n // nprocs, (rank + 1) * n // nprocs
+            for rng in ranges[lo:hi]:
+                yield read_chunk_paired(p1, p2, rng, base,
+                                        opts.keep_read_comment)
+        else:
+            yield from stream_partition_readsets(
                 opts.input_file, rank, nprocs, chunk_bytes,
-                opts.fastq_output_base_quality, opts.keep_read_comment)):
+                opts.fastq_output_base_quality, opts.keep_read_comment)
+
+    def chunks(replay: bool = False):
+        for ci, rs in enumerate(_rank_readsets()):
             last_outcome.pop("o", None)
             # pairs before the filter: see run_streaming.chunks()
             rs.identify_pairs()
@@ -1869,8 +1899,9 @@ def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
                                    ropts.bimodal_sigmas)
         else:
             trims = _trim_by_markup(rs)
-        outputs = select_reads(rs, trims, None, opts, kopts, sopts,
-                               ropts, opts.input_file)
+        outputs = select_reads(
+            rs, trims, None, opts, kopts, sopts, ropts, opts.input_file,
+            paired_parts=paired_stream and not ropts.separate_outputs)
         if "o" in last_outcome:
             outputs.update(divert_blobs(rs, last_outcome["o"], opts, aopts))
         for path, data in outputs.items():
@@ -1908,13 +1939,34 @@ def run_streaming_distributed(opts, kopts, sopts, ropts, aopts, fopts,
             rows.append(np.asarray(c2d)[:m])
             off += batch_reads
     # zero-read partition edge: a rank whose partition was empty still
-    # joins the gathered writes below
+    # joins the gathered writes below.  PART_MARK keys (the merged
+    # paired-output part streams) gather into per-part temp files first,
+    # then concatenate in (part, rank) order onto the real path — all
+    # ranks' file-1 picks before any file-2 picks, the file-sequential
+    # merged ordering of the in-memory path (src/ReadSelector.h:1212).
     all_paths = mh.allgather_strings(sorted(local_parts.keys()))
+    pending_parts: Dict[str, list] = {}
     for path in all_paths:
-        mh.write_gathered_file(path, local_parts.get(path))
-        if rank == 0:
+        real, pi = _part_stream_path(path)
+        if pi is None:
+            mh.write_gathered_file(path, local_parts.get(path))
+            if rank == 0:
+                Log.verbose(1, "wrote %s (%d bytes)"
+                            % (path, os.path.getsize(path)))
+        else:
+            tmp = "%s.gpart%d" % (real, pi)
+            mh.write_gathered_file(tmp, local_parts.get(path))
+            pending_parts.setdefault(real, []).append((pi, tmp))
+    if rank == 0:
+        import shutil
+        for real in sorted(pending_parts):
+            with open(real, "wb") as outf:
+                for pi, tmp in sorted(pending_parts[real]):
+                    with open(tmp, "rb") as f:
+                        shutil.copyfileobj(f, outf)
+                    os.unlink(tmp)
             Log.verbose(1, "wrote %s (%d bytes)"
-                        % (path, os.path.getsize(path)))
+                        % (real, os.path.getsize(real)))
     return 0
 
 

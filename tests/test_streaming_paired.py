@@ -242,3 +242,45 @@ def test_paired_twofile_streaming_mesh(tmp_path):
             a = open(str(tmp_path / ("mem" + tag + fn)), "rb").read()
             b = open(str(tmp_path / ("st" + tag + fn)), "rb").read()
             assert a == b and len(a) > 500, (mode, fn)
+
+
+def test_paired_twofile_streaming_distributed(tmp_path):
+    """The flagship composition over a two-file mate PAIR: 2-process
+    --streaming --distributed with record-lockstep paired chunks
+    block-partitioned by rank, byte-identical to the single-process
+    paired streaming engine in BOTH output modes (merged gathers as
+    (part, rank)-ordered file-sequential output)."""
+    from test_multihost import _spawn
+
+    p1, p2 = _split_pair(tmp_path)
+    env1 = dict(os.environ, PYTHONPATH=REPO)
+    env1.pop("JAX_PLATFORMS", None)
+    for mode in ([], ["--separate-outputs", "0"]):
+        tag = "m" if mode else "s"
+        single = str(tmp_path / ("single" + tag))
+        subprocess.run(
+            [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+             "--jax-platform", "cpu", "--min-read-length", "25",
+             "--streaming", "--streaming-chunk-mb", "0.004",
+             "--threads", "1"] + mode +
+            ["--out", single, "21", p1, p2],
+            check=True, env=env1, capture_output=True)
+
+        out = str(tmp_path / ("dist" + tag))
+
+        def argv(pid, port, mode=mode, out=out):
+            return [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+                    "--jax-platform", "cpu", "--streaming",
+                    "--streaming-chunk-mb", "0.004",
+                    "--distributed", "127.0.0.1:%d" % port,
+                    "--nprocs", "2", "--procid", str(pid),
+                    "--mesh-batch", "64", "--min-read-length", "25"] + \
+                   mode + ["--out", out, "21", p1, p2]
+
+        _spawn(2, argv)
+        names = [""] if mode else ["-MinDepth2-r1.fastq",
+                                   "-MinDepth2-r2.fastq"]
+        for fn in names:
+            a = open(single + fn, "rb").read()
+            b = open(out + fn, "rb").read()
+            assert a == b and len(a) > 500, (mode, fn)
