@@ -706,20 +706,26 @@ def _ensure_chip():
 TPU_E2E_MB = int(os.environ.get("KMTPU_TPU_E2E_MB", "8"))
 
 
-def tpu_e2e_stage():
+def tpu_e2e_stage(max_cap: float = 420.0):
     """Driver-captured TPU end-to-end: stream a small FASTQ through
     `--streaming --mesh 1` ON THE CHIP, byte-compare every output file
     against the host streaming run of the same config, and record
     reads/s plus the (estimated) bytes shipped over the host<->chip
     link.  Runs once the chip attempt is fully resolved (the chip is
     exclusive: the child must be dead first) and enough budget remains;
-    a salvaged RATE_PARTIAL qualifies, not just the full rate."""
+    a salvaged RATE_PARTIAL qualifies, not just the full rate.
+
+    max_cap bounds one attempt: the EARLY fast-path slot passes ~150 s
+    so a relay that stalls on heavy RPCs (probes and the tiny-batch
+    child still fast — observed live) fails this stage quickly instead
+    of eating the host stages' budget; the endgame slot retries
+    uncapped-within-budget."""
     # a prior "failed:"/"skipped" marker does NOT block a later call:
     # the early fast-path slot can lose to a cold compile or a loaded
     # host, and the endgame slot then retries with the leftover budget
     if REC.get("platform") != "tpu" or "tpu_e2e_value" in REC:
         return
-    cap = min(420.0, _remaining() - 75)
+    cap = min(max_cap, _remaining() - 75)
 
     def _mark(what):
         with _REC_LOCK:
@@ -877,7 +883,7 @@ def main():
                     and REC.get("value") is not None)
         if done and not chip.running():
             try:
-                tpu_e2e_stage()
+                tpu_e2e_stage(max_cap=150.0)
             except Exception:
                 pass
 
