@@ -2044,16 +2044,34 @@ def run(argv: List[str]) -> int:
         Log.error("Please specify at least one input file")
         return 1
 
+    def _is_plain_fastq(p: str) -> bool:
+        """Streaming handles FASTQ only (gz included); FASTA(+qual)
+        stays on the in-memory loader."""
+        try:
+            if p.endswith(".gz"):
+                import gzip
+                with gzip.open(p, "rb") as f:
+                    return f.read(1) == b"@"
+            with open(p, "rb") as f:
+                return f.read(1) == b"@"
+        except OSError:
+            return False
+
     auto_streamable = (
         not streaming and dist_nprocs == 1
         and ropts.max_kmer_output_depth <= 0 and dopts.dedup_mode <= 0
         and not sopts.save_kmer_mmap and not sopts.load_kmer_mmap
         and ropts.partition_by_depth <= 0 and kopts.kmer_size != 0
         and sopts.build_partitions <= 0
-        and all(os.path.exists(p) for p in opts.input_file))
-    # auto-engage threshold; env-tunable so the gate itself is testable
-    # without generating a quarter-gigabyte input
-    auto_mb = int(os.environ.get("KMTPU_AUTO_STREAM_MB", "256"))
+        and all(os.path.exists(p) for p in opts.input_file)
+        and all(_is_plain_fastq(p) for p in opts.input_file))
+    # auto-engage threshold; env-tunable so the gate itself is testable.
+    # Default 2 MB = the measured engine crossover on this host (1 MB:
+    # in-memory 0.56 s vs streaming 0.69 s; 4 MB: 1.7-1.9 vs 1.0-1.1;
+    # 256 MB: 130 vs 5.2 s — all the round-2..5 perf work lives in the
+    # streaming engine, and it is byte-compatible feature-for-feature,
+    # so anything above the fork-pool overhead should use it)
+    auto_mb = int(os.environ.get("KMTPU_AUTO_STREAM_MB", "2"))
     if (auto_streamable and len(opts.input_file) == 1
             and os.path.getsize(opts.input_file[0]) > (auto_mb << 20)):
         # the streaming engine is byte-compatible feature-for-feature and

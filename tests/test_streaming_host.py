@@ -165,3 +165,54 @@ def test_streaming_gz_bounded_chunks(tmp_path):
         return sorted(b"\n".join(lines[i:i + 4])
                       for i in range(0, len(lines) - 1, 4))
     assert recs(outs[0]) == recs(outs[1]) and len(outs[0]) > 0
+
+
+def test_auto_stream_default_threshold(tmp_path):
+    """The default auto-stream gate: a FASTQ just over the ~2 MB engine
+    crossover engages streaming with no flags (the in-memory engine
+    measured 130 s vs streaming's 5 s at 256 MB — users should get the
+    fast engine without asking), while a FASTA of the same size stays on
+    the in-memory loader (streaming is FASTQ-only)."""
+    lines = open(REF + "/1000.fastq", "rb").read().decode().splitlines()
+    recs = ["\n".join(lines[i:i + 4]) for i in range(0, len(lines), 4)]
+    fq = str(tmp_path / "big.fastq")
+    with open(fq, "w") as f:
+        c = 0
+        size = 0
+        while size < (3 << 20):
+            for rec in recs:
+                parts = rec.split("\n")
+                parts[0] = "@t%05d_%s" % (c, parts[0][1:])
+                blk = "\n".join(parts) + "\n"
+                f.write(blk)
+                size += len(blk)
+            c += 1
+    fa = str(tmp_path / "big.fasta")
+    with open(fq) as src, open(fa, "w") as dst:
+        while True:
+            h = src.readline()
+            if not h:
+                break
+            s = src.readline()
+            src.readline()
+            src.readline()
+            dst.write(">" + h[1:] + s)
+
+    base = ["--kmer-scoring-type", "MEDIAN", "--mask-simple-repeats", "0",
+            "--artifact-edit-distance", "1",
+            "--fastq-output-base-quality", "64", "--min-read-length", "25",
+            "--verbose", "1"]
+    r = subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+         "--jax-platform", "cpu", "--out", str(tmp_path / "ofq")]
+        + base + ["31", fq], check=True, env=ENV, capture_output=True)
+    assert b"using the streaming engine" in r.stderr
+    assert os.path.getsize(str(tmp_path / "ofq-MinDepth2-big.fastq")) > 1000
+
+    r = subprocess.run(
+        [sys.executable, "-m", "kmernator_tpu.apps.filter_reads",
+         "--jax-platform", "cpu", "--out", str(tmp_path / "ofa")]
+        + base + ["31", fa], check=True, env=ENV, capture_output=True)
+    assert b"using the streaming engine" not in r.stderr
+    outs = [f for f in os.listdir(str(tmp_path)) if f.startswith("ofa-")]
+    assert outs, "FASTA input must still produce output via the in-memory path"
