@@ -166,3 +166,30 @@ def test_chip_child_full_rate_wins():
     finally:
         bench.REC.clear()
         bench.REC.update(rec_backup)
+
+
+def test_chip_child_best_of_rate_samples():
+    """Round-5 contention mitigation: the shared dev chip is time-sliced
+    under neighbor load (one phase measured a uniform ~24x stretch on
+    both timed loops), so the child prints up to three RATE lines and
+    the reader keeps the MAX plus every sample for transparency."""
+    rec_backup = dict(bench.REC)
+    try:
+        bench.REC.clear()
+        bench.REC.update({"metric": "m", "value": None, "unit": "kmers/s",
+                          "vs_baseline": None, "chip_golden_ok": None})
+        fake = ("print('GOLDEN=ok', flush=True)\n"
+                "print('RATE_PARTIAL=1000.0', flush=True)\n"
+                "print('RATE=33000000.0', flush=True)\n"
+                "print('RATE=500000000.0', flush=True)\n"
+                "print('RATE=40000000.0', flush=True)\n")
+        chip = bench._ChipChild(code=fake)
+        assert chip.wait(30)
+        chip.kill()
+        assert bench.REC["value"] == 500000000
+        assert bench.REC["chip_rate_samples"] == \
+            [33000000, 500000000, 40000000]
+        assert bench.REC["platform"] == "tpu"
+    finally:
+        bench.REC.clear()
+        bench.REC.update(rec_backup)
